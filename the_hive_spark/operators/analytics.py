@@ -1,0 +1,349 @@
+"""Relational analytics over the TPC-H-ish tables.
+
+These exercise the engine's core relational surface — the same
+filter/join/agg/sort/limit primitives the reference composes in its Go
+handlers (SURVEY.md §2.2-2.6) — expressed declaratively so Catalyst
+gets predicate pushdown, column pruning, and join planning for free.
+
+Scale notes (100 TB):
+- every query filters/prunes at the parquet scan (verify with
+  .explain: PushedFilters / ReadSchema);
+- small dimensions (region/nation/supplier/customer at TPC-H ratios)
+  broadcast automatically under AQE; the big fact (lineitem/events)
+  never shuffles more than once per agg;
+- monetary aggregates are computed as exact BIGINT cents
+  (FLOOR(x*100 + 0.5) per row — identical IEEE double math in any
+  engine, then an exact integer sum that is independent of partition
+  count and reduction order). Float sums are order-dependent and would
+  make results nondeterministic across cluster sizes.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+
+from the_hive_spark.registry import query
+from the_hive_spark.tables import table
+
+
+def cents(expr: Column) -> Column:
+    """Exact half-up rounding of a money double to integer cents.
+
+    floor(x*100 + 0.5) evaluates identically in Spark and any ANSI
+    engine (single IEEE ops), unlike round(), whose tie-breaking
+    differs between engines.
+    """
+    return F.floor(expr * 100 + F.lit(0.5)).cast("bigint")
+
+
+# per-row revenue in cents: l_extendedprice * (1 - l_discount)
+_REV = None  # placeholder so module reads top-to-bottom; see _rev()
+
+
+def _rev() -> Column:
+    return cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+
+
+_REV_SQL = "CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-flavored relational queries
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+       CAST(SUM({_REV_SQL}) AS BIGINT) AS sum_disc_price_cents,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: one pass over the fact, map-side partial agg, tiny result."""
+    li = table(spark, sf_dir, "lineitem")
+    charge = cents(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    )
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("sum_qty"),
+            F.sum(cents(F.col("l_extendedprice"))).cast("bigint").alias("sum_base_price_cents"),
+            F.sum(_rev()).cast("bigint").alias("sum_disc_price_cents"),
+            F.sum(charge).cast("bigint").alias("sum_charge_cents"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    oracle=f"""
+SELECT l_orderkey,
+       CAST(SUM({_REV_SQL}) AS BIGINT) AS revenue_cents,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_cents DESC, l_orderkey
+LIMIT 10
+""",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: selective dim filter broadcast into the fact join, top-10."""
+    cust = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_rev()).cast("bigint").alias("revenue_cents"))
+        .orderBy(F.desc("revenue_cents"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue_cents", "o_orderdate", "o_orderpriority")
+    )
+
+
+@query(
+    "q4_order_priority",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_quantity > 45
+  )
+GROUP BY o_orderpriority
+""",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: left-semi join (EXISTS) then count by priority."""
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    oracle=f"""
+SELECT n_name,
+       CAST(SUM({_REV_SQL}) AS BIGINT) AS revenue_cents
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+""",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: 6-way star join; dims broadcast, fact shuffles once."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(_rev()).cast("bigint").alias("revenue_cents"))
+    )
+
+
+@query(
+    "q6_revenue_forecast",
+    oracle="""
+SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure scan + pushed filters + single global agg."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(cents(F.col("l_extendedprice") * F.col("l_discount")))
+        .cast("bigint")
+        .alias("revenue_cents"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
+    "q10_returned_items",
+    oracle=f"""
+SELECT c_custkey, c_name,
+       CAST(SUM({_REV_SQL}) AS BIGINT) AS revenue_cents,
+       n_name
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue_cents DESC, c_custkey
+LIMIT 20
+""",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: returned-item revenue per customer, top 20."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_rev()).cast("bigint").alias("revenue_cents"))
+        .orderBy(F.desc("revenue_cents"), F.asc("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue_cents", "n_name")
+    )
+
+
+@query(
+    "q_brand_volume",
+    oracle=f"""
+SELECT p_brand,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+       CAST(SUM({_REV_SQL}) AS BIGINT) AS revenue_cents,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+""",
+)
+def q_brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ broadcast(part) → per-brand volume rollup."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("total_qty"),
+            F.sum(_rev()).cast("bigint").alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q_top_supplier_per_nation",
+    oracle=f"""
+WITH srev AS (
+  SELECT s_nationkey, s_suppkey, s_name,
+         CAST(SUM({_REV_SQL}) AS BIGINT) AS revenue_cents
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY s_nationkey, s_suppkey, s_name
+), ranked AS (
+  SELECT n_name, s_name, revenue_cents,
+         ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY revenue_cents DESC, s_suppkey) AS rn
+  FROM srev JOIN nation ON s_nationkey = n_nationkey
+)
+SELECT n_name, s_name, revenue_cents FROM ranked WHERE rn = 1
+""",
+)
+def q_top_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1-per-group via ranked window (SURVEY §2.5 top-k pattern)."""
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    srev = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("s_nationkey", "s_suppkey", "s_name")
+        .agg(F.sum(_rev()).cast("bigint").alias("revenue_cents"))
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("revenue_cents"), F.asc("s_suppkey"))
+    return (
+        srev.join(F.broadcast(nation), srev.s_nationkey == nation.n_nationkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("n_name", "s_name", "revenue_cents")
+    )
+
+
+@query(
+    "q_mktsegment_yearly",
+    oracle="""
+SELECT c_mktsegment,
+       CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_price_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment, order_year
+""",
+)
+def q_mktsegment_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dim-joined yearly rollup (A9-style tally at warehouse scale)."""
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .withColumn("order_year", F.year("o_orderdate").cast("int"))
+        .groupBy("c_mktsegment", "order_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents(F.col("o_totalprice"))).cast("bigint").alias("total_price_cents"),
+        )
+    )

@@ -1,0 +1,281 @@
+"""Event-timeline / log analytics over the ``events`` stream table.
+
+The reference's timeline + audit surface (SURVEY.md §2: T2/T3 recent-N,
+P3/P4 filters, A3 tallies) generalized to a proper log-analytics query
+set: rollups, error rates, sessionization, funnels, JSON prop
+extraction. ``events`` is the append-only fact; at 100 TB it would be
+date-partitioned so every one of these prunes to the scanned window.
+
+Determinism notes: parquet stores ts as nanoseconds; Spark reads µs
+precision, so oracles CAST to TIMESTAMP (µs) explicitly. All float
+sums are decimal-cast; every LIMIT has a total-order tie-break.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from the_hive_spark.registry import query
+from the_hive_spark.tables import table
+
+
+@query(
+    "events_timeline",
+    oracle="""
+SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+FROM events
+ORDER BY ts DESC, event_id DESC
+LIMIT 100
+""",
+)
+def events_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 'recent events': ORDER BY ts DESC LIMIT 100 (+id tie-break).
+
+    Ref: internal/database/events.go:65-89. Spark plan is a TakeOrdered
+    (per-partition top-100 then merge) — no full sort at scale.
+    """
+    ev = table(spark, sf_dir, "events")
+    return ev.select("event_id", "ts", "user_id", "event_type", "value").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    ).limit(100)
+
+
+@query(
+    "events_by_type",
+    oracle="""
+SELECT event_type, COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS total_value_micros
+FROM events
+GROUP BY event_type
+""",
+)
+def events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type tally (A3-style) with distinct users."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("total_value_micros"),
+    )
+
+
+@query(
+    "events_user_daily",
+    oracle="""
+SELECT user_id, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day, COUNT(*) AS n_events,
+       COUNT(DISTINCT event_type) AS n_types,
+       CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS total_value_micros
+FROM events
+GROUP BY user_id, day
+""",
+)
+def events_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user per-day activity rollup (the partition-pruned workhorse)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.sum(F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("total_value_micros"),
+    )
+
+
+@query(
+    "events_error_rate_daily",
+    oracle="""
+SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+       COUNT(*) AS n_total,
+       COUNT(*) FILTER (WHERE event_type = 'error') AS n_errors,
+       CAST(FLOOR(COUNT(*) FILTER (WHERE event_type = 'error') * 1000000.0 / COUNT(*) + 0.5) AS BIGINT) AS error_rate_ppm
+FROM events
+GROUP BY day
+""",
+)
+def events_error_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily error-rate trend (the ST6/alerting analytics flavor)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+        F.floor(
+            F.count(F.when(F.col("event_type") == "error", 1)) * 1000000.0 / F.count(F.lit(1))
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("error_rate_ppm"),
+    )
+
+
+@query(
+    "events_sessionization",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+         LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN prev_ts IS NULL
+                   OR date_diff('microsecond', prev_ts, ts) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+), sessions AS (
+  SELECT user_id, ts, event_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+), per_session AS (
+  SELECT user_id, session_id, COUNT(*) AS session_events,
+         date_diff('microsecond', MIN(ts), MAX(ts)) AS duration_us
+  FROM sessions GROUP BY user_id, session_id
+)
+SELECT user_id, COUNT(*) AS n_sessions,
+       CAST(SUM(session_events) AS BIGINT) AS n_events,
+       CAST(SUM(duration_us) AS BIGINT) AS total_duration_us,
+       CAST(MAX(session_events) AS BIGINT) AS max_session_events
+FROM per_session GROUP BY user_id
+""",
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (30-min inactivity gap).
+
+    The batch analogue of the reference's doc-completion sessionization
+    (ST3, hive_service.go:129-189). One shuffle on user_id; both
+    windows and the final groupBy reuse that partitioning.
+    """
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w_order))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("prev_ts").isNull()
+                | ((F.unix_micros("ts") - F.unix_micros("prev_ts")) > 1_800_000_000),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_session").over(w_run))
+    )
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("session_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("session_events").cast("bigint").alias("n_events"),
+        F.sum("duration_us").cast("bigint").alias("total_duration_us"),
+        F.max("session_events").cast("bigint").alias("max_session_events"),
+    )
+
+
+@query(
+    "events_funnel",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END) AS first_view,
+         MIN(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END) AS first_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS first_purchase
+  FROM events GROUP BY user_id
+)
+SELECT COUNT(*) FILTER (WHERE first_view IS NOT NULL) AS n_view,
+       COUNT(*) FILTER (WHERE first_view IS NOT NULL AND first_click > first_view) AS n_click_after_view,
+       COUNT(*) FILTER (WHERE first_view IS NOT NULL AND first_click > first_view
+                          AND first_purchase > first_click) AS n_full_funnel
+FROM per_user
+""",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase conversion funnel (single shuffle)."""
+    ev = table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("first_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("first_purchase"),
+    )
+    return per_user.agg(
+        F.count(F.when(F.col("first_view").isNotNull(), 1)).alias("n_view"),
+        F.count(
+            F.when(
+                F.col("first_view").isNotNull() & (F.col("first_click") > F.col("first_view")), 1
+            )
+        ).alias("n_click_after_view"),
+        F.count(
+            F.when(
+                F.col("first_view").isNotNull()
+                & (F.col("first_click") > F.col("first_view"))
+                & (F.col("first_purchase") > F.col("first_click")),
+                1,
+            )
+        ).alias("n_full_funnel"),
+    )
+
+
+@query(
+    "events_top_purchasers",
+    oracle="""
+SELECT user_id, COUNT(*) AS n_purchases,
+       CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS total_spend_micros
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY user_id
+ORDER BY total_spend_micros DESC, user_id
+LIMIT 10
+""",
+)
+def events_top_purchasers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered top-k: predicate pushed to scan, TakeOrdered for the limit."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("total_spend_micros"),
+        )
+        .orderBy(F.desc("total_spend_micros"), F.asc("user_id"))
+        .limit(10)
+    )
+
+
+@query(
+    "events_props_histogram",
+    oracle="""
+SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, COUNT(*) AS n
+FROM events
+GROUP BY k
+""",
+)
+def events_props_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction (F8/F11-style JSON parsing, JVM-side)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.withColumn(
+        "k", F.get_json_object("props", "$.k").cast("int")
+    ).groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "events_hourly_pattern",
+    oracle="""
+SELECT CAST(hour(CAST(ts AS TIMESTAMP)) AS INTEGER) AS hour_of_day,
+       event_type, COUNT(*) AS n
+FROM events
+GROUP BY hour_of_day, event_type
+""",
+)
+def events_hourly_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day × type histogram (A6/A7-style derived-time analytics)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.hour("ts").cast("int").alias("hour_of_day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
