@@ -1,1 +1,206 @@
-"""Placeholder — populated in a later milestone."""
+"""Text-analysis operators over the ``documents`` table.
+
+The training-data-pipeline text surface: chunking (the reference's F1
+fixed-window chunker, internal/parser/chunker.go:16-52, generalized to
+any size/overlap), token/quality metrics, language profiling, and
+w-shingling fingerprints. Everything here is pure built-in column
+expressions — JVM-side, whole-stage-codegen'd, no Python in the hot
+path.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from the_hive_spark.registry import query
+from the_hive_spark.tables import table
+
+CHUNK_SIZE = 120
+CHUNK_OVERLAP = 20
+CHUNK_STEP = CHUNK_SIZE - CHUNK_OVERLAP
+
+
+def chunk_fixed(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = CHUNK_SIZE,
+    overlap: int = CHUNK_OVERLAP,
+) -> DataFrame:
+    """F1 fixed-window chunker as a generator expression (1 row → N).
+
+    Ref parity (internal/parser/chunker.go:16-52): windows of ``size``
+    chars advancing by ``size - overlap``; last chunk may be short;
+    empty text yields no chunks. Implemented as posexplode over a
+    computed substring array — a JVM UDTF, no Python.
+    """
+    step = size - overlap
+    n_chunks = f"cast(floor((length({text_col}) - 1) / {step}) as int) + 1"
+    return (
+        df.filter(F.length(text_col) > 0)
+        .select(
+            id_col,
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, {n_chunks}),"
+                    f" i -> substring({text_col}, (i - 1) * {step} + 1, {size}))"
+                )
+            ).alias("chunk_index", "content"),
+        )
+        .withColumn(
+            "chunk_id",
+            F.md5(
+                F.concat(
+                    F.col(id_col).cast("string"),
+                    F.lit("-"),
+                    F.col("chunk_index").cast("string"),
+                )
+            ),
+        )
+        .withColumn("chunk_len", F.length("content"))
+    )
+
+
+@query(
+    "doc_chunks",
+    oracle=f"""
+WITH exploded AS (
+  SELECT doc_id, text,
+         unnest(range(0, CAST(floor((length(text) - 1) / {CHUNK_STEP}) AS INTEGER) + 1)) AS chunk_index
+  FROM documents WHERE length(text) > 0
+)
+SELECT doc_id, chunk_index,
+       md5(concat(CAST(doc_id AS VARCHAR), '-', CAST(chunk_index AS VARCHAR))) AS chunk_id,
+       substring(text, chunk_index * {CHUNK_STEP} + 1, {CHUNK_SIZE}) AS content,
+       length(substring(text, chunk_index * {CHUNK_STEP} + 1, {CHUNK_SIZE})) AS chunk_len
+FROM exploded
+""",
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk every document into 120-char windows with 20 overlap.
+
+    chunk_id is the deterministic digest of (doc_id, chunk_index) —
+    the F3 idempotent-id scheme (UUIDv5 exact form lives in
+    functions.ids; the digest here keeps the oracle portable).
+    """
+    return chunk_fixed(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_chunk_stats",
+    oracle=f"""
+WITH exploded AS (
+  SELECT doc_id,
+         unnest(range(0, CAST(floor((length(text) - 1) / {CHUNK_STEP}) AS INTEGER) + 1)) AS chunk_index,
+         text
+  FROM documents WHERE length(text) > 0
+)
+SELECT doc_id, COUNT(*) AS n_chunks,
+       CAST(SUM(length(substring(text, chunk_index * {CHUNK_STEP} + 1, {CHUNK_SIZE}))) AS BIGINT) AS total_chunk_chars
+FROM exploded GROUP BY doc_id
+""",
+)
+def doc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document chunk tally (A3 ingest-tally parity)."""
+    return chunk_fixed(table(spark, sf_dir, "documents")).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("chunk_len").cast("bigint").alias("total_chunk_chars"),
+    )
+
+
+@query(
+    "doc_token_stats",
+    oracle="""
+SELECT doc_id, n_chars,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_uniq_tokens AS BIGINT) AS n_uniq_tokens,
+       CAST(FLOOR(1000000.0 * n_uniq_tokens / n_tokens + 0.5) AS BIGINT) AS ttr_ppm,
+       CAST(FLOOR((n_chars - n_tokens + 1.0) / n_tokens + 0.5) AS BIGINT) AS avg_token_len
+FROM (
+  SELECT doc_id, n_chars,
+         len(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS n_tokens,
+         len(list_distinct(list_filter(string_split(text, ' '), t -> length(t) > 0))) AS n_uniq_tokens
+  FROM documents WHERE length(text) > 0
+)
+""",
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + type-token-ratio quality signal per document.
+
+    Whitespace tokenization via split + filter — all JVM expressions;
+    ttr_ppm (unique/total) is the dedup-adjacent quality score.
+    """
+    docs = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    toks = F.expr("filter(split(text, ' '), t -> length(t) > 0)")
+    stats = docs.select(
+        "doc_id",
+        "n_chars",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq_tokens"),
+    )
+    return stats.select(
+        "doc_id",
+        "n_chars",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_uniq_tokens").cast("bigint").alias("n_uniq_tokens"),
+        F.floor(1000000.0 * F.col("n_uniq_tokens") / F.col("n_tokens") + F.lit(0.5))
+        .cast("bigint")
+        .alias("ttr_ppm"),
+        F.floor(
+            (F.col("n_chars") - F.col("n_tokens") + 1.0) / F.col("n_tokens") + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("avg_token_len"),
+    )
+
+
+@query(
+    "doc_lang_profile",
+    oracle="""
+SELECT lang, source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(FLOOR(SUM(n_chars) * 1.0 / COUNT(*) + 0.5) AS BIGINT) AS avg_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc_id
+FROM documents
+GROUP BY lang, source
+""",
+)
+def doc_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus language/source profile (language-ID rollup surface).
+
+    The declared ``lang`` column stands in for detected language; the
+    heuristic n-gram detector itself is functions/langid.py (non-SQL,
+    covered by unit tests)."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.floor(F.sum("n_chars") * 1.0 / F.count(F.lit(1)) + F.lit(0.5))
+        .cast("bigint")
+        .alias("avg_chars"),
+        F.min("doc_id").cast("bigint").alias("first_doc_id"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+SELECT doc_id,
+       list_min(list_transform(range(1, greatest(length(text) - 7, 0) + 1),
+                               i -> md5(substring(text, i, 8)))) AS fingerprint
+FROM documents
+WHERE length(text) >= 8
+""",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style document fingerprint: min digest over 8-gram
+    windows (single linear scan per doc, no shuffle)."""
+    docs = table(spark, sf_dir, "documents").filter(F.length("text") >= 8)
+    return docs.select(
+        "doc_id",
+        F.expr(
+            "array_min(transform(sequence(1, greatest(length(text) - 7, 1)),"
+            " i -> md5(substring(text, i, 8))))"
+        ).alias("fingerprint"),
+    )
