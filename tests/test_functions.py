@@ -1,0 +1,132 @@
+"""Unit tests for the deterministic function layer: chunkers (the
+reference's chunker_test.go invariants), mock embedder, UUIDv5 ids."""
+
+from __future__ import annotations
+
+import uuid
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from the_hive_spark.functions.chunkers import (
+    SENTENCE_OVERLAP,
+    SENTENCE_SIZE,
+    chunk_fixed_expr,
+    chunk_sentence_py,
+    chunk_sentence_udf,
+)
+from the_hive_spark.functions.embedding import fnv32a, mock_embedding_np
+from the_hive_spark.functions.ids import uuid5_chunk_id
+
+LONG_TEXT = (
+    "The quick brown fox jumps over the lazy dog. "
+    "Pack my box with five dozen liquor jugs! "
+    "How vexingly quick daft zebras jump? "
+) * 40  # ~5000 chars
+
+
+# --- chunker invariants (internal/processor/chunker_test.go:10-158) ---
+
+
+def test_short_text_single_chunk():
+    assert chunk_sentence_py("short text") == ["short text"]
+
+
+def test_empty_text_no_chunks():
+    assert chunk_sentence_py("") == []
+
+
+def test_long_text_multiple_chunks_with_bounded_total():
+    chunks = chunk_sentence_py(LONG_TEXT)
+    assert len(chunks) >= 2
+    total = sum(len(c) for c in chunks)
+    # strip() can only shrink; overlap duplicates ≤ overlap*(n-1) chars
+    assert total <= len(LONG_TEXT) + SENTENCE_OVERLAP * (len(chunks) - 1)
+    assert all(len(c) <= SENTENCE_SIZE for c in chunks)
+
+
+def test_consecutive_chunks_overlap():
+    chunks = chunk_sentence_py(LONG_TEXT)
+    joined = LONG_TEXT
+    for a, b in zip(chunks, chunks[1:]):
+        # the head of b must occur inside the source after a's start —
+        # i.e. the windows advance but share content
+        assert b[:20] in joined
+
+
+def test_most_chunks_end_at_sentence_boundary():
+    chunks = chunk_sentence_py(LONG_TEXT)
+    boundary_ends = sum(1 for c in chunks[:-1] if c.rstrip()[-1:] in ".!?")
+    assert boundary_ends >= len(chunks[:-1]) * 0.5
+
+
+def test_fixed_chunker_expr_matches_python(spark):
+    df = spark.createDataFrame([(LONG_TEXT,)], "text string")
+    arr = df.select(chunk_fixed_expr("text", 1000, 200).alias("c")).collect()[0]["c"]
+    # python reference of F1: windows of 1000 advancing 800
+    expected = [LONG_TEXT[s : s + 1000] for s in range(0, len(LONG_TEXT), 800)]
+    assert arr == expected
+
+
+def test_sentence_udf_matches_python(spark):
+    texts = ["", "short one.", LONG_TEXT]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [r["c"] for r in df.select(chunk_sentence_udf("text").alias("c")).collect()]
+    assert got == [chunk_sentence_py(t) for t in texts]
+
+
+# --- mock embedder (internal/embeddings/mock.go:28-58 formula) ---
+
+
+def test_fnv32a_known_vectors():
+    # published FNV-1a 32-bit test vectors
+    assert fnv32a("") == 0x811C9DC5
+    assert fnv32a("a") == 0xE40C292C
+    assert fnv32a("foobar") == 0xBF9CF968
+
+
+def test_mock_embedding_formula_and_norm():
+    v = mock_embedding_np("hello world", dim=384)
+    assert v.shape == (384,)
+    assert v.dtype == np.float32
+    assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-5
+    # spot-check the sin formula pre-normalization
+    seed = fnv32a("hello world")
+    raw = np.sin(seed * np.arange(1, 385) * 0.1)
+    expected = (raw / np.linalg.norm(raw)).astype(np.float32)
+    np.testing.assert_allclose(v, expected, rtol=1e-6)
+
+
+def test_mock_embedder_udf_matches_reference(spark):
+    from the_hive_spark.functions.embedding import make_mock_embedder
+
+    texts = ["alpha", "beta", "alpha"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = df.select(make_mock_embedder(64)(F.col("text")).alias("e")).collect()
+    got = [np.array(r["e"], dtype=np.float32) for r in rows]
+    for t, g in zip(texts, got):
+        np.testing.assert_allclose(g, mock_embedding_np(t, 64), rtol=1e-5)
+    np.testing.assert_array_equal(got[0], got[2])  # deterministic
+
+
+# --- UUIDv5 ids (F3: ingest_handler.go:113-114) ---
+
+
+def test_uuid5_chunk_id_bit_identical(spark):
+    df = spark.createDataFrame(
+        [("/watch/a.md", 0), ("/watch/a.md", 1), ("/x/b.txt", 7)],
+        "path string, idx int",
+    )
+    got = [
+        r["id"]
+        for r in df.select(
+            uuid5_chunk_id(F.col("path"), F.col("idx")).alias("id")
+        ).collect()
+    ]
+    expected = [
+        str(uuid.uuid5(uuid.NAMESPACE_URL, "/watch/a.md-0")),
+        str(uuid.uuid5(uuid.NAMESPACE_URL, "/watch/a.md-1")),
+        str(uuid.uuid5(uuid.NAMESPACE_URL, "/x/b.txt-7")),
+    ]
+    assert got == expected

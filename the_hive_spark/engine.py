@@ -1,0 +1,530 @@
+"""HiveEngine — the reference's full platform surface as one PySpark
+library (SURVEY.md §7.0): a warehouse of partitioned parquet tables
+plus DataFrame-returning methods for ingest, semantic search, RAG
+retrieval, rules, tagging, contradiction graph, timeline/audit
+analytics, stats and purge.
+
+No client/server split: the drone→gRPC→server pipeline (SURVEY.md
+§3.2) collapses into ``ingest_batch`` (and streaming/watch.py wraps it
+in Structured Streaming). External-service boundaries (embedding
+provider, LLM) are mockable pandas UDFs; everything else is built-in
+DataFrame ops.
+
+Scale notes: tenant tables partition by organization_id (partition
+pruning = tenancy, SURVEY.md §1.3); upserts are id-keyed
+anti-join+append (Delta MERGE INTO is the drop-in at cluster scale —
+the local parquet swap emulates it); search is a shuffle-free scan +
+TakeOrdered(k).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from the_hive_spark import schemas
+from the_hive_spark.functions.chunkers import chunk_sentence_udf
+from the_hive_spark.functions.embedding import bow_embedding_np, make_embedder
+from the_hive_spark.functions.ids import sha256_hex, uuid5_chunk_id
+from the_hive_spark.operators.similarity import cosine
+
+# P7 keyword alarm (hive_service.go:222-246)
+ALERT_KEYWORD = "CONFIDENTIAL"
+# U5 fallback keyword lists (analyst.go:269-292, tagger.go:172-194)
+RULE_FALLBACK_KEYWORDS = ["confidential", "pricing", "secret"]
+TAG_FALLBACK_KEYWORDS = ["legal", "finance", "urgent", "proposal"]
+
+_TABLE_SCHEMAS = {
+    "documents": schemas.DOCUMENTS,
+    "chunks": schemas.CHUNKS,
+    "events": schemas.EVENTS,
+    "graph_edges": schemas.GRAPH_EDGES,
+    "audit_logs": schemas.AUDIT_LOGS,
+    "rules": schemas.RULES,
+    "api_keys": schemas.API_KEYS,
+    "tracked_files": schemas.TRACKED_FILES,
+    "alerts": schemas.ALERTS,
+    "rule_matches": schemas.RULE_MATCHES,
+}
+
+# tables physically partitioned by tenant
+_ORG_PARTITIONED = {"chunks", "audit_logs"}
+
+
+class HiveEngine:
+    """Facade over the warehouse tables + operator library."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        embedding_dim: int = schemas.EMBEDDING_DIM,
+        embedding_provider: str = "bow",
+    ) -> None:
+        self.spark = spark
+        self.warehouse = warehouse
+        self.embedding_dim = embedding_dim
+        self.embedding_provider = embedding_provider
+        self._embed = make_embedder(embedding_provider, embedding_dim)
+        os.makedirs(warehouse, exist_ok=True)
+
+    # ------------------------------------------------------------- storage
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.warehouse, name)
+
+    def read_table(self, name: str) -> DataFrame:
+        path = self._path(name)
+        schema = _TABLE_SCHEMAS[name]
+        if not os.path.exists(path):
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(path)
+
+    def _append(self, name: str, df: DataFrame) -> None:
+        writer = df.write.mode("append")
+        if name in _ORG_PARTITIONED:
+            writer = writer.partitionBy("organization_id")
+        writer.parquet(self._path(name))
+
+    def _replace(self, name: str, df: DataFrame) -> None:
+        """Full-table swap (read side is materialized first so we can
+        overwrite the same dir; at cluster scale this is MERGE INTO)."""
+        tmp = self._path(name) + ".tmp"
+        writer = df.write.mode("overwrite")
+        if name in _ORG_PARTITIONED:
+            writer = writer.partitionBy("organization_id")
+        writer.parquet(tmp)
+        final = self._path(name)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.replace(tmp, final)
+
+    def _upsert(self, name: str, new: DataFrame, key_cols: list[str]) -> None:
+        """Idempotent MERGE-by-key: new rows win over existing (ST4,
+        the INSERT OR REPLACE semantics of hive_service.go:81-86)."""
+        existing = self.read_table(name)
+        keep = existing.join(new.select(*key_cols).distinct(), key_cols, "left_anti")
+        self._replace(name, keep.unionByName(new.select(*existing.columns)))
+
+    # -------------------------------------------------------------- ingest
+
+    def ingest_batch(self, files: DataFrame) -> dict[str, int]:
+        """Batch ingest: change-detect → chunk → embed → tag → upsert →
+        events/alerts/audit (SURVEY.md §3.2 as one declarative pipeline).
+
+        ``files``: (path, content, organization_id, metadata) rows.
+        Returns per-stage row counts (A3 ingest tally).
+        """
+        now = F.current_timestamp()
+        files = files.withColumn("file_hash", sha256_hex(F.col("content")))
+
+        # ST2 change detection: skip (path, hash) already processed
+        tracked = self.read_table("tracked_files").select(
+            F.col("file_path").alias("path"), F.col("file_hash")
+        )
+        fresh = files.join(tracked, ["path", "file_hash"], "left_anti").cache()
+        n_fresh = fresh.count()
+        if n_fresh == 0:
+            return {"files": 0, "chunks": 0, "alerts": 0}
+
+        # documents upsert (doc id = path, as ingest_handler.go:92-95)
+        docs = fresh.select(
+            F.col("path").alias("id"),
+            F.element_at(F.split("path", "/"), -1).alias("filename"),
+            now.alias("uploaded_at"),
+            "metadata",
+            "organization_id",
+        )
+        self._upsert("documents", docs, ["id"])
+
+        # chunk (F2 sentence-aware server path) → deterministic ids (F3)
+        chunks = (
+            fresh.withColumn("_chunks", chunk_sentence_udf(F.col("content")))
+            .select(
+                F.col("path").alias("document_id"),
+                F.posexplode("_chunks").alias("chunk_index", "content"),
+                "organization_id",
+                "metadata",
+                "file_hash",
+            )
+            .withColumn(
+                "id", uuid5_chunk_id(F.col("document_id"), F.col("chunk_index"))
+            )
+        )
+
+        # embed (U1 mock provider) + fallback keyword tags (U5/U4)
+        tag_arr = F.array_compact(
+            F.array(
+                *[
+                    F.when(
+                        F.instr(F.lower("content"), kw) > 0, F.lit(f"#{kw}")
+                    )
+                    for kw in TAG_FALLBACK_KEYWORDS
+                ]
+            )
+        )
+        chunk_rows = chunks.select(
+            "id",
+            "document_id",
+            "content",
+            F.col("chunk_index").cast("int").alias("chunk_index"),
+            now.alias("created_at"),
+            F.coalesce(F.col("organization_id"), F.lit("")).alias("organization_id"),
+            self._embed(F.col("content")).alias("embedding"),
+            F.map_concat(
+                F.coalesce(
+                    F.col("metadata"),
+                    F.expr("cast(map() as map<string,string>)"),
+                ),
+                F.create_map(F.lit("file_hash"), F.col("file_hash")),
+            ).alias("metadata"),
+            F.slice(tag_arr, 1, 5).alias("tags"),
+        ).cache()
+        n_chunks = chunk_rows.count()
+        self._upsert("chunks", chunk_rows, ["id"])
+
+        # events: one ingest event per document (events.go:36-62)
+        tallies = chunk_rows.groupBy("document_id").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        base = self._next_id("events")
+        events = tallies.select(
+            (F.lit(base) + F.row_number().over(_order_all("document_id")) - 1).alias("id"),
+            now.alias("timestamp"),
+            F.lit("ingest").alias("event_type"),
+            F.col("document_id").alias("document_name"),
+            F.format_string("Ingested %d chunks", F.col("n")).alias("details"),
+        )
+        self._append("events", events)
+
+        # P7 alert: keyword on chunk 0 (hive_service.go:222-246)
+        alerts = (
+            chunk_rows.filter(
+                (F.col("chunk_index") == 0)
+                & (F.instr(F.upper("content"), ALERT_KEYWORD) > 0)
+            )
+            .select(
+                now.alias("timestamp"),
+                F.lit("ALERT").alias("alert_type"),
+                F.format_string(
+                    "Document %s contains %s content", "document_id", F.lit(ALERT_KEYWORD)
+                ).alias("message"),
+                F.lit("warning").alias("level"),
+                F.col("document_id").alias("document_id"),
+                "organization_id",
+            )
+            .cache()
+        )
+        n_alerts = alerts.count()
+        if n_alerts:
+            self._append("alerts", alerts)
+
+        # audit INGEST rows (audit_log.go:46-58)
+        self._audit(
+            fresh.select(
+                F.lit("ingest").alias("client_ip"),
+                F.lit("INGEST").alias("action"),
+                F.format_string("Client ingested file [%s]", "path").alias("details"),
+                F.coalesce("organization_id", F.lit("")).alias("organization_id"),
+            )
+        )
+
+        # tracked_files upsert (ST2 state)
+        tf = fresh.select(
+            F.col("path").alias("file_path"),
+            "file_hash",
+            now.alias("last_processed"),
+            F.lit("success").alias("server_status"),
+        )
+        self._upsert("tracked_files", tf, ["file_path"])
+
+        return {"files": n_fresh, "chunks": n_chunks, "alerts": n_alerts}
+
+    # -------------------------------------------------------------- search
+
+    def search(
+        self,
+        query: str,
+        top_k: int = 3,
+        organization_id: str | None = None,
+        client_ip: str = "local",
+        audit: bool = True,
+    ) -> DataFrame:
+        """T1 top-k cosine semantic search (§3.1 lifecycle).
+
+        Embeds the query with the deterministic mock provider, filters
+        by tenant (partition-pruned), ranks by cosine — scan + project
+        + TakeOrdered(k), no shuffle. Content/tags live in the same row
+        (J1 pre-materialized)."""
+        chunks = self.read_table("chunks")
+        if organization_id is not None:
+            chunks = chunks.filter(F.col("organization_id") == organization_id)
+        qvec = self._embed_query(query)
+        qcol = F.array(*[F.lit(float(x)) for x in qvec])
+        result = (
+            chunks.withColumn("_q", qcol)
+            .withColumn("score", cosine("embedding", "_q"))
+            .select(
+                F.col("id").alias("chunk_id"),
+                "document_id",
+                "content",
+                "chunk_index",
+                "score",
+                F.concat_ws(",", "tags").alias("tags_list"),
+                "organization_id",
+            )
+            .orderBy(F.desc("score"), F.asc("chunk_id"))
+            .limit(top_k)
+        )
+        if audit:
+            self._audit_row(
+                client_ip,
+                "SEARCH",
+                f"Client [{client_ip}] searched for [{query}]",
+                organization_id or "",
+            )
+        return result
+
+    def chat(self, query: str, top_k: int = 5, organization_id: str | None = None):
+        """U7 RAG retrieval: top-k context + citations struct; the
+        answer is a template exactly like chat_handler.go:145-150."""
+        hits = self.search(
+            query, top_k=top_k, organization_id=organization_id, audit=False
+        )
+        ctx = hits.agg(
+            F.concat_ws("\n\n", F.collect_list("content")).alias("context"),
+            F.collect_list(
+                F.struct(
+                    F.col("document_id"),
+                    F.col("chunk_id"),
+                    F.col("content"),
+                    F.col("score").cast("float").alias("score"),
+                )
+            ).alias("citations"),
+        )
+        return ctx.withColumn(
+            "answer",
+            F.format_string(
+                "Based on the retrieved context, here is what I found regarding"
+                " '%s':\n\n%s",
+                F.lit(query),
+                F.col("context"),
+            ),
+        )
+
+    # --------------------------------------------------------------- rules
+
+    def add_rule(
+        self, rule_id: int, query: str, organization_id: str = "", active: bool = True
+    ) -> None:
+        row = self.spark.createDataFrame(
+            [(rule_id, query, active, None, organization_id)], schemas.RULES
+        ).withColumn("created_at", F.current_timestamp())
+        self._upsert("rules", row, ["id"])
+
+    def active_rules(self, organization_id: str | None = None) -> DataFrame:
+        rules = self.read_table("rules").filter(F.col("active"))
+        if organization_id is not None:
+            rules = rules.filter(F.col("organization_id") == organization_id)
+        return rules
+
+    def evaluate_rules(self, document_ids: list[str] | None = None) -> DataFrame:
+        """J3 rule × document cross-apply with the U5 deterministic
+        fallback evaluator (keyword contains ⇒ YES).
+
+        Returns rule_matches rows; also persists them."""
+        docs = (
+            self.read_table("chunks")
+            .groupBy("document_id", "organization_id")
+            .agg(
+                # chunks joined in chunk_index order (the reference joins
+                # in *arrival* order, hive_service.go:157-161 — a quirk we
+                # consciously fix; SURVEY.md §7.3)
+                F.expr(
+                    "concat_ws('\\n\\n', transform("
+                    "array_sort(collect_list(struct(chunk_index, content))),"
+                    " s -> s.content))"
+                ).alias("full_text")
+            )
+        )
+        if document_ids is not None:
+            docs = docs.filter(F.col("document_id").isin(document_ids))
+        rules = self.active_rules()
+        kw_hits = [
+            F.when(
+                F.instr(F.lower("full_text"), kw) > 0, F.lit(kw)
+            )
+            for kw in RULE_FALLBACK_KEYWORDS
+        ]
+        matched = (
+            docs.crossJoin(F.broadcast(rules.select(F.col("id").alias("rule_id"), F.col("query").alias("rule_query"))))
+            .withColumn("matched_kws", F.array_compact(F.array(*kw_hits)))
+            .filter(F.size("matched_kws") > 0)
+        )
+        out = matched.select(
+            "rule_id",
+            "rule_query",
+            F.col("document_id").alias("uploaded_doc"),
+            F.lit("").alias("matched_doc"),
+            F.lit("single_doc").alias("match_type"),
+            F.format_string(
+                "YES: document contains keywords [%s]",
+                F.concat_ws(",", "matched_kws"),
+            ).alias("ai_explanation"),
+            "organization_id",
+        )
+        self._append("rule_matches", out)
+        return out
+
+    # --------------------------------------------------------------- graph
+
+    def contradiction_candidates(self, top_k: int = 5) -> DataFrame:
+        """J2: for each document, its top-k most-similar other docs —
+        the candidate pairs the analyst would LLM-check (analyst.go:
+        295-377). Deterministic fallback marks a 'contradicts' edge
+        when both docs alert on the keyword predicate."""
+        from pyspark.sql import Window
+
+        doc_vecs = (
+            self.read_table("chunks")
+            .filter(F.col("chunk_index") == 0)
+            .select("document_id", "embedding", "content")
+        )
+        a, b = doc_vecs.alias("a"), doc_vecs.alias("b")
+        pairs = (
+            a.join(b, F.col("a.document_id") != F.col("b.document_id"))
+            .withColumn("score", cosine("a.embedding", "b.embedding"))
+        )
+        w = Window.partitionBy("a.document_id").orderBy(
+            F.desc("score"), F.asc("b.document_id")
+        )
+        return (
+            pairs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= top_k)
+            .select(
+                F.col("a.document_id").alias("source_doc_id"),
+                F.col("b.document_id").alias("target_doc_id"),
+                "score",
+                (
+                    (F.instr(F.upper("a.content"), ALERT_KEYWORD) > 0)
+                    & (F.instr(F.upper("b.content"), ALERT_KEYWORD) > 0)
+                ).alias("contradicts"),
+            )
+        )
+
+    def add_edge(
+        self, src: str, dst: str, relationship: str, description: str = ""
+    ) -> None:
+        row = self.spark.createDataFrame(
+            [(src, dst, relationship, description, None)], schemas.GRAPH_EDGES
+        ).withColumn("created_at", F.current_timestamp())
+        self._upsert(
+            "graph_edges", row, ["source_doc_id", "target_doc_id", "relationship_type"]
+        )
+
+    def graph_nodes(self) -> DataFrame:
+        """A5 union-distinct node derivation."""
+        e = self.read_table("graph_edges")
+        return (
+            e.select(F.col("source_doc_id").alias("node_id"))
+            .union(e.select("target_doc_id"))
+            .distinct()
+        )
+
+    def graph_neighborhood(self, doc_id: str) -> DataFrame:
+        """J5 disjunctive neighborhood."""
+        e = self.read_table("graph_edges")
+        return e.filter(
+            (F.col("source_doc_id") == doc_id) | (F.col("target_doc_id") == doc_id)
+        )
+
+    # ----------------------------------------------------- timeline / stats
+
+    def timeline(self, limit: int = 100, document_name: str | None = None) -> DataFrame:
+        """T2/P3 recent events."""
+        ev = self.read_table("events")
+        if document_name is not None:
+            ev = ev.filter(F.col("document_name") == document_name)
+        return ev.orderBy(F.desc("timestamp"), F.desc("id")).limit(limit)
+
+    def audit(self, limit: int = 50, action: str | None = None,
+              organization_id: str | None = None) -> DataFrame:
+        """T3/P4 recent audit logs with optional filters."""
+        logs = self.read_table("audit_logs")
+        if action is not None:
+            logs = logs.filter(F.col("action") == action)
+        if organization_id is not None:
+            logs = logs.filter(F.col("organization_id") == organization_id)
+        return logs.orderBy(F.desc("timestamp"), F.desc("id")).limit(limit)
+
+    def stats(self) -> dict[str, int]:
+        """A1/A2 chunk + vector counts."""
+        chunks = self.read_table("chunks")
+        return {
+            "total_chunks": chunks.count(),
+            "total_vectors": chunks.filter(F.col("embedding").isNotNull()).count(),
+            "total_documents": self.read_table("documents").count(),
+        }
+
+    def purge(self, organization_id: str | None = None) -> None:
+        """S16: tenant purge = partition drop; full purge = table reset."""
+        if organization_id is None:
+            for t in ("chunks", "documents"):
+                p = self._path(t)
+                if os.path.exists(p):
+                    shutil.rmtree(p)
+            return
+        chunks = self.read_table("chunks").filter(
+            F.col("organization_id") != organization_id
+        )
+        self._replace("chunks", chunks)
+        docs = self.read_table("documents").filter(
+            (F.col("organization_id").isNull())
+            | (F.col("organization_id") != organization_id)
+        )
+        self._replace("documents", docs)
+
+    def _embed_query(self, query: str):
+        from the_hive_spark.functions.embedding import mock_embedding_np
+
+        if self.embedding_provider == "bow":
+            return bow_embedding_np(query, self.embedding_dim)
+        return mock_embedding_np(query, self.embedding_dim)
+
+    # ------------------------------------------------------------- helpers
+
+    def _next_id(self, name: str) -> int:
+        t = self.read_table(name)
+        row = t.agg(F.max("id").alias("m")).collect()[0]
+        return (row["m"] or 0) + 1
+
+    def _audit(self, rows: DataFrame) -> None:
+        base = self._next_id("audit_logs")
+        out = rows.select(
+            (F.lit(base) + F.row_number().over(_order_all("details")) - 1).alias("id"),
+            F.current_timestamp().alias("timestamp"),
+            "client_ip",
+            "action",
+            "details",
+            "organization_id",
+        )
+        self._append("audit_logs", out)
+
+    def _audit_row(
+        self, client_ip: str, action: str, details: str, organization_id: str
+    ) -> None:
+        self._audit(
+            self.spark.createDataFrame(
+                [(client_ip, action, details, organization_id)],
+                "client_ip string, action string, details string, organization_id string",
+            )
+        )
+
+
+def _order_all(col: str):
+    from pyspark.sql import Window
+
+    return Window.orderBy(col)

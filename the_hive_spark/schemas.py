@@ -1,0 +1,144 @@
+"""Explicit StructType schemas for every engine table (FIXTURES.md).
+
+The reference declares fixed DDL at startup (cmd/hive-server/main.go:
+450-510) with opaque-TEXT metadata and JSON-in-string tags; here the
+same tables get first-class Spark types: MapType metadata,
+ArrayType(FloatType) embeddings, ArrayType(StringType) tags,
+TimestampType datetimes. ``organization_id`` is a partition column on
+every tenant-scoped table so partition pruning implements tenancy
+isolation (SURVEY.md §1.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    FloatType,
+    IntegerType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EMBEDDING_DIM = 384  # mock embedder default (embeddings.go:45-49)
+
+DOCUMENTS = StructType(
+    [
+        StructField("id", StringType(), False),
+        StructField("filename", StringType(), True),
+        StructField("uploaded_at", TimestampType(), True),
+        StructField("metadata", MapType(StringType(), StringType()), True),
+        StructField("organization_id", StringType(), True),
+    ]
+)
+
+CHUNKS = StructType(
+    [
+        StructField("id", StringType(), False),
+        StructField("document_id", StringType(), True),
+        StructField("content", StringType(), True),
+        StructField("chunk_index", IntegerType(), True),
+        StructField("created_at", TimestampType(), True),
+        StructField("organization_id", StringType(), True),
+        StructField("embedding", ArrayType(FloatType()), True),
+        StructField("metadata", MapType(StringType(), StringType()), True),
+        StructField("tags", ArrayType(StringType()), True),
+    ]
+)
+
+EVENTS = StructType(
+    [
+        StructField("id", LongType(), False),
+        StructField("timestamp", TimestampType(), True),
+        StructField("event_type", StringType(), True),  # ingest|update|alert
+        StructField("document_name", StringType(), True),
+        StructField("details", StringType(), True),
+    ]
+)
+
+GRAPH_EDGES = StructType(
+    [
+        StructField("source_doc_id", StringType(), False),
+        StructField("target_doc_id", StringType(), False),
+        StructField("relationship_type", StringType(), False),  # contradicts|references
+        StructField("description", StringType(), True),
+        StructField("created_at", TimestampType(), True),
+    ]
+)
+
+AUDIT_LOGS = StructType(
+    [
+        StructField("id", LongType(), False),
+        StructField("timestamp", TimestampType(), True),
+        StructField("client_ip", StringType(), True),
+        StructField("action", StringType(), True),  # SEARCH|INGEST
+        StructField("details", StringType(), True),
+        StructField("organization_id", StringType(), True),
+    ]
+)
+
+RULES = StructType(
+    [
+        StructField("id", LongType(), False),
+        StructField("query", StringType(), True),
+        StructField("active", BooleanType(), True),
+        StructField("created_at", TimestampType(), True),
+        StructField("organization_id", StringType(), True),
+    ]
+)
+
+API_KEYS = StructType(
+    [
+        StructField("key", StringType(), False),
+        StructField("client_name", StringType(), True),
+        StructField("is_active", BooleanType(), True),
+        StructField("created_at", TimestampType(), True),
+        StructField("last_seen_at", TimestampType(), True),
+    ]
+)
+
+TRACKED_FILES = StructType(
+    [
+        StructField("file_path", StringType(), False),
+        StructField("file_hash", StringType(), True),
+        StructField("last_processed", TimestampType(), True),
+        StructField("server_status", StringType(), True),
+    ]
+)
+
+ALERTS = StructType(
+    [
+        StructField("timestamp", TimestampType(), True),
+        StructField("alert_type", StringType(), True),
+        StructField("message", StringType(), True),
+        StructField("level", StringType(), True),
+        StructField("document_id", StringType(), True),
+        StructField("organization_id", StringType(), True),
+    ]
+)
+
+RULE_MATCHES = StructType(
+    [
+        StructField("rule_id", LongType(), True),
+        StructField("rule_query", StringType(), True),
+        StructField("uploaded_doc", StringType(), True),
+        StructField("matched_doc", StringType(), True),
+        StructField("match_type", StringType(), True),  # single_doc|cross_doc
+        StructField("ai_explanation", StringType(), True),
+        StructField("organization_id", StringType(), True),
+    ]
+)
+
+# raw ingest-side row (proto/hive.proto:17-23 wire chunk analog)
+INGEST_FILES = StructType(
+    [
+        StructField("path", StringType(), False),
+        StructField("content", StringType(), True),
+        StructField("organization_id", StringType(), True),
+        StructField("metadata", MapType(StringType(), StringType()), True),
+    ]
+)

@@ -29,6 +29,16 @@ def get_spark(
     On a real cluster, drop ``master`` and let the submit environment
     decide; everything else carries over unchanged.
     """
+    # Executor python workers must be able to import this package (our
+    # pandas UDFs close over it). Locally that means PYTHONPATH before
+    # the JVM gateway starts; on a cluster, ship a wheel / --py-files.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + existing if existing else "")
+        )
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if master is None:
         master = f"local[{cpus}]"
