@@ -1,0 +1,196 @@
+"""Streaming tests: watch-dir ingest (ST1/ST2), stateful doc-completion
+(ST3), liveness derivation (ST6/A6)."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pyspark.sql.functions as F
+import pytest
+
+from the_hive_spark.engine import HiveEngine
+from the_hive_spark.streaming.completion import (
+    CHUNK_INPUT_SCHEMA,
+    completed_documents,
+)
+from the_hive_spark.streaming.liveness import online_clients
+from the_hive_spark.streaming.watch import file_filters, watch
+from tests.fixtures import SEED_DOCS
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    w = tmp_path / "watch"
+    w.mkdir()
+    return {
+        "watch": str(w),
+        "checkpoint": str(tmp_path / "ckpt"),
+        "warehouse": str(tmp_path / "wh"),
+    }
+
+
+def _write(watch_dir: str, name: str, text: str) -> None:
+    with open(os.path.join(watch_dir, name), "w") as f:
+        f.write(text)
+
+
+def _await_rows(spark, query, table, predicate, timeout=90):
+    """Poll a memory sink until predicate(rows) holds.
+
+    processAllAvailable() never returns while ProcessingTimeTimeout
+    keeps scheduling "clean up state" batches, so poll instead.
+    """
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        exc = query.exception()
+        if exc is not None:
+            raise exc
+        rows = spark.sql(f"SELECT * FROM {table}").collect()
+        if predicate(rows):
+            return rows
+        time.sleep(0.5)
+    raise AssertionError(
+        f"timed out waiting on {table}; last rows: "
+        f"{spark.sql(f'SELECT * FROM {table}').collect()}"
+    )
+
+
+def test_watch_ingests_backlog_then_increment(spark, dirs):
+    """availableNow trigger processes existing files; a second run picks
+    up only the new file (file-source checkpoint = exactly-once)."""
+    for name, text in list(SEED_DOCS.items())[:3]:
+        _write(dirs["watch"], name, text)
+    # noise that the S3/S4 filters must drop
+    _write(dirs["watch"], "~$temp.docx", "x")
+    _write(dirs["watch"], "notes.xyz", "unsupported")
+    _write(dirs["watch"], "empty.md", "")
+
+    eng = HiveEngine(spark, dirs["warehouse"], embedding_dim=32)
+    q = watch(eng, dirs["watch"], dirs["checkpoint"])
+    q.awaitTermination(120)
+
+    docs = {r["filename"] for r in eng.read_table("documents").collect()}
+    assert docs == set(list(SEED_DOCS)[:3])
+
+    _write(dirs["watch"], "delta_research.md", SEED_DOCS["delta_research.md"])
+    q2 = watch(eng, dirs["watch"], dirs["checkpoint"])
+    q2.awaitTermination(120)
+    docs2 = {r["filename"] for r in eng.read_table("documents").collect()}
+    assert docs2 == set(list(SEED_DOCS)[:3]) | {"delta_research.md"}
+    # re-run with nothing new: chunk count stable (ST2 + checkpoint)
+    n = eng.read_table("chunks").count()
+    q3 = watch(eng, dirs["watch"], dirs["checkpoint"])
+    q3.awaitTermination(120)
+    assert eng.read_table("chunks").count() == n
+
+
+def test_file_filters(spark):
+    rows = [
+        ("/d/ok.md", 10),
+        ("/d/~$lock.docx", 10),
+        ("/d/._hidden.txt", 10),
+        ("/d/tmpfile.tmp", 10),
+        ("/d/archive.zip", 10),
+        ("/d/empty.txt", 0),
+        ("/d/page.html", 5),
+    ]
+    df = spark.createDataFrame(rows, "path string, length long")
+    kept = {r["path"] for r in file_filters(df).collect()}
+    assert kept == {"/d/ok.md", "/d/page.html"}
+
+
+def test_completion_by_count_and_timeout(spark, tmp_path):
+    """Out-of-order chunks: docA completes when count == total_chunks
+    (text assembled in chunk_index order); docB has no total and
+    completes via the 2 s inactivity timeout."""
+    src = tmp_path / "chunks_in"
+    src.mkdir()
+    rows = [
+        ("docA", 2, "third part", 3),
+        ("docA", 0, "first part", 3),
+        ("docA", 1, "second part", 3),
+        ("docB", 0, "only one so far", None),  # completes by timeout
+    ]
+    spark.createDataFrame(rows, CHUNK_INPUT_SCHEMA).write.parquet(
+        str(src / "batch0")
+    )
+    stream = spark.readStream.schema(CHUNK_INPUT_SCHEMA).parquet(str(src / "*"))
+    out = completed_documents(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("completed_docs")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        rows_out = _await_rows(
+            spark, q, "completed_docs", lambda rs: len(rs) >= 2
+        )
+    finally:
+        q.stop()
+    got = {r["document_id"]: r for r in rows_out}
+    assert got["docA"]["n_chunks"] == 3
+    assert got["docA"]["full_text"] == "first part\n\nsecond part\n\nthird part"
+    assert got["docA"]["completion_reason"] == "count"
+    assert got["docB"]["completion_reason"] == "timeout"
+    assert got["docB"]["full_text"] == "only one so far"
+
+
+def test_completion_idempotent_redelivery(spark, tmp_path):
+    """ST4: re-delivered chunk_index replaces, doesn't double-count.
+
+    The redelivery arrives in a *later* micro-batch (row order inside
+    one batch is nondeterministic, matching the reference where a gRPC
+    retry is always a later arrival)."""
+    src = tmp_path / "chunks_in"
+    src.mkdir()
+    spark.createDataFrame(
+        [("docC", 0, "v1 of chunk0", 2)], CHUNK_INPUT_SCHEMA
+    ).write.parquet(str(src / "b0"))
+    time.sleep(1.1)  # distinct modification times → stable batch order
+    spark.createDataFrame(
+        [("docC", 0, "v2 of chunk0", 2), ("docC", 1, "chunk1", 2)],
+        CHUNK_INPUT_SCHEMA,
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    stream = (
+        spark.readStream.schema(CHUNK_INPUT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    q = (
+        completed_documents(stream)
+        .writeStream.format("memory")
+        .queryName("completed_docs2")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        rows_out = _await_rows(
+            spark, q, "completed_docs2", lambda rs: len(rs) >= 1
+        )
+    finally:
+        q.stop()
+    assert len(rows_out) == 1
+    assert rows_out[0]["n_chunks"] == 2
+    assert rows_out[0]["full_text"] == "v2 of chunk0\n\nchunk1"
+
+
+def test_online_clients_derivation(spark):
+    now = F.to_timestamp(F.lit("2026-01-01 12:00:00"))
+    rows = [
+        ("k1", True, "2026-01-01 11:58:00"),   # 2 min ago → online
+        ("k2", True, "2026-01-01 11:50:00"),   # 10 min ago → offline
+        ("k3", False, "2026-01-01 11:59:00"),  # inactive → offline
+        ("k4", True, None),                     # never seen → offline
+    ]
+    df = spark.createDataFrame(
+        rows, "key string, is_active boolean, seen string"
+    ).withColumn("last_seen_at", F.to_timestamp("seen"))
+    got = {
+        r["key"]: r["is_online"]
+        for r in online_clients(df, now=now).collect()
+    }
+    assert got == {"k1": True, "k2": False, "k3": False, "k4": False}
