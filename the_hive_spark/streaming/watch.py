@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
 from the_hive_spark.engine import HiveEngine
+from the_hive_spark.sources.dispatch import parse_file_udf
 
 # S3/S4: temp-file + supported-type filters (dispatcher.go:52-77)
 TEMP_FILE_PATTERN = r"(~\$|\._).*|.*\.tmp$"
@@ -66,9 +67,10 @@ def watch(
     )
     files = file_filters(stream).select(
         "path",
-        # text formats decode directly; binary formats (pdf/docx/xlsx)
-        # go through sources/parsers.py inside ingest_batch
-        F.decode(F.col("content"), "UTF-8").alias("content"),
+        # S5 parser dispatch: every supported format → extracted text;
+        # unparseable files yield null and are dropped (dispatcher.go
+        # logs-and-skips the same way)
+        parse_file_udf("path", "content").alias("content"),
         F.lit(organization_id).alias("organization_id"),
         F.create_map(
             F.lit("ingest_type"), F.lit("watch"),
@@ -78,6 +80,7 @@ def watch(
     )
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df = batch_df.filter(F.col("content").isNotNull())
         if batch_df.isEmpty():
             return
         engine.ingest_batch(batch_df)
