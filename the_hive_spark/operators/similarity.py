@@ -178,6 +178,80 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "emb_near_dup_lsh",
+    oracle=f"""
+WITH qn AS (
+  SELECT vec_id, embedding,
+         CAST({_qdot_duck("embedding", "embedding")} AS BIGINT) AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       CAST(FLOOR(1000000.0 * {_qdot_duck("a.embedding", "b.embedding")}
+            / sqrt(CAST(a.nrm AS DOUBLE) * b.nrm) + 0.5) AS BIGINT) AS cos_ppm
+FROM qn a JOIN qn b ON a.vec_id < b.vec_id
+WHERE FLOOR(1000000.0 * {_qdot_duck("a.embedding", "b.embedding")}
+      / sqrt(CAST(a.nrm AS DOUBLE) * b.nrm) + 0.5) >= {NEAR_DUP_PPM}
+""",
+)
+def emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-pruned near-duplicate pairs, exact-verified — same results
+    as the brute-force ``emb_near_dup_pairs`` (hence the identical
+    oracle), but the pair space is generated by the banded-signature
+    equi-join instead of the O(n²) cross join, which is the shape that
+    survives a 100× scale-up (functions/lsh.py).
+
+    Banding 48 planes × 12 bands keeps the per-pair miss probability
+    below 3e-6 at the 0.95 threshold; recall on planted duplicates is
+    asserted in tests/test_lsh.py.
+    """
+    from the_hive_spark.functions.lsh import lsh_near_dup_candidates
+
+    emb = table(spark, sf_dir, "embeddings")
+    cand = lsh_near_dup_candidates(
+        emb, id_col="vec_id", vec_col="embedding", n_planes=48, n_bands=12
+    )
+    cos_ppm = F.expr(
+        f"CAST(FLOOR(1000000.0 * {_qdot_spark('vec_a', 'vec_b')}"
+        f" / sqrt(CAST({_qdot_spark('vec_a', 'vec_a')} AS DOUBLE)"
+        f" * {_qdot_spark('vec_b', 'vec_b')}) + 0.5) AS BIGINT)"
+    )
+    return (
+        cand.withColumn("cos_ppm", cos_ppm)
+        .filter(F.col("cos_ppm") >= NEAR_DUP_PPM)
+        .select("id_a", "id_b", "cos_ppm")
+        .withColumnRenamed("id_a", "vec_a")
+        .withColumnRenamed("id_b", "vec_b")
+    )
+
+
+@query("emb_ann_lsh_topk")  # approximate ⇒ no SQL oracle (rows-only check)
+def emb_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via multi-table sign-random-projection LSH
+    (L=16 tables × 6 bits, OR-matched), exact cosine re-rank.
+
+    Deliberately registered without an oracle: recall < 1 by design
+    (~0.9 on this corpus), so no SQL can reproduce it exactly. The
+    recall floor against the exact path is enforced in
+    tests/test_lsh.py instead.
+    """
+    from the_hive_spark.functions.lsh import ann_topk_lsh
+
+    emb = table(spark, sf_dir, "embeddings")
+    row = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0]
+    qv = [float(x) for x in row["embedding"]]
+    return (
+        ann_topk_lsh(
+            emb.filter(F.col("vec_id") != 0),
+            qv,
+            k=KNN_K,
+            n_planes=6,
+            n_tables=16,
+        )
+        .select("vec_id", "label", F.col("score").cast("double").alias("score"))
+    )
+
+
+@query(
     "emb_label_stats",
     oracle=f"""
 SELECT label, COUNT(*) AS n_vectors,
