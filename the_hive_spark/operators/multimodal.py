@@ -1,0 +1,335 @@
+"""Multimodal (image/audio/video) columns as first-class data.
+
+The reference is text-only, but a training-data engine at 100 TB
+carries media: opaque ``binary`` payloads + typed metadata, processed
+by Arrow-batched ``mapInPandas`` stages. This module provides the
+Spark-side plumbing — schemas, batch iteration, row explosion
+(frame sampling), partition behavior — for real media pipelines.
+
+Decode is environment-gated: PIL/librosa/ffmpeg are not in this
+container, so ``decode_image`` raises ``NotImplementedError`` unless
+``fake=True``, which substitutes a deterministic synthetic decode
+(pixel grid seeded by the payload bytes). The *plumbing* — batch
+shapes, schemas, explosion arity, partitioning — is identical either
+way, so everything except the codec itself is tested for real.
+
+Because the driver testdata has no media table, ``documents_as_media``
+derives a deterministic media table from ``documents`` with pure
+arithmetic (no hashing), so every derivation is reproducible in ANSI
+SQL and the registry queries below stay oracle-checked end-to-end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from the_hive_spark.registry import query
+from the_hive_spark.tables import table
+
+KINDS = ["image", "audio", "video"]
+
+MEDIA_SCHEMA = (
+    "media_id bigint, kind string, content binary, "
+    "width int, height int, sample_rate int, duration_ms bigint, codec string"
+)
+
+FRAME_INTERVAL_MS = 2000  # video frame-sample cadence
+AUDIO_WINDOW_MS = 1000  # audio feature-window size
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Deterministic documents → media derivation (pure arithmetic so
+    the DuckDB oracle can reproduce every column):
+
+    - kind cycles image/audio/video by doc_id % 3
+    - payload = utf-8 bytes of the text (an opaque blob to the engine)
+    - image dims, audio sample rate, and duration derive from doc_id
+      and n_chars only
+    """
+    kind = F.element_at(
+        F.array(*[F.lit(k) for k in KINDS]), (F.col("doc_id") % 3 + 1).cast("int")
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.when(kind == "image", (64 + (F.col("doc_id") % 8) * 32).cast("int"))
+        .alias("width"),
+        F.when(kind == "image", (64 + (F.col("doc_id") % 5) * 32).cast("int"))
+        .alias("height"),
+        F.when(kind == "audio", (8000 + (F.col("doc_id") % 3) * 8000).cast("int"))
+        .alias("sample_rate"),
+        F.when(
+            kind != "image", (1000 + (F.col("n_chars") % 60) * 500).cast("bigint")
+        ).alias("duration_ms"),
+        F.concat(F.lit("codec_"), (F.col("doc_id") % 4).cast("string")).alias("codec"),
+    )
+
+
+# ----------------------------------------------------------------- decode
+
+DECODED_SCHEMA = (
+    "media_id bigint, width int, height int, n_pixels bigint, pixel_checksum string"
+)
+
+
+def _fake_pixels(content: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for a real image decode: tile the
+    payload's sha256 digest to width*height*3 RGB bytes."""
+    digest = hashlib.sha256(content).digest()
+    n = width * height * 3
+    return (digest * (n // len(digest) + 1))[:n]
+
+
+def decode_image(media: DataFrame, fake: bool = False) -> DataFrame:
+    """binary payload → decoded pixel stats via mapInPandas.
+
+    Real decode needs PIL (not in this container): without fake=True
+    this raises NotImplementedError at execution time. The fake path
+    produces deterministic pixels so shape/checksum plumbing is
+    exercised for real.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            from PIL import Image  # noqa: F401  (optional dependency)
+            from io import BytesIO
+
+            have_pil = True
+        except ImportError:
+            have_pil = False
+
+        for pdf in it:
+            out = {"media_id": [], "width": [], "height": [],
+                   "n_pixels": [], "pixel_checksum": []}
+            for row in pdf.itertuples(index=False):
+                data = bytes(row.content)
+                if have_pil and not fake:
+                    img = Image.open(BytesIO(data)).convert("RGB")
+                    w, h = img.size
+                    pixels = img.tobytes()
+                elif fake:
+                    w, h = int(row.width), int(row.height)
+                    pixels = _fake_pixels(data, w, h)
+                else:
+                    raise NotImplementedError(
+                        "image decode requires PIL; pass fake=True for the "
+                        "deterministic synthetic decode"
+                    )
+                out["media_id"].append(row.media_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixels"].append(w * h)
+                out["pixel_checksum"].append(hashlib.sha256(pixels).hexdigest()[:16])
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        batches, schema=DECODED_SCHEMA
+    )
+
+
+def resize_images(media: DataFrame, out_w: int, out_h: int,
+                  fake: bool = False) -> DataFrame:
+    """Decode → resize → re-encode metadata. Stub codec, real plumbing:
+    output rows carry the target shape and a checksum derived from the
+    (fake) resampled pixel grid via nearest-neighbor index math."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"media_id": [], "width": [], "height": [], "pixel_checksum": []}
+            for row in pdf.itertuples(index=False):
+                if not fake:
+                    raise NotImplementedError(
+                        "real resize requires PIL; pass fake=True"
+                    )
+                w, h = int(row.width), int(row.height)
+                src = _fake_pixels(bytes(row.content), w, h)
+                # nearest-neighbor resample on the synthetic grid —
+                # the index arithmetic is the real thing
+                resampled = bytearray()
+                for y in range(out_h):
+                    sy = y * h // out_h
+                    for x in range(out_w):
+                        sx = x * w // out_w
+                        base = (sy * w + sx) * 3
+                        resampled += src[base : base + 3]
+                out["media_id"].append(row.media_id)
+                out["width"].append(out_w)
+                out["height"].append(out_h)
+                out["pixel_checksum"].append(
+                    hashlib.sha256(bytes(resampled)).hexdigest()[:16]
+                )
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        batches, schema="media_id bigint, width int, height int, pixel_checksum string"
+    )
+
+
+def media_fingerprint(media: DataFrame) -> DataFrame:
+    """64-bit content fingerprint for media dedup — exact-byte dup
+    detection needs no decode, so this path is fully real: groupBy the
+    fingerprint to find duplicate payloads at any scale."""
+    return media.select(
+        "media_id",
+        "kind",
+        F.xxhash64("content").alias("fingerprint"),
+        F.length("content").alias("n_bytes"),
+    )
+
+
+# ---------------------------------------------------------- frame sample
+
+
+def sample_video_frames(media: DataFrame,
+                        interval_ms: int = FRAME_INTERVAL_MS) -> DataFrame:
+    """One row per sampled frame timestamp (0, interval, 2·interval …
+    ≤ duration): the 1→N explosion a real frame extractor drives.
+
+    JVM-side sequence+explode — no Python in the hot path; the decoder
+    UDF would join on (media_id, frame_ts_ms) afterwards.
+    """
+    return (
+        media.filter(F.col("kind") == "video")
+        .select(
+            "media_id",
+            "duration_ms",
+            F.posexplode(
+                F.sequence(
+                    F.lit(0).cast("bigint"),
+                    F.col("duration_ms"),
+                    F.lit(interval_ms).cast("bigint"),
+                )
+            ).alias("frame_idx", "frame_ts_ms"),
+        )
+    )
+
+
+def audio_feature_windows(media: DataFrame,
+                          window_ms: int = AUDIO_WINDOW_MS) -> DataFrame:
+    """Per-window audio feature rows via mapInPandas: window count
+    derives from duration; the feature itself (a byte-level RMS proxy)
+    is deterministic on the payload so the pipeline is testable without
+    an audio codec."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"media_id": [], "window_idx": [], "start_ms": [], "rms_proxy": []}
+            for row in pdf.itertuples(index=False):
+                data = bytes(row.content)
+                n_windows = int(row.duration_ms) // window_ms + 1
+                for w in range(n_windows):
+                    lo = w * len(data) // n_windows
+                    hi = max(lo + 1, (w + 1) * len(data) // n_windows)
+                    seg = data[lo:hi]
+                    rms = int(
+                        (sum(b * b for b in seg) / len(seg)) ** 0.5 * 1000
+                    )
+                    out["media_id"].append(row.media_id)
+                    out["window_idx"].append(w)
+                    out["start_ms"].append(w * window_ms)
+                    out["rms_proxy"].append(rms)
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(
+        batches,
+        schema="media_id bigint, window_idx int, start_ms bigint, rms_proxy bigint",
+    )
+
+
+# ------------------------------------------------------- registry queries
+
+
+@query(
+    "media_inventory",
+    oracle="""
+WITH media AS (
+  SELECT doc_id AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         strlen(text) AS n_bytes,
+         CASE WHEN doc_id % 3 <> 0 THEN 1000 + (n_chars % 60) * 500 END AS duration_ms
+  FROM documents
+)
+SELECT kind, COUNT(*) AS n_media,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(COALESCE(SUM(duration_ms), 0) AS BIGINT) AS total_duration_ms
+FROM media GROUP BY kind
+""",
+)
+def media_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-kind inventory of the derived media table (the profiling
+    scan any media pipeline starts with)."""
+    media = documents_as_media(table(spark, sf_dir, "documents"))
+    return media.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum(F.length("content")).cast("bigint").alias("total_bytes"),
+        F.coalesce(F.sum("duration_ms"), F.lit(0)).cast("bigint")
+        .alias("total_duration_ms"),
+    )
+
+
+@query(
+    "media_frame_sample",
+    oracle=f"""
+WITH media AS (
+  SELECT doc_id AS media_id,
+         1000 + (n_chars % 60) * 500 AS duration_ms
+  FROM documents WHERE doc_id % 3 = 2
+), frames AS (
+  SELECT media_id,
+         unnest(generate_series(0, duration_ms, {FRAME_INTERVAL_MS})) AS g
+  FROM media
+)
+SELECT media_id, CAST(g AS BIGINT) AS frame_ts_ms,
+       CAST(g // {FRAME_INTERVAL_MS} AS INT) AS frame_idx
+FROM frames
+""",
+)
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling explosion for every video: the exact row set a
+    frame extractor fans out over, oracle-checked against SQL
+    generate_series."""
+    media = documents_as_media(table(spark, sf_dir, "documents"))
+    return sample_video_frames(media).select(
+        "media_id",
+        F.col("frame_ts_ms").cast("bigint"),
+        F.col("frame_idx").cast("int"),
+    )
+
+
+@query(
+    "media_dedup_fingerprint",
+    oracle="""
+WITH media AS (
+  SELECT doc_id AS media_id, text FROM documents
+)
+SELECT a.media_id AS media_a, b.media_id AS media_b
+FROM media a JOIN media b ON a.media_id < b.media_id AND a.text = b.text
+""",
+)
+def media_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-payload media dedup: fingerprint groupBy → within-group
+    pairs, verified byte-equal (so hash collisions can't corrupt the
+    result — the oracle compares payloads directly)."""
+    media = documents_as_media(table(spark, sf_dir, "documents"))
+    fp = media_fingerprint(media).join(
+        media.select("media_id", "content"), "media_id"
+    )
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .filter(F.col("a.content") == F.col("b.content"))
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+        )
+    )

@@ -50,6 +50,7 @@ def load_all() -> None:
         analytics,
         dedup,
         graph,
+        multimodal,
         rules,
         similarity,
         text_analysis,
