@@ -130,3 +130,20 @@ def test_uuid5_chunk_id_bit_identical(spark):
         str(uuid.uuid5(uuid.NAMESPACE_URL, "/x/b.txt-7")),
     ]
     assert got == expected
+
+
+def test_detect_language_samples(spark):
+    from the_hive_spark.functions.langid import detect_language
+
+    samples = [
+        ("en", "the cat sat on the mat and it was happy with the sun"),
+        ("de", "der hund und die katze sind nicht auf dem tisch für immer"),
+        ("fr", "le chat est sur la table et il ne mange pas dans la maison"),
+        ("es", "el perro y el gato no se ven en la casa para siempre"),
+        ("und", "zzz qqq xxx yyy www vvv"),
+        ("und", ""),
+    ]
+    df = spark.createDataFrame(samples, "expected string, text string")
+    got = df.select("expected", detect_language("text").alias("lang")).collect()
+    for r in got:
+        assert r["lang"] == r["expected"], f"{r['expected']}: got {r['lang']}"

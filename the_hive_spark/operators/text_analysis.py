@@ -204,3 +204,121 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             " i -> md5(substring(text, i, 8))))"
         ).alias("fingerprint"),
     )
+
+
+# DuckDB rendition of functions/langid.py's token expression
+_LANGID_TOKS_DUCK = (
+    "list_filter(string_split_regex(lower(text), '[^a-zA-Zäöüéèêàç]+'),"
+    " t -> length(t) > 0)"
+)
+
+
+def _langid_oracle() -> str:
+    from the_hive_spark.functions.langid import MIN_HITS_PPM, STOPWORD_PROFILES
+
+    hit_cols = []
+    for lang in sorted(STOPWORD_PROFILES):
+        arr = ", ".join(f"'{w}'" for w in STOPWORD_PROFILES[lang])
+        hit_cols.append(
+            f"CAST(FLOOR(1000000.0 * len(list_filter(toks,"
+            f" t -> list_contains([{arr}], t))) / greatest(len(toks), 1))"
+            f" AS BIGINT) AS {lang}_ppm"
+        )
+    langs = sorted(STOPWORD_PROFILES)
+    g = "greatest(" + ", ".join(f"{lang}_ppm" for lang in langs) + ")"
+    case = f"CASE WHEN {g} < {MIN_HITS_PPM} THEN 'und' "
+    for lang in langs[:-1]:
+        case += f"WHEN {lang}_ppm = {g} THEN '{lang}' "
+    case += f"ELSE '{langs[-1]}' END"
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {_LANGID_TOKS_DUCK} AS toks FROM documents
+), scored AS (
+  SELECT doc_id, {", ".join(hit_cols)} FROM tok
+)
+SELECT doc_id, {case} AS detected_lang FROM scored
+"""
+
+
+@query("doc_langid", oracle=_langid_oracle())
+def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (functions/langid.py): stopword-profile
+    hit rates per language, argmax with an alphabetical tie-break and
+    an 'und' confidence floor. Pure JVM expressions — a linear scan,
+    no shuffle, no Python."""
+    from the_hive_spark.functions.langid import detect_language
+
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", detect_language("text").alias("detected_lang"))
+
+
+_QUALITY_PUNCT = r"[.,!?;:]"
+_QUALITY_ALPHA = r"[a-zA-Z]"
+
+
+@query(
+    "doc_quality_score",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS n_tokens,
+         length(text) - length(regexp_replace(text, '{_QUALITY_PUNCT}', '', 'g')) AS n_punct,
+         length(text) - length(regexp_replace(text, '{_QUALITY_ALPHA}', '', 'g')) AS n_alpha,
+         len(list_filter(string_split(lower(text), ' '),
+             t -> list_contains(['the','a','and','of','to','in','is','that','it','for'], t))) AS n_stop
+  FROM documents WHERE length(text) > 0
+)
+SELECT doc_id,
+       CAST(FLOOR(1000000.0 * n_punct / n_chars + 0.5) AS BIGINT) AS punct_ppm,
+       CAST(FLOOR(1000000.0 * n_alpha / n_chars + 0.5) AS BIGINT) AS alpha_ppm,
+       CAST(FLOOR(1000000.0 * n_stop / greatest(n_tokens, 1) + 0.5) AS BIGINT) AS stopword_ppm,
+       CAST(FLOOR((n_chars - n_tokens + 1.0) / greatest(n_tokens, 1) + 0.5) AS BIGINT) AS mean_word_len,
+       (n_chars >= 50 AND n_tokens >= 10
+        AND (n_chars - n_tokens + 1.0) / greatest(n_tokens, 1) BETWEEN 2 AND 12) AS passes_quality
+FROM m
+""",
+)
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style quality heuristics per document: punctuation /
+    alphabetic / stopword ratios, mean word length, and a composite
+    pass flag (min length, min tokens, sane word-length band). All
+    JVM column expressions over one scan."""
+    docs = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    toks = F.expr("filter(split(text, ' '), t -> length(t) > 0)")
+    stop_arr = "'the','a','and','of','to','in','is','that','it','for'"
+    m = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", _QUALITY_PUNCT, ""))
+        ).alias("n_punct"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", _QUALITY_ALPHA, ""))
+        ).alias("n_alpha"),
+        F.expr(
+            f"size(filter(split(lower(text), ' '),"
+            f" t -> array_contains(array({stop_arr}), t)))"
+        ).alias("n_stop"),
+    )
+    nt = F.greatest(F.col("n_tokens"), F.lit(1))
+    mean_wl = (F.col("n_chars") - F.col("n_tokens") + 1.0) / nt
+    return m.select(
+        "doc_id",
+        F.floor(1000000.0 * F.col("n_punct") / F.col("n_chars") + F.lit(0.5))
+        .cast("bigint").alias("punct_ppm"),
+        F.floor(1000000.0 * F.col("n_alpha") / F.col("n_chars") + F.lit(0.5))
+        .cast("bigint").alias("alpha_ppm"),
+        F.floor(1000000.0 * F.col("n_stop") / nt + F.lit(0.5))
+        .cast("bigint").alias("stopword_ppm"),
+        F.floor(mean_wl + F.lit(0.5)).cast("bigint").alias("mean_word_len"),
+        (
+            (F.col("n_chars") >= 50)
+            & (F.col("n_tokens") >= 10)
+            & (mean_wl >= 2)
+            & (mean_wl <= 12)
+        ).alias("passes_quality"),
+    )
