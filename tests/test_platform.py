@@ -1,0 +1,165 @@
+"""Platform-surface tests: chat persistence, usage tally, cross-doc
+rules (J4), API-key lifecycle, and the scalar helpers (F7/F8/F11/F12)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from the_hive_spark.engine import HiveEngine
+from the_hive_spark.functions.textops import (
+    answer_question_fallback,
+    extract_client_ip,
+    fallback_tags,
+    mask_key,
+    normalize_answer,
+    normalize_tags,
+)
+from tests.fixtures import SEED_DOCS
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    eng = HiveEngine(spark, str(tmp_path / "wh"), embedding_dim=32)
+    files = spark.createDataFrame(
+        [(f"/in/{name}", text, "", {}) for name, text in SEED_DOCS.items()],
+        "path string, content string, organization_id string, "
+        "metadata map<string,string>",
+    )
+    eng.ingest_batch(files)
+    return eng
+
+
+# ------------------------------------------------------------ scalar helpers
+
+
+def test_normalize_answer(spark):
+    rows = [("Yes, it does.",), ("NO",), ("Absolutely not, NO way",),
+            ("maybe",), ("YES and NO",)]
+    df = spark.createDataFrame(rows, "raw string")
+    got = [r[0] for r in df.select(normalize_answer(F.col("raw"))).collect()]
+    assert got == ["YES", "NO", "NO", "NO", "YES"]
+
+
+def test_normalize_tags(spark):
+    rows = [
+        ('```json\n["legal", "finance"]\n```',),
+        ('["#a", " b ", "", "c", "d", "e", "f"]',),
+        ("not json at all",),
+    ]
+    df = spark.createDataFrame(rows, "raw string")
+    got = [r[0] for r in df.select(normalize_tags(F.col("raw"))).collect()]
+    assert got[0] == ["#legal", "#finance"]
+    assert got[1] == ["#a", "#b", "#c", "#d", "#e"]  # capped at 5, '#' added
+    assert got[2] == []
+
+
+def test_fallback_tags(spark):
+    df = spark.createDataFrame(
+        [("This legal finance memo is urgent",), ("nothing here",)], "content string"
+    )
+    got = [r[0] for r in df.select(fallback_tags(F.col("content"))).collect()]
+    assert got[0] == ["#legal", "#finance", "#urgent"]
+    assert got[1] == []
+
+
+def test_answer_question_fallback(spark):
+    df = spark.createDataFrame(
+        [("q", "contains confidential data"), ("q", "innocuous")],
+        "question string, content string",
+    )
+    got = [
+        r[0]
+        for r in df.select(
+            answer_question_fallback(F.col("question"), F.col("content"))
+        ).collect()
+    ]
+    assert got == ["YES", "NO"]
+
+
+def test_extract_client_ip(spark):
+    rows = [
+        ("10.0.0.1, 10.0.0.2", "192.168.1.1", "172.16.0.1:8080", "10.0.0.1"),
+        (None, "192.168.1.1", "172.16.0.1:8080", "192.168.1.1"),
+        ("", None, "172.16.0.1:8080", "172.16.0.1"),
+        (None, None, "172.16.0.1", "172.16.0.1"),
+    ]
+    df = spark.createDataFrame(rows, "xff string, rip string, ra string, want string")
+    got = df.select(
+        extract_client_ip(F.col("xff"), F.col("rip"), F.col("ra")).alias("ip"),
+        "want",
+    ).collect()
+    for r in got:
+        assert r["ip"] == r["want"]
+
+
+def test_mask_key(spark):
+    df = spark.createDataFrame([("hive_abcdef1234",), ("short",)], "k string")
+    got = [r[0] for r in df.select(mask_key(F.col("k"))).collect()]
+    assert got[0] == "hiv****1234"
+    assert got[1] == "****"
+
+
+# ----------------------------------------------------------------- platform
+
+
+def test_chat_persists_session_and_messages(engine):
+    engine.chat("project alpha report", session_id="s1", user_id="u1")
+    engine.chat("beta prototype", session_id="s1", user_id="u1")
+    sessions = engine.read_table("chat_sessions").collect()
+    assert len(sessions) == 1 and sessions[0]["title"].startswith("project alpha")
+    hist = engine.chat_history("s1").collect()
+    assert [m["role"] for m in hist] == ["user", "assistant", "user", "assistant"]
+    assert hist[1]["citations"], "assistant message must carry citations"
+    assert hist[1]["content"].startswith("Based on the retrieved context")
+
+
+def test_usage_tally(engine):
+    engine.record_usage("mock-embed", 100, 0, organization_id="orgA")
+    engine.record_usage("mock-llm", 50, 25, organization_id="orgA")
+    engine.record_usage("mock-llm", 10, 5, organization_id="orgB")
+    tally = {
+        (r["organization_id"], r["model"]): (
+            r["total_input_tokens"], r["total_output_tokens"], r["n_calls"])
+        for r in engine.usage_tally().collect()
+    }
+    assert tally[("orgA", "mock-llm")] == (50, 25, 1)
+    assert tally[("orgB", "mock-llm")] == (10, 5, 1)
+    only_a = engine.usage_tally("orgA").collect()
+    assert {r["organization_id"] for r in only_a} == {"orgA"}
+
+
+def test_cross_doc_rules(engine, spark):
+    from tests.fixtures import CONFIDENTIAL_DOC
+
+    # a second keyword-bearing doc so a (both-sides-hit) pair exists
+    name, text = CONFIDENTIAL_DOC
+    engine.ingest_batch(
+        spark.createDataFrame(
+            [(f"/in/{name}", text, "", {})],
+            "path string, content string, organization_id string, "
+            "metadata map<string,string>",
+        )
+    )
+    engine.add_rule(1, "Does this document contradict existing documents"
+                       " about confidential pricing?")
+    engine.add_rule(2, "Does this document mention pricing?")  # single-doc
+    out = engine.evaluate_rules_cross_doc(top_k=5).collect()
+    # only rule 1 is cross-doc; matches need BOTH docs to hit a keyword
+    assert out, "expected at least one cross-doc match among seed docs"
+    assert {r["rule_id"] for r in out} == {1}
+    assert all(r["match_type"] == "cross_doc" for r in out)
+    assert all(r["matched_doc"] for r in out)
+
+
+def test_api_key_lifecycle(engine):
+    key = engine.generate_api_key("drone-1")
+    assert key.startswith("hive_")
+    engine.touch_api_key(key)
+    status = {r["client_name"]: r for r in engine.clients_status().collect()}
+    assert status["drone-1"]["is_online"] is True
+    assert status["drone-1"]["masked_key"].startswith("hiv")
+    assert "****" in status["drone-1"]["masked_key"]
+    engine.set_api_key_active(key, False)
+    status = {r["client_name"]: r for r in engine.clients_status().collect()}
+    assert status["drone-1"]["is_online"] is False

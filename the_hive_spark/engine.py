@@ -36,6 +36,17 @@ ALERT_KEYWORD = "CONFIDENTIAL"
 # U5 fallback keyword lists (analyst.go:269-292, tagger.go:172-194)
 RULE_FALLBACK_KEYWORDS = ["confidential", "pricing", "secret"]
 TAG_FALLBACK_KEYWORDS = ["legal", "finance", "urgent", "proposal"]
+# P9 cross-doc rule classifier keywords (analyst.go:381-400)
+CROSS_DOC_KEYWORDS = [
+    "contradict", "contradiction", "contradicts",
+    "agreement", "agreements", "breaks agreement",
+    "existing document", "existing documents",
+    "other document", "other documents",
+    "previous document", "previous documents",
+    "conflict", "conflicts", "conflicting",
+    "violate", "violates", "violation",
+    "inconsistent", "inconsistency",
+]
 
 _TABLE_SCHEMAS = {
     "documents": schemas.DOCUMENTS,
@@ -48,6 +59,9 @@ _TABLE_SCHEMAS = {
     "tracked_files": schemas.TRACKED_FILES,
     "alerts": schemas.ALERTS,
     "rule_matches": schemas.RULE_MATCHES,
+    "chat_sessions": schemas.CHAT_SESSIONS,
+    "chat_messages": schemas.CHAT_MESSAGES,
+    "usage": schemas.USAGE,
 }
 
 # tables physically partitioned by tenant
@@ -288,9 +302,20 @@ class HiveEngine:
             )
         return result
 
-    def chat(self, query: str, top_k: int = 5, organization_id: str | None = None):
+    def chat(
+        self,
+        query: str,
+        top_k: int = 5,
+        organization_id: str | None = None,
+        session_id: str | None = None,
+        user_id: str = "local",
+    ):
         """U7 RAG retrieval: top-k context + citations struct; the
-        answer is a template exactly like chat_handler.go:145-150."""
+        answer is a template exactly like chat_handler.go:145-150.
+
+        When ``session_id`` is given, the exchange persists to
+        chat_sessions / chat_messages (ChatStore semantics inferred
+        from chat_handler.go:152-196)."""
         hits = self.search(
             query, top_k=top_k, organization_id=organization_id, audit=False
         )
@@ -305,7 +330,7 @@ class HiveEngine:
                 )
             ).alias("citations"),
         )
-        return ctx.withColumn(
+        result = ctx.withColumn(
             "answer",
             F.format_string(
                 "Based on the retrieved context, here is what I found regarding"
@@ -313,6 +338,64 @@ class HiveEngine:
                 F.lit(query),
                 F.col("context"),
             ),
+        )
+        if session_id is not None:
+            self._persist_chat(query, result, session_id, user_id,
+                               organization_id or "")
+        return result
+
+    def _persist_chat(self, query, result, session_id, user_id, org) -> None:
+        existing = self.read_table("chat_sessions").filter(
+            F.col("session_id") == session_id
+        )
+        if existing.isEmpty():
+            title = query[:50]
+            sess = self.spark.createDataFrame(
+                [(session_id, user_id, org, title, None)], schemas.CHAT_SESSIONS
+            ).withColumn("created_at", F.current_timestamp())
+            self._append("chat_sessions", sess)
+        prev = self.read_table("chat_messages").filter(
+            F.col("session_id") == session_id
+        )
+        base = (prev.agg(F.max("message_index")).collect()[0][0] or -1) + 1
+        row = result.collect()[0]  # single aggregate row by construction
+        msgs = self.spark.createDataFrame(
+            [
+                (session_id, base, "user", query, [], None),
+                (session_id, base + 1, "assistant", row["answer"],
+                 [tuple(c) for c in row["citations"]], None),
+            ],
+            schemas.CHAT_MESSAGES,
+        ).withColumn("created_at", F.current_timestamp())
+        self._append("chat_messages", msgs)
+
+    def chat_history(self, session_id: str) -> DataFrame:
+        return (
+            self.read_table("chat_messages")
+            .filter(F.col("session_id") == session_id)
+            .orderBy("message_index")
+        )
+
+    # --------------------------------------------------------------- usage
+
+    def record_usage(self, model: str, input_tokens: int, output_tokens: int,
+                     organization_id: str = "") -> None:
+        """A9 token accounting (ai.Usage semantics, question.go:100-125)."""
+        row = self.spark.createDataFrame(
+            [(None, organization_id, model, input_tokens, output_tokens)],
+            schemas.USAGE,
+        ).withColumn("timestamp", F.current_timestamp())
+        self._append("usage", row)
+
+    def usage_tally(self, organization_id: str | None = None) -> DataFrame:
+        """A9 per-org (and per-model) token rollup."""
+        u = self.read_table("usage")
+        if organization_id is not None:
+            u = u.filter(F.col("organization_id") == organization_id)
+        return u.groupBy("organization_id", "model").agg(
+            F.sum("input_tokens").alias("total_input_tokens"),
+            F.sum("output_tokens").alias("total_output_tokens"),
+            F.count(F.lit(1)).alias("n_calls"),
         )
 
     # --------------------------------------------------------------- rules
@@ -378,6 +461,123 @@ class HiveEngine:
         )
         self._append("rule_matches", out)
         return out
+
+    def evaluate_rules_cross_doc(
+        self, document_ids: list[str] | None = None, top_k: int = 10
+    ) -> DataFrame:
+        """J4: cross-doc rules (query text hits a P9 keyword,
+        analyst.go:381-400) evaluate each new doc against its top-k
+        most-similar neighbors (analyst.go:451-568). Deterministic
+        fallback: the pair matches when BOTH docs contain a rule
+        keyword (mirroring the single-doc U5 fallback applied to the
+        pair). Neighbors come from the J2 similarity self-join."""
+        is_cross = F.lit(False)
+        for kw in CROSS_DOC_KEYWORDS:
+            is_cross = is_cross | (F.instr(F.lower("query"), kw) > 0)
+        cross_rules = self.active_rules().filter(is_cross).select(
+            F.col("id").alias("rule_id"), F.col("query").alias("rule_query")
+        )
+        pairs = self._neighbor_pairs(top_k)
+        if document_ids is not None:
+            pairs = pairs.filter(F.col("source_doc_id").isin(document_ids))
+
+        kw_hit_both = F.lit(False)
+        for kw in RULE_FALLBACK_KEYWORDS:
+            kw_hit_both = kw_hit_both | (
+                (F.instr(F.lower("src_content"), kw) > 0)
+                & (F.instr(F.lower("dst_content"), kw) > 0)
+            )
+        out = (
+            pairs.crossJoin(F.broadcast(cross_rules))
+            .filter(kw_hit_both)
+            .select(
+                "rule_id",
+                "rule_query",
+                F.col("source_doc_id").alias("uploaded_doc"),
+                F.col("target_doc_id").alias("matched_doc"),
+                F.lit("cross_doc").alias("match_type"),
+                F.lit("YES: both documents contain rule keywords").alias(
+                    "ai_explanation"
+                ),
+                F.lit("").alias("organization_id"),
+            )
+        )
+        self._append("rule_matches", out)
+        return out
+
+    def _neighbor_pairs(self, top_k: int) -> DataFrame:
+        """Top-k similarity pairs with both sides' first-chunk content."""
+        from pyspark.sql import Window
+
+        doc_vecs = (
+            self.read_table("chunks")
+            .filter(F.col("chunk_index") == 0)
+            .select("document_id", "embedding", "content")
+        )
+        a, b = doc_vecs.alias("a"), doc_vecs.alias("b")
+        pairs = a.join(
+            b, F.col("a.document_id") != F.col("b.document_id")
+        ).withColumn("score", cosine("a.embedding", "b.embedding"))
+        w = Window.partitionBy("a.document_id").orderBy(
+            F.desc("score"), F.asc("b.document_id")
+        )
+        return (
+            pairs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= top_k)
+            .select(
+                F.col("a.document_id").alias("source_doc_id"),
+                F.col("b.document_id").alias("target_doc_id"),
+                F.col("a.content").alias("src_content"),
+                F.col("b.content").alias("dst_content"),
+            )
+        )
+
+    # ------------------------------------------------------------ api keys
+
+    def generate_api_key(self, client_name: str) -> str:
+        """API-key issue (api_keys.go:124-151): deterministic key from
+        name+count so tests are reproducible."""
+        import hashlib
+
+        n = self.read_table("api_keys").count()
+        key = "hive_" + hashlib.sha256(
+            f"{client_name}-{n}".encode()
+        ).hexdigest()[:32]
+        row = self.spark.createDataFrame(
+            [(key, client_name, True, None, None)], schemas.API_KEYS
+        ).withColumn("created_at", F.current_timestamp())
+        self._upsert("api_keys", row, ["key"])
+        return key
+
+    def set_api_key_active(self, key: str, active: bool) -> None:
+        keys = self.read_table("api_keys").withColumn(
+            "is_active",
+            F.when(F.col("key") == key, F.lit(active)).otherwise(F.col("is_active")),
+        )
+        self._replace("api_keys", keys)
+
+    def touch_api_key(self, key: str) -> None:
+        """ST6 heartbeat: mark last_seen now (api_keys.go:276-310)."""
+        keys = self.read_table("api_keys").withColumn(
+            "last_seen_at",
+            F.when(F.col("key") == key, F.current_timestamp()).otherwise(
+                F.col("last_seen_at")
+            ),
+        )
+        self._replace("api_keys", keys)
+
+    def clients_status(self) -> DataFrame:
+        """A6 online derivation + F12 key masking for display."""
+        from the_hive_spark.functions.textops import mask_key
+        from the_hive_spark.streaming.liveness import online_clients
+
+        return online_clients(self.read_table("api_keys")).select(
+            mask_key(F.col("key")).alias("masked_key"),
+            "client_name",
+            "is_active",
+            "last_seen_at",
+            "is_online",
+        )
 
     # --------------------------------------------------------------- graph
 

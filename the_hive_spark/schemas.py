@@ -133,6 +133,51 @@ RULE_MATCHES = StructType(
     ]
 )
 
+CITATION = StructType(
+    [
+        StructField("document_id", StringType(), True),
+        StructField("chunk_id", StringType(), True),
+        StructField("content", StringType(), True),
+        StructField("score", FloatType(), True),
+    ]
+)
+
+# ChatStore semantics inferred from call-sites (store file missing from
+# the snapshot — SURVEY.md §"Snapshot caveat"; chat_handler.go:152-196,
+# chat_sessions_handler.go:14-160)
+CHAT_SESSIONS = StructType(
+    [
+        StructField("session_id", StringType(), False),
+        StructField("user_id", StringType(), True),
+        StructField("organization_id", StringType(), True),
+        StructField("title", StringType(), True),
+        StructField("created_at", TimestampType(), True),
+    ]
+)
+
+CHAT_MESSAGES = StructType(
+    [
+        StructField("session_id", StringType(), False),
+        StructField("message_index", IntegerType(), False),
+        StructField("role", StringType(), True),  # user|assistant
+        StructField("content", StringType(), True),
+        StructField("citations", ArrayType(CITATION), True),
+        StructField("created_at", TimestampType(), True),
+    ]
+)
+
+# UsageStore semantics from ai.Usage{InputTokens,OutputTokens,Model}
+# (internal/ai/question.go:100-125, cmd/hive-server/main.go:225-229)
+USAGE = StructType(
+    [
+        StructField("timestamp", TimestampType(), True),
+        StructField("organization_id", StringType(), True),
+        StructField("model", StringType(), True),
+        StructField("input_tokens", LongType(), True),
+        StructField("output_tokens", LongType(), True),
+    ]
+)
+
 # raw ingest-side row (proto/hive.proto:17-23 wire chunk analog)
 INGEST_FILES = StructType(
     [
