@@ -120,3 +120,24 @@ def test_tenant_purge(spark, tmp_path_factory):
     # org-scoped search only sees its tenant (P2 filter-then-rank)
     hits = eng.search("tenant b content", top_k=5, organization_id="orgB").collect()
     assert all(h["organization_id"] == "orgB" for h in hits)
+
+
+def test_update_event_on_changed_file(spark, tmp_path):
+    """ST2 decision parity: re-ingesting a changed file emits an
+    'update' event; an unchanged file is skipped entirely."""
+    from the_hive_spark.engine import HiveEngine
+
+    eng = HiveEngine(spark, str(tmp_path / "wh"), embedding_dim=16)
+    mk = lambda text: spark.createDataFrame(
+        [("/w/a.md", text, "", {})],
+        "path string, content string, organization_id string, "
+        "metadata map<string,string>",
+    )
+    assert eng.ingest_batch(mk("version one"))["files"] == 1
+    assert eng.ingest_batch(mk("version one"))["files"] == 0  # unchanged
+    assert eng.ingest_batch(mk("version two"))["files"] == 1  # changed
+    types = [
+        r["event_type"]
+        for r in eng.read_table("events").orderBy("id").collect()
+    ]
+    assert types == ["ingest", "update"]

@@ -160,7 +160,9 @@ def test_completion_idempotent_redelivery(spark, tmp_path):
         .parquet(str(src / "*"))
     )
     q = (
-        completed_documents(stream)
+        # long timeout: this test asserts count-completion semantics and
+        # must not race the inactivity timer on a loaded machine
+        completed_documents(stream, timeout_ms=120_000)
         .writeStream.format("memory")
         .queryName("completed_docs2")
         .option("checkpointLocation", str(tmp_path / "ckpt"))

@@ -135,11 +135,24 @@ class HiveEngine:
         now = F.current_timestamp()
         files = files.withColumn("file_hash", sha256_hex(F.col("content")))
 
-        # ST2 change detection: skip (path, hash) already processed
+        # ST2 change detection (decision.go:43-98): same (path, hash) ⇒
+        # skip; known path + new hash ⇒ update; unknown path ⇒ new
         tracked = self.read_table("tracked_files").select(
             F.col("file_path").alias("path"), F.col("file_hash")
         )
-        fresh = files.join(tracked, ["path", "file_hash"], "left_anti").cache()
+        known_paths = tracked.select("path").distinct().withColumn(
+            "_known", F.lit(True)
+        )
+        fresh = (
+            files.join(tracked, ["path", "file_hash"], "left_anti")
+            .join(known_paths, ["path"], "left")
+            .withColumn(
+                "ingest_type",
+                F.when(F.col("_known"), F.lit("update")).otherwise(F.lit("ingest")),
+            )
+            .drop("_known")
+            .cache()
+        )
         n_fresh = fresh.count()
         if n_fresh == 0:
             return {"files": 0, "chunks": 0, "alerts": 0}
@@ -200,15 +213,19 @@ class HiveEngine:
         n_chunks = chunk_rows.count()
         self._upsert("chunks", chunk_rows, ["id"])
 
-        # events: one ingest event per document (events.go:36-62)
+        # events: one ingest|update event per document (events.go:36-62;
+        # the type reflects the ST2 new-vs-changed decision)
         tallies = chunk_rows.groupBy("document_id").agg(
             F.count(F.lit(1)).alias("n")
+        ).join(
+            fresh.select(F.col("path").alias("document_id"), "ingest_type"),
+            "document_id",
         )
         base = self._next_id("events")
         events = tallies.select(
             (F.lit(base) + F.row_number().over(_order_all("document_id")) - 1).alias("id"),
             now.alias("timestamp"),
-            F.lit("ingest").alias("event_type"),
+            F.col("ingest_type").alias("event_type"),
             F.col("document_id").alias("document_name"),
             F.format_string("Ingested %d chunks", F.col("n")).alias("details"),
         )

@@ -347,3 +347,121 @@ def q_mktsegment_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(cents(F.col("o_totalprice"))).cast("bigint").alias("total_price_cents"),
         )
     )
+
+
+@query(
+    "q16_part_supplier_variety",
+    oracle="""
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_size IN (1, 2, 3, 4, 5)
+GROUP BY p_brand, p_type, p_size
+""",
+)
+def q16_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct aggregation after a fact join.
+
+    count(DISTINCT) adds an expand+dedup stage; the part-side filter
+    prunes at the scan and the filtered part table broadcasts.
+    """
+    part = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 2, 3, 4, 5)
+    )
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle=f"""
+WITH avg_qty AS (
+  SELECT l_partkey AS ap_partkey, 0.2 * AVG(l_quantity) AS threshold
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM({_REV_SQL}) AS BIGINT) AS small_lot_revenue_cents,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN avg_qty ON l_partkey = ap_partkey
+WHERE l_quantity < threshold
+""",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery decorrelated into a
+    self-agg + join (the rewrite every optimizer applies — expressed
+    directly so the plan is one shuffle for the agg, then a join that
+    AQE converts to broadcast when the agg side is small)."""
+    li = table(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        (F.avg("l_quantity") * 0.2).alias("threshold")
+    )
+    return (
+        li.join(avg_qty, F.col("l_partkey") == F.col("ap_partkey"))
+        .filter(F.col("l_quantity") < F.col("threshold"))
+        .agg(
+            F.sum(_rev()).cast("bigint").alias("small_lot_revenue_cents"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q22_idle_customers",
+    oracle="""
+SELECT c_nationkey,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_acctbal_cents
+FROM customer
+WHERE c_acctbal > 0
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+""",
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: NOT EXISTS as a left-anti join — positive-
+    balance customers with no urgent order, rolled up by nation. The
+    anti join's build side is the filtered orders projection (one
+    pruned column) and AQE broadcasts it."""
+    cust = table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    urgent = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_custkey")
+    return (
+        cust.join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(cents(F.col("c_acctbal"))).cast("bigint")
+            .alias("total_acctbal_cents"),
+        )
+    )
+
+
+@query(
+    "q_active_parts_semi",
+    oracle="""
+SELECT p_brand, COUNT(*) AS n_parts
+FROM part
+WHERE p_retailprice > 990
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_partkey = p_partkey AND l_returnflag = 'R')
+GROUP BY p_brand
+""",
+)
+def q_active_parts_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as a left-semi join: premium parts with at least one
+    returned lineitem. The semi join deduplicates the fact side
+    without a distinct — one shuffle, no row multiplication."""
+    part = table(spark, sf_dir, "part").filter(F.col("p_retailprice") > 990)
+    returned = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_partkey")
+    return (
+        part.join(returned, F.col("p_partkey") == F.col("l_partkey"), "left_semi")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )

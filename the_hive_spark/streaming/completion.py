@@ -72,6 +72,7 @@ def track_completion(
     key: tuple,
     pdfs: Iterable[pd.DataFrame],
     state: GroupState,
+    timeout_ms: int = COMPLETION_TIMEOUT_MS,
 ) -> Iterable[pd.DataFrame]:
     """Per-document state function (applyInPandasWithState contract)."""
     document_id = key[0]
@@ -121,14 +122,22 @@ def track_completion(
         )
     else:
         state.update((indices, contents, total))
-        state.setTimeoutDuration(COMPLETION_TIMEOUT_MS)
+        state.setTimeoutDuration(timeout_ms)
 
 
-def completed_documents(chunk_stream: DataFrame) -> DataFrame:
+def completed_documents(
+    chunk_stream: DataFrame, timeout_ms: int = COMPLETION_TIMEOUT_MS
+) -> DataFrame:
     """Wire the stateful operator onto a stream of chunk rows
-    (CHUNK_INPUT_SCHEMA shape)."""
+    (CHUNK_INPUT_SCHEMA shape). ``timeout_ms`` is the ST3 inactivity
+    window (2 s in the reference; raise it in tests that must not race
+    the timeout)."""
+
+    def fn(key, pdfs, state):
+        yield from track_completion(key, pdfs, state, timeout_ms=timeout_ms)
+
     return chunk_stream.groupBy("document_id").applyInPandasWithState(
-        track_completion,
+        fn,
         outputStructType=COMPLETED_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
