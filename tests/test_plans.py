@@ -1,0 +1,75 @@
+"""Physical-plan assertions: the properties that make these queries
+scale must be visible in the executed plan, not just hoped for.
+
+- filters and column pruning reach the parquet scan;
+- dimension joins broadcast (no sort-merge for TPC-H-ratio dims);
+- top-k compiles to TakeOrderedAndProject (no global sort);
+- nothing shuffles via CartesianProduct except the documented
+  brute-force pair baselines (whose scale path is the LSH variant).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from the_hive_spark.registry import QUERIES, load_all
+
+SF_DIR = "/root/testdata/sf0.001"
+
+load_all()
+
+# intentional O(n²) exact baselines; scale path = *_lsh variants
+PAIRWISE_BASELINES = {
+    "emb_near_dup_pairs",
+    "doc_ngram_jaccard_pairs",
+}
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_scan_pushdown_and_pruning(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    assert "l_orderkey" not in plan.split("ReadSchema")[1][:400], (
+        "q1 reads no key columns; scan schema must be pruned"
+    )
+
+
+def test_q3_broadcasts_dims(spark):
+    plan = _plan(spark, "q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q5_all_joins_broadcast(spark):
+    plan = _plan(spark, "q5_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = _plan(spark, "emb_knn_topk")
+    assert "TakeOrderedAndProject" in plan, (
+        "LIMIT k after ORDER BY must compile to TakeOrdered, not a "
+        "global sort"
+    )
+
+
+def test_events_queries_single_shuffle(spark):
+    for name in ["events_by_type", "events_hourly_pattern"]:
+        plan = _plan(spark, name)
+        assert plan.count("Exchange") <= 2, (
+            f"{name}: simple agg should need at most partial+final exchange"
+        )
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_accidental_cartesian(spark, name):
+    if name in PAIRWISE_BASELINES:
+        pytest.skip("documented brute-force pair baseline")
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
