@@ -196,3 +196,54 @@ def test_online_clients_derivation(spark):
         for r in online_clients(df, now=now).collect()
     }
     assert got == {"k1": True, "k2": False, "k3": False, "k4": False}
+
+
+def test_chunk_pipeline_end_to_end(spark, tmp_path):
+    """§3.2 streaming lifecycle: chunk stream → completion → events +
+    alerts + rule matches."""
+    from the_hive_spark.engine import HiveEngine
+    from the_hive_spark.streaming.pipeline import chunk_pipeline
+
+    eng = HiveEngine(spark, str(tmp_path / "wh"), embedding_dim=16)
+    eng.add_rule(7, "Does this document contain confidential pricing?")
+    # pre-ingest the doc so rule evaluation has chunks to read
+    eng.ingest_batch(
+        spark.createDataFrame(
+            [("docX", "chunk one has CONFIDENTIAL pricing", "", {})],
+            "path string, content string, organization_id string, "
+            "metadata map<string,string>",
+        )
+    )
+    src = tmp_path / "chunks_in"
+    src.mkdir()
+    rows = [
+        ("docX", 0, "chunk one has CONFIDENTIAL pricing", 2),
+        ("docX", 1, "chunk two is harmless", 2),
+    ]
+    spark.createDataFrame(rows, CHUNK_INPUT_SCHEMA).write.parquet(str(src / "b0"))
+    stream = spark.readStream.schema(CHUNK_INPUT_SCHEMA).parquet(str(src / "*"))
+    q = chunk_pipeline(eng, stream, str(tmp_path / "ckpt"), timeout_ms=120_000)
+    def pipeline_done() -> bool:
+        # the batch-ingest leg already fires its own alert, so wait on
+        # the streaming-only artifacts: completion event + rule match
+        ev = eng.read_table("events").filter(
+            F.col("details").contains("Document complete")
+        )
+        return (not ev.isEmpty()) and (not eng.read_table("rule_matches").isEmpty())
+
+    deadline = time.time() + 90
+    try:
+        while time.time() < deadline:
+            if q.exception() is not None:
+                raise q.exception()
+            if pipeline_done():
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    alerts = eng.read_table("alerts").collect()
+    assert any(a["document_id"] == "docX" for a in alerts)
+    events = eng.read_table("events").collect()
+    assert any("Document complete: 2 chunks (count)" in e["details"] for e in events)
+    matches = eng.read_table("rule_matches").collect()
+    assert any(m["rule_id"] == 7 and m["uploaded_doc"] == "docX" for m in matches)

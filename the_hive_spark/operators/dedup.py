@@ -281,3 +281,34 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("simhash")
     )
+
+
+@query(
+    "doc_dedup_corpus",
+    oracle="""
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d
+JOIN (SELECT md5(text) AS h, MIN(doc_id) AS keep
+      FROM documents GROUP BY md5(text)) c
+  ON md5(d.text) = c.h AND d.doc_id = c.keep
+""",
+)
+def doc_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated corpus itself — keep the min-doc_id copy of
+    each exact-duplicate group (the materialization step a training
+    pipeline runs after doc_dedup_exact's profiling).
+
+    One digest-keyed shuffle for the canonical set, then a self-join
+    that AQE broadcasts when the duplicate fraction leaves the
+    canonical side small relative to the corpus.
+    """
+    docs = table(spark, sf_dir, "documents")
+    canonical = docs.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("keep")
+    )
+    return (
+        docs.withColumn("h", F.md5("text"))
+        .join(canonical, ["h"])
+        .filter(F.col("doc_id") == F.col("keep"))
+        .select("doc_id", "lang", "source", "n_chars")
+    )

@@ -322,3 +322,44 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (mean_wl <= 12)
         ).alias("passes_quality"),
     )
+
+
+# GPT-2-style pre-tokenizer approximation: word runs, digit runs, or a
+# single non-space symbol — the public BPE pre-split regex family.
+# Explicit space in the class (not \s): backslash-escape handling in
+# string literals differs between Spark and DuckDB, and the corpus is
+# single-line space-separated text.
+_BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+@query(
+    "doc_bpe_token_stats",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(list_filter(regexp_extract_all(text, '{_BPE_RE}'),
+                            t -> t ~ '^[0-9]+$')) AS BIGINT) AS n_numeric_tokens,
+       CAST(len(list_filter(regexp_extract_all(text, '{_BPE_RE}'),
+                            t -> t ~ '^[^A-Za-z0-9]$')) AS BIGINT) AS n_symbol_tokens
+FROM documents WHERE length(text) > 0
+""",
+)
+def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: the pre-tokenizer split (letter runs /
+    digit runs / single symbols) that upper-bounds real BPE token
+    counts — the budgeting number a training pipeline tracks per doc.
+    Pure regexp_extract_all; one scan, no Python."""
+    docs = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    toks = F.expr(f"regexp_extract_all(text, '{_BPE_RE}', 0)")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_bpe_tokens"),
+        F.size(F.expr(
+            f"filter(regexp_extract_all(text, '{_BPE_RE}', 0),"
+            " t -> t rlike '^[0-9]+$')"
+        )).cast("bigint").alias("n_numeric_tokens"),
+        F.size(F.expr(
+            f"filter(regexp_extract_all(text, '{_BPE_RE}', 0),"
+            " t -> t rlike '^[^A-Za-z0-9]$')"
+        )).cast("bigint").alias("n_symbol_tokens"),
+    )

@@ -1,0 +1,88 @@
+"""The full §3.2 streaming lifecycle: chunk stream → stateful
+document completion → analyst reactions (rules, alerts, events).
+
+Reference flow (hive_service.go:129-219 → analyst.go:134-260): each
+completed document fires rule evaluation and keyword alerting. Here
+the completion stream's ``foreachBatch`` applies those reactions
+transactionally per micro-batch — the worker-pool/channel machinery
+(ST7) is replaced by Spark's own scheduling and backpressure.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from the_hive_spark.engine import ALERT_KEYWORD, HiveEngine
+from the_hive_spark.streaming.completion import completed_documents
+
+
+def analyze_batch(engine: HiveEngine, completed: DataFrame) -> None:
+    """Analyst reactions for one micro-batch of completed documents."""
+    completed = completed.cache()
+    doc_ids = [r["document_id"] for r in completed.select("document_id").collect()]
+    if not doc_ids:
+        return
+
+    # completion events (events.go:36-62)
+    base = engine._next_id("events")
+    from pyspark.sql import Window
+
+    events = completed.select(
+        (F.lit(base) + F.row_number().over(Window.orderBy("document_id")) - 1)
+        .alias("id"),
+        F.current_timestamp().alias("timestamp"),
+        F.lit("ingest").alias("event_type"),
+        F.col("document_id").alias("document_name"),
+        F.format_string(
+            "Document complete: %d chunks (%s)", "n_chunks", "completion_reason"
+        ).alias("details"),
+    )
+    engine._append("events", events)
+
+    # P7 keyword alert on the assembled text
+    alerts = completed.filter(
+        F.instr(F.upper("full_text"), ALERT_KEYWORD) > 0
+    ).select(
+        F.current_timestamp().alias("timestamp"),
+        F.lit("ALERT").alias("alert_type"),
+        F.format_string(
+            "Document %s contains %s content", "document_id", F.lit(ALERT_KEYWORD)
+        ).alias("message"),
+        F.lit("warning").alias("level"),
+        F.col("document_id").alias("document_id"),
+        F.lit("").alias("organization_id"),
+    )
+    if not alerts.isEmpty():
+        engine._append("alerts", alerts)
+
+    # standing rules against the completed docs (J3 single-doc mode;
+    # chunks were upserted by the ingest leg of the pipeline)
+    if not engine.active_rules().isEmpty():
+        engine.evaluate_rules(document_ids=doc_ids)
+
+
+def chunk_pipeline(
+    engine: HiveEngine,
+    chunk_stream: DataFrame,
+    checkpoint_dir: str,
+    timeout_ms: int | None = None,
+) -> StreamingQuery:
+    """Wire chunk arrivals through completion into analyst reactions.
+
+    ``chunk_stream`` rows: CHUNK_INPUT_SCHEMA (document_id,
+    chunk_index, content, total_chunks).
+    """
+    kwargs = {} if timeout_ms is None else {"timeout_ms": timeout_ms}
+    completed = completed_documents(chunk_stream, **kwargs)
+
+    def per_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        analyze_batch(engine, batch_df)
+
+    return (
+        completed.writeStream.foreachBatch(per_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
