@@ -465,3 +465,599 @@ def q_active_parts_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(F.count(F.lit(1)).alias("n_parts"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Remaining TPC-H query shapes, adapted to the driver schema (no
+# partsupp / commitdate / shipmode columns — each keeps the original
+# query's PLAN shape, which is what matters for the engine).
+# ---------------------------------------------------------------------------
+
+_QTYC_SQL = "CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)"
+
+
+def _qtyc() -> Column:
+    return cents(F.col("l_quantity"))
+
+
+@query(
+    "q2_min_acctbal_supplier",
+    oracle="""
+WITH shipped AS (
+  SELECT DISTINCT p_partkey, p_name, s_suppkey, s_name,
+         CAST(FLOOR(s_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cents
+  FROM part
+  JOIN lineitem ON l_partkey = p_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation   ON n_nationkey = s_nationkey
+  JOIN region   ON r_regionkey = n_regionkey
+  WHERE p_type = 'STANDARD' AND p_size <= 5 AND r_name = 'EUROPE'
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY p_partkey
+                               ORDER BY acctbal_cents, s_suppkey) AS rk
+  FROM shipped
+)
+SELECT p_partkey, p_name, s_name, acctbal_cents
+FROM ranked WHERE rk = 1
+ORDER BY acctbal_cents DESC, p_partkey
+LIMIT 10
+""",
+)
+def q2_min_acctbal_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (correlated MIN subquery): cheapest supplier per
+    part, decorrelated into a window rank — one shuffle keyed by
+    p_partkey instead of a per-part subquery. part/supplier/nation/
+    region all broadcast; lineitem provides the part↔supplier edges
+    (the schema has no partsupp) and is deduplicated before ranking so
+    the window input is |edges|, not |lineitem|."""
+    part = table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 5)
+    )
+    nat = table(spark, sf_dir, "nation")
+    reg = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    shipped = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "p_partkey", "p_name", "s_suppkey", "s_name",
+            cents(F.col("s_acctbal")).alias("acctbal_cents"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("p_partkey").orderBy("acctbal_cents", "s_suppkey")
+    return (
+        shipped.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("p_partkey", "p_name", "s_name", "acctbal_cents")
+        .orderBy(F.desc("acctbal_cents"), F.asc("p_partkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q7_volume_shipping",
+    oracle=f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM({_REV_SQL}) AS BIGINT) AS revenue_cents
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                     AND TIMESTAMP '1997-12-31 00:00:00'
+GROUP BY supp_nation, cust_nation, l_year
+""",
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: bilateral trade volume between two nations by year.
+    Both nation sides broadcast; the disjunctive nation-pair predicate
+    lands after the joins but the shipdate range prunes the fact scan.
+    One shuffle for the final (nation, nation, year) agg."""
+    nat = table(spark, sf_dir, "nation")
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between(
+            F.lit("1996-01-01 00:00:00").cast("timestamp"),
+            F.lit("1997-12-31 00:00:00").cast("timestamp"),
+        )
+    )
+    joined = (
+        li.join(table(spark, sf_dir, "orders"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(table(spark, sf_dir, "customer"), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(table(spark, sf_dir, "supplier")), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nat.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))), F.col("sn_key") == F.col("s_nationkey"))
+        .join(F.broadcast(nat.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))), F.col("cn_key") == F.col("c_nationkey"))
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        joined.filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("bigint").alias("l_year"))
+        .agg(F.sum(_rev()).cast("bigint").alias("revenue_cents"))
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle=f"""
+SELECT CAST(year(l_shipdate) AS BIGINT) AS o_year,
+       CAST(SUM(CASE WHEN n1.n_name = 'NATION_3' THEN {_REV_SQL} ELSE 0 END)
+            * 1000000 // SUM({_REV_SQL}) AS BIGINT) AS mkt_share_ppm,
+       CAST(SUM({_REV_SQL}) AS BIGINT) AS total_revenue_cents
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+JOIN region   ON r_regionkey = n2.n_regionkey
+WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+GROUP BY o_year
+""",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: one nation's market share of a part type inside a
+    region, per year. The share is exact bigint ppm (numerator-cents ×
+    1e6 integer-divided by denominator-cents) so the ratio is
+    reproducible — a float division would not be. Conditional agg
+    keeps it one pass; part filter broadcasts into the fact."""
+    nat = table(spark, sf_dir, "nation")
+    reg = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    part = table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    joined = (
+        table(spark, sf_dir, "lineitem")
+        .join(table(spark, sf_dir, "orders"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(table(spark, sf_dir, "customer"), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(table(spark, sf_dir, "supplier")), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nat.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))), F.col("sn_key") == F.col("s_nationkey"))
+        .join(F.broadcast(nat.select(F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region"))), F.col("cn_key") == F.col("c_nationkey"))
+        .join(F.broadcast(reg), F.col("r_regionkey") == F.col("cn_region"))
+    )
+    total_rev = F.sum(_rev())
+    return (
+        joined.groupBy(F.year("l_shipdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.expr(
+                f"CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN {_REV_SQL} ELSE 0 END)"
+                f" * 1000000 div SUM({_REV_SQL}) AS BIGINT)"
+            ).alias("mkt_share_ppm"),
+            total_rev.cast("bigint").alias("total_revenue_cents"),
+        )
+    )
+
+
+@query(
+    "q9_product_profit",
+    oracle=f"""
+SELECT n_name AS supp_nation, CAST(year(l_shipdate) AS BIGINT) AS o_year,
+       CAST(SUM({_REV_SQL}
+                - CAST(FLOOR(p_retailprice * l_quantity * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS profit_cents
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY supp_nation, o_year
+""",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit (revenue minus retail cost of quantity —
+    the schema has no ps_supplycost) on a part-name pattern, rolled up
+    by supplier nation and year. The LIKE filter cannot push to a
+    parquet min/max but does prune the broadcast part build side."""
+    part = table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    profit = _rev() - cents(F.col("p_retailprice") * F.col("l_quantity"))
+    return (
+        table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(table(spark, sf_dir, "supplier")), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(table(spark, sf_dir, "nation")), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(F.col("n_name").alias("supp_nation"), F.year("l_shipdate").cast("bigint").alias("o_year"))
+        .agg(F.sum(profit).cast("bigint").alias("profit_cents"))
+    )
+
+
+@query(
+    "q11_important_parts",
+    oracle="""
+WITH region_lines AS (
+  SELECT l_partkey, CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS val
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation   ON n_nationkey = s_nationkey
+  JOIN region   ON r_regionkey = n_regionkey
+  WHERE r_name = 'AMERICA'
+)
+SELECT l_partkey AS p_partkey, CAST(SUM(val) AS BIGINT) AS value_cents
+FROM region_lines
+GROUP BY l_partkey
+HAVING SUM(val) * 1000 > (SELECT SUM(val) FROM region_lines)
+""",
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose shipped value from one region's
+    suppliers exceeds 1/1000 of that region's total (the schema has no
+    partsupp, so lineitem value stands in for stock value). The global
+    total is a 1-row agg broadcast into the HAVING — exact bigint
+    comparison (value × 1000 > total), no float threshold."""
+    nat = table(spark, sf_dir, "nation")
+    reg = table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey")
+    )
+    lines = (
+        table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("l_partkey", cents(F.col("l_extendedprice")).alias("val"))
+    )
+    per_part = lines.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
+        F.sum("val").cast("bigint").alias("value_cents")
+    )
+    total = per_part.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value_cents") * 1000 > F.col("total_cents"))
+        .select("p_partkey", "value_cents")
+    )
+
+
+@query(
+    "q12_late_priority_lines",
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_late_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                      AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_late_count
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+GROUP BY l_returnflag
+""",
+)
+def q12_late_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: late-shipment counts split by order priority
+    (late = shipped >90 days after order date; the schema has no
+    shipmode/commitdate/receiptdate). Single fact-fact join that AQE
+    plans as shuffle-hash; conditional aggregation avoids a second
+    pass."""
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        table(spark, sf_dir, "lineitem")
+        .join(table(spark, sf_dir, "orders"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum((high & late).cast("int")).cast("bigint").alias("high_late_count"),
+            F.sum((~high & late).cast("int")).cast("bigint").alias("low_late_count"),
+        )
+    )
+
+
+@query(
+    "q13_order_count_distribution",
+    oracle="""
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer
+  LEFT JOIN orders ON o_custkey = c_custkey
+                  AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+""",
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: customer distribution by order count, keeping
+    zero-order customers via the outer join (the join-side predicate
+    must live in the ON clause, not WHERE, to preserve them). Two
+    aggs: per-customer, then histogram — the second input is already
+    tiny."""
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW"
+    )
+    cust = table(spark, sf_dir, "customer")
+    return (
+        cust.join(orders, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    oracle=f"""
+SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV_SQL} ELSE 0 END)
+            * 1000000 // SUM({_REV_SQL}) AS BIGINT) AS promo_share_ppm,
+       CAST(SUM({_REV_SQL}) AS BIGINT) AS total_revenue_cents
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+""",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promo parts' share of a period's revenue, as exact
+    bigint ppm. Date range prunes the fact scan; part broadcasts; the
+    whole query is one joined scan-agg with no final shuffle (global
+    agg)."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    return (
+        li.join(F.broadcast(table(spark, sf_dir, "part")), F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            F.expr(
+                f"CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV_SQL} ELSE 0 END)"
+                f" * 1000000 div SUM({_REV_SQL}) AS BIGINT)"
+            ).alias("promo_share_ppm"),
+            F.sum(_rev()).cast("bigint").alias("total_revenue_cents"),
+        )
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle=f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no, CAST(SUM({_REV_SQL}) AS BIGINT) AS total_revenue_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue_cents
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue_cents = (SELECT MAX(total_revenue_cents) FROM revenue)
+""",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with the maximum quarterly revenue. The
+    scalar-MAX subquery becomes a 1-row agg broadcast back onto the
+    per-supplier totals (ties all returned — no arbitrary pick, so the
+    result is deterministic without a tie-break column)."""
+    rev = (
+        table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_rev()).cast("bigint").alias("total_revenue_cents"))
+    )
+    top = rev.agg(F.max("total_revenue_cents").alias("max_rev"))
+    return (
+        table(spark, sf_dir, "supplier")
+        .join(rev, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(F.broadcast(top))
+        .filter(F.col("total_revenue_cents") == F.col("max_rev"))
+        .select("s_suppkey", "s_name", "total_revenue_cents")
+    )
+
+
+@query(
+    "q18_large_volume_customers",
+    oracle=f"""
+WITH big AS (
+  SELECT l_orderkey AS big_orderkey
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM({_QTYC_SQL}) > 25000
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS totalprice_cents,
+       CAST(SUM({_QTYC_SQL}) AS BIGINT) AS sum_qty_cents
+FROM customer
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN big      ON big_orderkey = o_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, totalprice_cents
+ORDER BY totalprice_cents DESC, o_orderkey
+LIMIT 100
+""",
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: orders whose total quantity exceeds 250 (cents-scaled
+    exact HAVING), with their customers. The IN-subquery is a self-agg
+    on lineitem semi-joined back; AQE broadcasts the small qualifying
+    set into the fact join. Top-100 by price with orderkey
+    tie-break."""
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy(F.col("l_orderkey").alias("big_orderkey"))
+        .agg(F.sum(_qtyc()).alias("oq"))
+        .filter(F.col("oq") > 25000)
+        .select("big_orderkey")
+    )
+    return (
+        li.join(big, F.col("big_orderkey") == F.col("l_orderkey"))
+        .join(table(spark, sf_dir, "orders"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(table(spark, sf_dir, "customer"), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            cents(F.col("o_totalprice")).alias("totalprice_cents"),
+        )
+        .agg(F.sum(_qtyc()).cast("bigint").alias("sum_qty_cents"))
+        .orderBy(F.desc("totalprice_cents"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    oracle=f"""
+SELECT CAST(SUM({_REV_SQL}) AS BIGINT) AS revenue_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+""",
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: disjunction of brand/size/quantity conjuncts across
+    the join. Catalyst extracts the common l_quantity bounds and the
+    p_brand IN-set as pushable prefilters on each side; the residual
+    OR evaluates post-join inside codegen."""
+    branch = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(table(spark, sf_dir, "part")), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(branch)
+        .agg(
+            F.sum(_rev()).cast("bigint").alias("revenue_cents"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q20_heavy_shippers",
+    oracle=f"""
+WITH pair_qty AS (
+  SELECT l_suppkey, l_partkey, CAST(SUM({_QTYC_SQL}) AS BIGINT) AS sqty
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE '%red%'
+  GROUP BY l_suppkey, l_partkey
+),
+heavy AS (
+  SELECT DISTINCT l_suppkey
+  FROM (SELECT l_suppkey, sqty,
+               SUM(sqty)  OVER (PARTITION BY l_partkey) AS part_total,
+               COUNT(*)   OVER (PARTITION BY l_partkey) AS n_supp
+        FROM pair_qty)
+  WHERE sqty * n_supp > 3 * part_total AND n_supp >= 2
+)
+SELECT s_suppkey, s_name, n_name
+FROM supplier
+JOIN heavy ON l_suppkey = s_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+""",
+)
+def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers shipping an above-average share of
+    some contested 'red' part (no partsupp → the availqty-vs-half-
+    shipped test becomes >3× the part's average supplier share among
+    ≥2 suppliers, kept exact with integer cross-multiplication
+    instead of a float average). Agg keyed by
+    (supplier, part), windows over the part reuse that partitioning,
+    then a semi-join lifts qualifying suppliers."""
+    part = table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    pair = (
+        table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(_qtyc()).alias("sqty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    heavy = (
+        pair.withColumn("part_total", F.sum("sqty").over(w))
+        .withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .filter((F.col("sqty") * F.col("n_supp") > 3 * F.col("part_total"))
+                & (F.col("n_supp") >= 2))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        table(spark, sf_dir, "supplier")
+        .join(heavy, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .join(F.broadcast(table(spark, sf_dir, "nation")), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+WITH fo AS (
+  SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderstatus = 'F'
+),
+late AS (
+  SELECT l_orderkey, l_suppkey
+  FROM lineitem JOIN fo ON o_orderkey = l_orderkey
+  WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+),
+multi AS (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING COUNT(DISTINCT l_suppkey) >= 2
+),
+sole_late AS (
+  SELECT l_orderkey FROM late
+  GROUP BY l_orderkey HAVING COUNT(DISTINCT l_suppkey) = 1
+)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM late
+JOIN multi     USING (l_orderkey)
+JOIN sole_late USING (l_orderkey)
+JOIN supplier  ON s_suppkey = l_suppkey
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+""",
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21: suppliers who alone held up multi-supplier finalized
+    orders (late = shipped >90 days past order date standing in for
+    receipt>commit). The EXISTS / NOT-EXISTS pair decorrelates into
+    two per-order aggregates semi-joined back — every stage keyed on
+    l_orderkey, so AQE coalesces one shuffle partitioning across the
+    chain instead of correlated per-row probes."""
+    li = table(spark, sf_dir, "lineitem")
+    fo = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    late = (
+        li.join(fo, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.count_distinct("l_suppkey").alias("ns"))
+        .filter(F.col("ns") >= 2)
+        .select("l_orderkey")
+    )
+    sole_late = (
+        late.groupBy("l_orderkey")
+        .agg(F.count_distinct("l_suppkey").alias("nl"))
+        .filter(F.col("nl") == 1)
+        .select("l_orderkey")
+    )
+    return (
+        late.join(multi, "l_orderkey")
+        .join(sole_late, "l_orderkey")
+        .join(F.broadcast(table(spark, sf_dir, "supplier")), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )

@@ -312,3 +312,79 @@ def doc_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") == F.col("keep"))
         .select("doc_id", "lang", "source", "n_chars")
     )
+
+
+@query(
+    "doc_dup_clusters",
+    oracle=f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(range(1, greatest(length(text) - {SHINGLE_W - 1}, 1) + 1),
+                          i -> substring(text, i, {SHINGLE_W})))) AS shingle
+  FROM documents WHERE length(text) >= {SHINGLE_W}
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY doc_a, doc_b
+), jac_edges AS (
+  SELECT doc_a AS u, doc_b AS v
+  FROM shared
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE FLOOR(1000000.0 * n_shared / (sa.n_sh + sb.n_sh - n_shared) + 0.5)
+        >= {JACCARD_THRESHOLD_PPM}
+), exact_edges AS (
+  SELECT d.doc_id AS u, c.keep AS v
+  FROM documents d
+  JOIN (SELECT md5(text) AS h, MIN(doc_id) AS keep
+        FROM documents GROUP BY md5(text)) c
+    ON md5(d.text) = c.h AND d.doc_id <> c.keep
+), edges AS (
+  SELECT u, v FROM jac_edges UNION SELECT v, u FROM jac_edges
+  UNION SELECT u, v FROM exact_edges UNION SELECT v, u FROM exact_edges
+), walk(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.node
+)
+SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_id
+FROM walk GROUP BY node
+""",
+)
+def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clustering: connected components over the union of
+    exact-duplicate edges (same content digest) and near-duplicate
+    edges (5-gram Jaccard ≥ 0.4) — the canonicalization step a
+    training pipeline runs after pair mining, assigning every doc the
+    min doc_id of its duplicate cluster.
+
+    Scale path: large-star/small-star CC (operators/graph.py) is
+    O(log² n) shuffle rounds with no driver-side graph, so the same
+    code runs when the pair list itself is distributed. The oracle
+    checks it against a recursive-CTE transitive closure, which only
+    DuckDB-at-sf0.01 can afford — that asymmetry is the point.
+    """
+    from the_hive_spark.operators.graph import connected_components
+
+    docs = table(spark, sf_dir, "documents")
+    jac = doc_ngram_jaccard_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    keep = docs.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("keep"))
+    exact = (
+        docs.withColumn("h", F.md5("text"))
+        .join(keep, ["h"])
+        .filter(F.col("doc_id") != F.col("keep"))
+        .select(F.col("doc_id").alias("src"), F.col("keep").alias("dst"))
+    )
+    cc = connected_components(jac.union(exact))
+    return (
+        docs.select("doc_id")
+        .join(cc, docs.doc_id == cc.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").cast("bigint").alias("cluster_id"),
+        )
+    )

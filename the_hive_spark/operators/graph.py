@@ -114,3 +114,88 @@ def graph_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     (graph.go:99-120's `source = ? OR target = ?`)."""
     edges = derived_edges(spark, sf_dir)
     return edges.filter((F.col("src") == "o:1") | (F.col("dst") == "o:1"))
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Distributed connected components via alternating large-star /
+    small-star (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — O(log²  n) rounds of pure DataFrame ops, no
+    driver-side graph state, so it survives graphs whose edge list
+    doesn't fit one machine.
+
+    Input: an undirected edge list over integral node ids. Output:
+    (node, component) where component is the minimum node id reachable
+    from node — deterministic regardless of partitioning. Isolated
+    nodes don't appear (callers coalesce to self).
+
+    Each round is groupBy(u) → min over neighborhood → re-emit edges;
+    both stars key the shuffle on the same column so AQE reuses the
+    partitioning. Convergence is checked with an order-insensitive
+    checksum (count + sum of a per-edge hash), one tiny agg per round.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+    def _checksum(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    def _large_star(df: DataFrame) -> DataFrame:
+        # symmetrize, then for every u: connect strictly-larger
+        # neighbors to min(N(u) ∪ {u})
+        sym = df.union(df.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        nbr = sym.groupBy("u").agg(
+            F.collect_set("v").alias("vs"), F.min("v").alias("mn")
+        )
+        m = F.least(F.col("mn"), F.col("u"))
+        return (
+            nbr.select(F.explode("vs").alias("v"), F.col("u"), m.alias("m"))
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(df: DataFrame) -> DataFrame:
+        # orient edges high→low, then for every u: connect its
+        # ≤-neighbors (and u itself) to the minimum of them
+        lo = df.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        nbr = lo.groupBy("u").agg(
+            F.collect_set("v").alias("vs"), F.min("v").alias("mn")
+        )
+        return (
+            nbr.select(
+                F.explode(
+                    F.array_union("vs", F.array(F.col("u")))
+                ).alias("node"),
+                F.col("mn"),
+            )
+            .filter(F.col("node") != F.col("mn"))
+            .select(F.col("node").alias("u"), F.col("mn").alias("v"))
+            .distinct()
+        )
+
+    prev = None
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        cur = _checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+    # fixpoint is a forest of depth-1 stars: child→root
+    roots = e.select(F.col("v").alias("node"), F.col("v").alias("component"))
+    children = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    return children.union(roots).distinct()
