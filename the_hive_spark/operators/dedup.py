@@ -46,9 +46,17 @@ def shingles_expr(text_col: str = "text", w: int = SHINGLE_W):
 
 
 def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) exploded distinct-shingle pairs."""
+    """(doc_id, shingle) exploded distinct-shingle pairs.
+
+    The input is repartitioned by doc_id before the explode: the
+    documents table arrives in size-based file splits, and the
+    explode + per-shingle hashing multiplies each input row's cost by
+    ~n_chars — a classic fan-out stage that must run at full cluster
+    parallelism, not at input-file parallelism.
+    """
     docs = table(spark, sf_dir, "documents").filter(F.length("text") >= SHINGLE_W)
-    return docs.select(
+    n = spark.sparkContext.defaultParallelism
+    return docs.repartition(n, "doc_id").select(
         "doc_id", F.explode(shingles_expr()).alias("shingle")
     )
 
@@ -100,10 +108,12 @@ def _jaccard_on_pairs(cand: DataFrame, sh: DataFrame) -> DataFrame:
       few): distributed pairs ⋈ shingles intersection count in the JVM.
     """
     spark = cand.sparkSession
-    n_vocab = sh.select("shingle").distinct().count()
-    n_docs = sh.select("doc_id").distinct().count()
-    if n_vocab <= _BITSET_MAX_VOCAB and n_docs <= _BITSET_MAX_DOCS:
-        return _jaccard_on_pairs_bitset(spark, cand, sh, n_vocab)
+    counts = sh.agg(
+        F.countDistinct("shingle").alias("n_vocab"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    ).first()
+    if counts.n_vocab <= _BITSET_MAX_VOCAB and counts.n_docs <= _BITSET_MAX_DOCS:
+        return _jaccard_on_pairs_bitset(spark, cand, sh, counts.n_vocab)
     return _jaccard_on_pairs_join(cand, sh)
 
 
@@ -113,28 +123,30 @@ def _jaccard_on_pairs_bitset(
     import numpy as np
     import pandas as pd
 
-    ids = (
-        sh.select("shingle")
-        .distinct()
-        .select(
-            "shingle",
-            (F.row_number().over(Window.orderBy("shingle")) - 1).alias("sid"),
-        )
-    )
+    # Shingle→id assignment happens driver-side over the (bounded, ≤64 Ki)
+    # vocabulary — no global window, no extra shuffle; the only cluster
+    # work is the per-doc collect_list the bitmap needs anyway.
     docvec = (
-        sh.join(ids, "shingle")
-        .groupBy("doc_id")
-        .agg(F.collect_list("sid").alias("sids"))
+        sh.groupBy("doc_id")
+        .agg(F.collect_list("shingle").alias("shingles"))
         .toPandas()
     )
+    sid_of: dict[str, int] = {}
     n_words = (n_vocab + 63) // 64
     bits = np.zeros((len(docvec), n_words), dtype=np.uint64)
     sizes = np.zeros(len(docvec), dtype=np.int64)
     index: dict[int, int] = {}
-    for row_i, (doc_id, sids) in enumerate(
-        zip(docvec["doc_id"], docvec["sids"])
+    for row_i, (doc_id, doc_shingles_) in enumerate(
+        zip(docvec["doc_id"], docvec["shingles"])
     ):
-        arr = np.asarray(sids, dtype=np.int64)
+        arr = np.fromiter(
+            (
+                sid_of.setdefault(s, len(sid_of))
+                for s in doc_shingles_
+            ),
+            dtype=np.int64,
+            count=len(doc_shingles_),
+        )
         np.bitwise_or.at(
             bits[row_i], arr // 64, (np.uint64(1) << (arr % 64).astype(np.uint64))
         )
@@ -235,7 +247,9 @@ def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: the naive all-pairs join — equality IS the exactness
     proof. Measured 404 s → sub-minute at sf0.1, identical output.
     """
-    sh = doc_shingles(spark, sf_dir)
+    from pyspark import StorageLevel
+
+    sh = doc_shingles(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "shingle")
     wcnt = Window.partitionBy("doc_id")
@@ -267,12 +281,38 @@ def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc MinHash signature: 8 seeded-md5 minima over the distinct
     shingle set, computed in one map-side-combinable aggregation."""
-    sh = doc_shingles(spark, sf_dir)
+    return _minhash_signatures_from(doc_shingles(spark, sf_dir))
+
+
+def _minhash_signatures_from(sh: DataFrame) -> DataFrame:
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"mh{s}")
         for s in range(N_MINHASH)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _lsh_band_pairs(sig: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, n_bands) pairs whose signatures collide on ≥1
+    LSH band — the equi-join that replaces all-pairs comparison."""
+    band_cols = ", ".join(
+        f"{b}, concat(mh{2 * b}, mh{2 * b + 1})" for b in range(N_BANDS)
+    )
+    bands = sig.selectExpr(
+        "doc_id", f"stack({N_BANDS}, {band_cols}) as (band, band_key)"
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
 
 
 @query(
@@ -311,25 +351,7 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact re-check confirms candidates (banding params: P(collide) ≈
     1-(1-j²)⁴, ~50% at j=0.4).
     """
-    sig = minhash_signatures(spark, sf_dir)
-    band_cols = ", ".join(
-        f"{b}, concat(mh{2 * b}, mh{2 * b + 1})" for b in range(N_BANDS)
-    )
-    bands = sig.selectExpr(
-        "doc_id", f"stack({N_BANDS}, {band_cols}) as (band, band_key)"
-    )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_bands"))
-    )
+    return _lsh_band_pairs(minhash_signatures(spark, sf_dir))
 
 
 # Portable 31-polynomial string hash (identical arithmetic in Spark and
@@ -509,19 +531,27 @@ def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     which only DuckDB-at-sf0.01 can afford — that asymmetry is the
     point.
     """
+    from pyspark import StorageLevel
+
     from the_hive_spark.operators.graph import connected_components
 
     docs = table(spark, sf_dir, "documents")
+    # The exploded shingles feed three consumers (MinHash signatures,
+    # vocab/doc counts, exact-Jaccard verification) — persist once
+    # instead of re-exploding the corpus per consumer. MEMORY_AND_DISK:
+    # at cluster scale the exploded set can exceed executor memory and
+    # must spill, not recompute.
+    sh = doc_shingles(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     # ≥2 colliding bands: single-band collisions are dominated by
     # background vocabulary overlap (measured ~25× candidate
     # reduction at zero loss of verified ≥0.4-Jaccard edges) — the
     # multi-collision trick from multi-probe LSH practice
     cand = (
-        doc_minhash_lsh_pairs(spark, sf_dir)
+        _lsh_band_pairs(_minhash_signatures_from(sh))
         .filter(F.col("n_bands") >= 2)
         .select("doc_a", "doc_b")
     )
-    jac = _jaccard_on_pairs(cand, doc_shingles(spark, sf_dir)).select(
+    jac = _jaccard_on_pairs(cand, sh).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     keep = docs.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("keep"))
