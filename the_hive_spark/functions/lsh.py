@@ -192,29 +192,27 @@ def lsh_near_dup_candidates(
     """
     assert n_planes % n_bands == 0
     bits_per_band = n_planes // n_bands
-    mask = (1 << bits_per_band) - 1
 
-    sig_udf = simhash_signature_udf(n_planes, seed)
-    sigs = embeddings.select(
-        F.col(id_col), F.col(vec_col), sig_udf(F.col(vec_col)).alias("_sig")
+    # Bands are n_bands INDEPENDENT bits_per_band-bit tables (seed+band)
+    # — same AND-OR statistics as slicing one n_planes-bit signature,
+    # but with no 64-bit signature-width ceiling, so wide high-
+    # selectivity bands (e.g. 16×12 bits) are available.
+    sig_udf = multitable_signature_udf(n_bands, bits_per_band, seed)
+    banded = (
+        embeddings.select(
+            F.col(id_col), sig_udf(F.col(vec_col)).alias("_sigs")
+        )
+        .select(id_col, F.posexplode("_sigs"))
+        .withColumnsRenamed({"pos": "band", "col": "val"})
     )
-    banded = sigs.select(
-        id_col,
-        vec_col,
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.shiftright("_sig", b * bits_per_band).bitwiseAND(mask).alias("val"),
-                )
-                for b in range(n_bands)
-            ])
-        ).alias("bv"),
-    ).select(id_col, vec_col, "bv.band", "bv.val")
 
+    # The band equi-join carries ONLY (id, band, val) — never the
+    # vectors: shipping d-dim arrays through an exploded ×n_bands
+    # shuffle is what breaks at scale. Vectors join back afterward,
+    # keyed by id, sized by the (pruned) candidate count.
     a = banded.alias("a")
     b = banded.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -224,10 +222,24 @@ def lsh_near_dup_candidates(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col(f"a.{vec_col}").alias("vec_a"),
-            F.col(f"b.{vec_col}").alias("vec_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
+    )
+    vecs = embeddings.select(F.col(id_col), F.col(vec_col))
+    return (
+        pairs.join(
+            vecs.select(
+                F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
+            ),
+            "id_a",
+        )
+        .join(
+            vecs.select(
+                F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")
+            ),
+            "id_b",
+        )
+        .select("id_a", "id_b", "vec_a", "vec_b")
     )
 
 
