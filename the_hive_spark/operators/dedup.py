@@ -117,42 +117,267 @@ def _jaccard_on_pairs(cand: DataFrame, sh: DataFrame) -> DataFrame:
     return _jaccard_on_pairs_join(cand, sh)
 
 
+_POPCNT8 = None
+
+
+def _popcnt8():
+    import numpy as np
+
+    global _POPCNT8
+    if _POPCNT8 is None:
+        _POPCNT8 = np.array(
+            [bin(i).count("1") for i in range(256)], dtype=np.uint16
+        )
+    return _POPCNT8
+
+
+# ---------------------------------------------------------------- dense
+# regime: the measured shingle vocabulary is bounded (≤ _BITSET_MAX_VOCAB)
+# — dense synthetic corpora, templated logs, DNA-like alphabets. Here the
+# (doc, shingle) explode is pure overhead: every doc's shingle SET packs
+# into vocab/8 bytes, so shingling runs in Python straight off the text
+# column, one executor pass emits bitset + MinHash signature together,
+# and exact Jaccard is a float32 BLAS product of 0/1 matrices. The
+# explode-based operators further down are the sparse/huge-vocabulary
+# physical plan of the SAME logical operators — the regime probe picks
+# the plan from data statistics, the way a cost-based optimizer would.
+
+
+def _py_shingle_set(text: str, w: int = SHINGLE_W) -> set:
+    """Python image of shingles_expr: substring(text,i,w), i ∈ 1..len-w+1."""
+    return {text[i : i + w] for i in range(len(text) - w + 1)}
+
+
+def _dense_vocab_probe(spark: SparkSession, docs: DataFrame):
+    """Sorted shingle vocabulary if the corpus is in the dense regime,
+    else None. One bounded job: per-batch distinct shingles → global
+    distinct → LIMIT vocab_max+1 (the limit caps the collect in the
+    sparse case — the probe never materializes a huge vocabulary)."""
+    import pandas as pd
+
+    if docs.count() > _BITSET_MAX_DOCS:
+        return None
+
+    def emit(batches):
+        for pdf in batches:
+            seen = set()
+            for text in pdf["text"]:
+                seen |= _py_shingle_set(text)
+            yield pd.DataFrame({"shingle": sorted(seen)})
+
+    n = spark.sparkContext.defaultParallelism
+    rows = (
+        docs.repartition(n, "doc_id")
+        .select("doc_id", "text")
+        .mapInPandas(emit, "shingle string")
+        .distinct()
+        .limit(_BITSET_MAX_VOCAB + 1)
+        .collect()
+    )
+    if len(rows) > _BITSET_MAX_VOCAB:
+        return None
+    return sorted(r["shingle"] for r in rows)
+
+
+def _dense_packed_df(
+    spark: SparkSession,
+    docs: DataFrame,
+    vocab: list,
+    with_minhash: bool = False,
+) -> DataFrame:
+    """One executor pass over the text column → per-doc packed bitset
+    (+ optionally the 8 MinHash chunk-minima). The md5 of every vocab
+    shingle is computed ONCE (|vocab| digests, driver-side, broadcast)
+    instead of once per (doc, shingle) occurrence — the dense-regime
+    equivalent of map-side hashing."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    sid_map = {s: i for i, s in enumerate(vocab)}
+    n_vocab = len(vocab)
+    n_words = (n_vocab + 63) // 64
+    if with_minhash:
+        # (n_vocab, N_MINHASH) uint16: chunk s of md5(shingle)
+        chunkvals = np.array(
+            [
+                [
+                    int(hashlib.md5(s.encode()).hexdigest()[4 * c : 4 * c + 4], 16)
+                    for c in range(N_MINHASH)
+                ]
+                for s in vocab
+            ],
+            dtype=np.uint16,
+        )
+    else:
+        chunkvals = None
+    bc = spark.sparkContext.broadcast((sid_map, chunkvals))
+
+    schema = "doc_id long, n_sh long, bits binary"
+    if with_minhash:
+        schema += ", " + ", ".join(f"mh{c} string" for c in range(N_MINHASH))
+
+    def pack(batches):
+        m, cv = bc.value
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                ss = _py_shingle_set(text)
+                arr = np.fromiter((m[s] for s in ss), dtype=np.int64, count=len(ss))
+                row = np.zeros(n_words, dtype=np.uint64)
+                np.bitwise_or.at(
+                    row, arr // 64, np.uint64(1) << (arr % 64).astype(np.uint64)
+                )
+                rec = [int(doc_id), len(ss), row.tobytes()]
+                if cv is not None:
+                    rec += [f"{v:04x}" for v in cv[arr].min(axis=0)]
+                rows.append(tuple(rec))
+            yield pd.DataFrame(rows, columns=[f.split(" ")[0] for f in schema.split(", ")])
+
+    n = spark.sparkContext.defaultParallelism
+    return (
+        docs.repartition(n, "doc_id")
+        .select("doc_id", "text")
+        .mapInPandas(pack, schema)
+    )
+
+
+def _unpack01(mat, n_vocab: int):
+    """(n, words) uint64 bitset matrix → (n, n_vocab) float32 0/1.
+    Little-endian byte view + bitorder='little' makes unpacked column
+    j == shingle id j exactly as packed."""
+    import numpy as np
+
+    b = np.unpackbits(
+        np.ascontiguousarray(mat).view(np.uint8), axis=1, bitorder="little"
+    )
+    return b[:, :n_vocab].astype(np.float32)
+
+
+def _jaccard_allpairs_from_packed(
+    spark: SparkSession, packed_df: DataFrame, n_vocab: int
+) -> DataFrame:
+    """Exact all-pairs Jaccard, NO candidate generation: the packed
+    corpus bitmap broadcasts and every partition scores its row-block
+    against it with one float32 BLAS product of the unpacked 0/1
+    matrices (set intersection IS a dot product; exact — counts ≤
+    vocab < 2²⁴). When the vocabulary is this small, sets overlap so
+    much that any candidate filter passes ~all pairs anyway —
+    generating, shuffling and deduplicating an O(n²) candidate list
+    costs more than just scoring it."""
+    import numpy as np
+    import pandas as pd
+
+    packed_df = packed_df.persist()
+    bits, sizes, ids = _collect_bitset_matrix(packed_df.collect(), n_vocab)
+    bc = spark.sparkContext.broadcast((bits, sizes, ids))
+
+    def score(batches):
+        mat, n_all, ids_all = bc.value
+        all01 = _unpack01(mat, n_vocab)  # corpus side, once per task
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.stack(
+                [np.frombuffer(b, dtype=np.uint64) for b in pdf["bits"]]
+            )
+            a01 = _unpack01(A, n_vocab)
+            a_ids = pdf["doc_id"].to_numpy(np.int64)
+            n_a = pdf["n_sh"].to_numpy(np.int64)
+            inter = (a01 @ all01.T).astype(np.int64)
+            union = n_a[:, None] + n_all[None, :] - inter
+            ppm = np.floor(1000000.0 * inter / union + 0.5).astype(np.int64)
+            keep = (a_ids[:, None] < ids_all[None, :]) & (
+                ppm >= JACCARD_THRESHOLD_PPM
+            )
+            ii, jj = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "doc_a": a_ids[ii],
+                    "doc_b": ids_all[jj],
+                    "jaccard_ppm": ppm[ii, jj],
+                }
+            )
+
+    return packed_df.select("doc_id", "n_sh", "bits").mapInPandas(
+        score, "doc_a long, doc_b long, jaccard_ppm long"
+    )
+
+
+def _packed_bitset_df(
+    spark: SparkSession, sh: DataFrame, n_vocab: int
+) -> DataFrame:
+    """(doc_id, n_sh, bits binary) — each doc's shingle set packed into
+    an n_vocab-bit bitmap, packed ON EXECUTORS (mapInPandas over the
+    grouped shingle lists). Shingle ids come from the (bounded, ≤64 Ki)
+    vocabulary collected once to the driver — no global window, no
+    extra shuffle — so downstream consumers move vocab/8 bytes per doc
+    instead of raw shingle strings."""
+    import numpy as np
+    import pandas as pd
+
+    vocab = sorted(
+        sh.select("shingle").distinct().toPandas()["shingle"].tolist()
+    )
+    sid_map = {s: i for i, s in enumerate(vocab)}
+    n_words = (n_vocab + 63) // 64
+    bc_vocab = spark.sparkContext.broadcast(sid_map)
+
+    def pack(batches):
+        m = bc_vocab.value
+        for pdf in batches:
+            rows = []
+            for doc_id, doc_shingles_ in zip(pdf["doc_id"], pdf["shingles"]):
+                arr = np.fromiter(
+                    (m[s] for s in doc_shingles_),
+                    dtype=np.int64,
+                    count=len(doc_shingles_),
+                )
+                row = np.zeros(n_words, dtype=np.uint64)
+                np.bitwise_or.at(
+                    row, arr // 64, np.uint64(1) << (arr % 64).astype(np.uint64)
+                )
+                rows.append((int(doc_id), len(doc_shingles_), row.tobytes()))
+            yield pd.DataFrame(rows, columns=["doc_id", "n_sh", "bits"])
+
+    return (
+        sh.groupBy("doc_id")
+        .agg(F.collect_list("shingle").alias("shingles"))
+        .mapInPandas(pack, "doc_id long, n_sh long, bits binary")
+    )
+
+
+def _collect_bitset_matrix(packed_rows, n_vocab: int):
+    import numpy as np
+
+    n_words = (n_vocab + 63) // 64
+    bits = np.zeros((len(packed_rows), n_words), dtype=np.uint64)
+    sizes = np.zeros(len(packed_rows), dtype=np.int64)
+    ids = np.zeros(len(packed_rows), dtype=np.int64)
+    for row_i, r in enumerate(packed_rows):
+        bits[row_i] = np.frombuffer(r["bits"], dtype=np.uint64)
+        sizes[row_i] = r["n_sh"]
+        ids[row_i] = int(r["doc_id"])
+    return bits, sizes, ids
+
+
 def _jaccard_on_pairs_bitset(
     spark: SparkSession, cand: DataFrame, sh: DataFrame, n_vocab: int
+) -> DataFrame:
+    packed = _packed_bitset_df(spark, sh, n_vocab).collect()
+    bits, sizes, ids = _collect_bitset_matrix(packed, n_vocab)
+    return _verify_pairs_with_matrix(spark, cand, bits, sizes, ids)
+
+
+def _verify_pairs_with_matrix(
+    spark: SparkSession, cand: DataFrame, bits, sizes, ids
 ) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    # Shingle→id assignment happens driver-side over the (bounded, ≤64 Ki)
-    # vocabulary — no global window, no extra shuffle; the only cluster
-    # work is the per-doc collect_list the bitmap needs anyway.
-    docvec = (
-        sh.groupBy("doc_id")
-        .agg(F.collect_list("shingle").alias("shingles"))
-        .toPandas()
-    )
-    sid_of: dict[str, int] = {}
-    n_words = (n_vocab + 63) // 64
-    bits = np.zeros((len(docvec), n_words), dtype=np.uint64)
-    sizes = np.zeros(len(docvec), dtype=np.int64)
-    index: dict[int, int] = {}
-    for row_i, (doc_id, doc_shingles_) in enumerate(
-        zip(docvec["doc_id"], docvec["shingles"])
-    ):
-        arr = np.fromiter(
-            (
-                sid_of.setdefault(s, len(sid_of))
-                for s in doc_shingles_
-            ),
-            dtype=np.int64,
-            count=len(doc_shingles_),
-        )
-        np.bitwise_or.at(
-            bits[row_i], arr // 64, (np.uint64(1) << (arr % 64).astype(np.uint64))
-        )
-        sizes[row_i] = len(arr)
-        index[int(doc_id)] = row_i
-    popcnt = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint16)
+    index = {int(d): i for i, d in enumerate(ids)}
+    popcnt = _popcnt8()
     bc = spark.sparkContext.broadcast((bits, sizes, index))
 
     def verify(batches):
@@ -246,9 +471,24 @@ def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     occasionally round the prefix one short and silently drop a pair.
     Oracle: the naive all-pairs join — equality IS the exactness
     proof. Measured 404 s → sub-minute at sf0.1, identical output.
+
+    Regime switch: when the measured vocabulary is bounded (dense
+    corpora — sets overlap so heavily that prefix filtering passes
+    ~all pairs, e.g. 95% of C(n,2) on the test corpus), the whole
+    explode/prefix pipeline is SKIPPED in favor of the dense plan:
+    Python shingling off the text column, packed bitsets, blocked
+    all-pairs BLAS scoring. The prefix path below is the sparse/
+    huge-vocabulary plan where prefix filtering actually prunes.
     """
     from pyspark import StorageLevel
 
+    docs = table(spark, sf_dir, "documents").filter(
+        F.length("text") >= SHINGLE_W
+    )
+    vocab = _dense_vocab_probe(spark, docs)
+    if vocab is not None:
+        packed = _dense_packed_df(spark, docs, vocab)
+        return _jaccard_allpairs_from_packed(spark, packed, len(vocab))
     sh = doc_shingles(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "shingle")
@@ -275,18 +515,25 @@ def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return _jaccard_on_pairs(cand, sh)
+    return _jaccard_on_pairs_join(cand, sh)
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc MinHash signature: 8 seeded-md5 minima over the distinct
-    shingle set, computed in one map-side-combinable aggregation."""
+    """Per-doc MinHash signature: 8 16-bit chunk minima of one md5 per
+    shingle, computed in one map-side-combinable aggregation."""
     return _minhash_signatures_from(doc_shingles(spark, sf_dir))
 
 
 def _minhash_signatures_from(sh: DataFrame) -> DataFrame:
+    """One md5 per shingle, split into 8 disjoint 4-hex-char (16-bit)
+    chunks, min per chunk — the one-permutation-hashing trick: 8×
+    less hashing than 8 seeded digests for statistically equivalent
+    MinHash estimates (chunks of a cryptographic hash are independent
+    uniform draws). Fixed-width hex substrings make lexicographic min
+    = numeric min, identically in Spark and DuckDB."""
+    h = F.md5("shingle")
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"mh{s}")
+        F.min(F.substring(h, 1 + 4 * s, 4)).alias(f"mh{s}")
         for s in range(N_MINHASH)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
@@ -325,10 +572,10 @@ WITH sh AS (
   FROM documents WHERE length(text) >= {SHINGLE_W}
 ), sig AS (
   SELECT doc_id,
-         MIN(md5(concat('0:', shingle))) AS mh0, MIN(md5(concat('1:', shingle))) AS mh1,
-         MIN(md5(concat('2:', shingle))) AS mh2, MIN(md5(concat('3:', shingle))) AS mh3,
-         MIN(md5(concat('4:', shingle))) AS mh4, MIN(md5(concat('5:', shingle))) AS mh5,
-         MIN(md5(concat('6:', shingle))) AS mh6, MIN(md5(concat('7:', shingle))) AS mh7
+         MIN(substring(md5(shingle), 1, 4)) AS mh0, MIN(substring(md5(shingle), 5, 4)) AS mh1,
+         MIN(substring(md5(shingle), 9, 4)) AS mh2, MIN(substring(md5(shingle), 13, 4)) AS mh3,
+         MIN(substring(md5(shingle), 17, 4)) AS mh4, MIN(substring(md5(shingle), 21, 4)) AS mh5,
+         MIN(substring(md5(shingle), 25, 4)) AS mh6, MIN(substring(md5(shingle), 29, 4)) AS mh7
   FROM sh GROUP BY doc_id
 ), bands AS (
   SELECT doc_id, 0 AS band, concat(mh0, mh1) AS band_key FROM sig UNION ALL
@@ -350,7 +597,20 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-colliding pairs. Downstream, doc_ngram_jaccard_pairs-style
     exact re-check confirms candidates (banding params: P(collide) ≈
     1-(1-j²)⁴, ~50% at j=0.4).
+
+    Dense regime: signatures come out of the single-pass Python
+    packer (vocab md5s hashed once, driver-side) instead of the
+    (doc, shingle) explode + 8-way min aggregation.
     """
+    docs = table(spark, sf_dir, "documents").filter(
+        F.length("text") >= SHINGLE_W
+    )
+    vocab = _dense_vocab_probe(spark, docs)
+    if vocab is not None:
+        sig = _dense_packed_df(spark, docs, vocab, with_minhash=True).select(
+            "doc_id", *[f"mh{c}" for c in range(N_MINHASH)]
+        )
+        return _lsh_band_pairs(sig)
     return _lsh_band_pairs(minhash_signatures(spark, sf_dir))
 
 
@@ -468,10 +728,10 @@ WITH RECURSIVE sh AS (
   FROM documents WHERE length(text) >= {SHINGLE_W}
 ), sig AS (
   SELECT doc_id,
-         MIN(md5(concat('0:', shingle))) AS mh0, MIN(md5(concat('1:', shingle))) AS mh1,
-         MIN(md5(concat('2:', shingle))) AS mh2, MIN(md5(concat('3:', shingle))) AS mh3,
-         MIN(md5(concat('4:', shingle))) AS mh4, MIN(md5(concat('5:', shingle))) AS mh5,
-         MIN(md5(concat('6:', shingle))) AS mh6, MIN(md5(concat('7:', shingle))) AS mh7
+         MIN(substring(md5(shingle), 1, 4)) AS mh0, MIN(substring(md5(shingle), 5, 4)) AS mh1,
+         MIN(substring(md5(shingle), 9, 4)) AS mh2, MIN(substring(md5(shingle), 13, 4)) AS mh3,
+         MIN(substring(md5(shingle), 17, 4)) AS mh4, MIN(substring(md5(shingle), 21, 4)) AS mh5,
+         MIN(substring(md5(shingle), 25, 4)) AS mh6, MIN(substring(md5(shingle), 29, 4)) AS mh7
   FROM sh GROUP BY doc_id
 ), bands AS (
   SELECT doc_id, 0 AS band, concat(mh0, mh1) AS band_key FROM sig UNION ALL
@@ -536,22 +796,43 @@ def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the_hive_spark.operators.graph import connected_components
 
     docs = table(spark, sf_dir, "documents")
-    # The exploded shingles feed three consumers (MinHash signatures,
-    # vocab/doc counts, exact-Jaccard verification) — persist once
-    # instead of re-exploding the corpus per consumer. MEMORY_AND_DISK:
-    # at cluster scale the exploded set can exceed executor memory and
-    # must spill, not recompute.
-    sh = doc_shingles(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    docs_sh = docs.filter(F.length("text") >= SHINGLE_W)
     # ≥2 colliding bands: single-band collisions are dominated by
     # background vocabulary overlap (measured ~25× candidate
     # reduction at zero loss of verified ≥0.4-Jaccard edges) — the
     # multi-collision trick from multi-probe LSH practice
-    cand = (
-        _lsh_band_pairs(_minhash_signatures_from(sh))
-        .filter(F.col("n_bands") >= 2)
-        .select("doc_a", "doc_b")
-    )
-    jac = _jaccard_on_pairs(cand, sh).select(
+    vocab = _dense_vocab_probe(spark, docs_sh)
+    if vocab is not None:
+        # dense regime: ONE pass emits bitsets + signatures; the band
+        # join runs on the signature columns, candidates verify
+        # against the already-collected bitset matrix
+        packed = _dense_packed_df(
+            spark, docs_sh, vocab, with_minhash=True
+        ).persist()
+        bits, sizes, ids = _collect_bitset_matrix(
+            packed.collect(), len(vocab)
+        )
+        sig = packed.select("doc_id", *[f"mh{c}" for c in range(N_MINHASH)])
+        cand = (
+            _lsh_band_pairs(sig)
+            .filter(F.col("n_bands") >= 2)
+            .select("doc_a", "doc_b")
+        )
+        jac = _verify_pairs_with_matrix(spark, cand, bits, sizes, ids)
+    else:
+        # sparse regime: the exploded shingles feed both consumers
+        # (MinHash signatures, exact-Jaccard verification) — persist
+        # once instead of re-exploding the corpus per consumer.
+        # MEMORY_AND_DISK: at cluster scale the exploded set can
+        # exceed executor memory and must spill, not recompute.
+        sh = doc_shingles(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+        cand = (
+            _lsh_band_pairs(_minhash_signatures_from(sh))
+            .filter(F.col("n_bands") >= 2)
+            .select("doc_a", "doc_b")
+        )
+        jac = _jaccard_on_pairs(cand, sh)
+    jac = jac.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     keep = docs.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("keep"))
