@@ -1030,34 +1030,49 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21: suppliers who alone held up multi-supplier finalized
     orders (late = shipped >90 days past order date standing in for
     receipt>commit). The EXISTS / NOT-EXISTS pair decorrelates into
-    two per-order aggregates semi-joined back — every stage keyed on
-    l_orderkey, so AQE coalesces one shuffle partitioning across the
-    chain instead of correlated per-row probes."""
+    ONE per-order aggregate: after the lineitem ⋈ finalized-orders
+    join (which restricts to 'F' orders — sound, because every output
+    order must have a late line and late lines only come from 'F'
+    orders), a single groupBy(l_orderkey) computes supplier count,
+    late-supplier count, late-row count and the sole late supplier
+    together. The groupBy key equals the join key, so the aggregation
+    reuses the join's shuffle partitioning — the whole query moves
+    lineitem through the cluster once, vs the textbook plan's three
+    passes (late, multi, sole_late) plus two semi-joins."""
     li = table(spark, sf_dir, "lineitem")
     fo = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    late = (
+    is_late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 90 DAYS"
+    )
+    per_order = (
         li.join(fo, F.col("o_orderkey") == F.col("l_orderkey"))
-        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
-        .select("l_orderkey", "l_suppkey")
-    )
-    multi = (
-        li.groupBy("l_orderkey")
-        .agg(F.count_distinct("l_suppkey").alias("ns"))
-        .filter(F.col("ns") >= 2)
-        .select("l_orderkey")
-    )
-    sole_late = (
-        late.groupBy("l_orderkey")
-        .agg(F.count_distinct("l_suppkey").alias("nl"))
-        .filter(F.col("nl") == 1)
-        .select("l_orderkey")
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            is_late.cast("long").alias("late"),
+        )
+        .groupBy("l_orderkey")
+        .agg(
+            F.count_distinct("l_suppkey").alias("ns"),
+            F.count_distinct(
+                F.when(F.col("late") == 1, F.col("l_suppkey"))
+            ).alias("nl"),
+            F.sum("late").alias("late_rows"),
+            F.max(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias(
+                "late_supp"
+            ),
+        )
+        .filter((F.col("ns") >= 2) & (F.col("nl") == 1))
     )
     return (
-        late.join(multi, "l_orderkey")
-        .join(sole_late, "l_orderkey")
-        .join(F.broadcast(table(spark, sf_dir, "supplier")), F.col("s_suppkey") == F.col("l_suppkey"))
+        per_order.groupBy("late_supp")
+        .agg(F.sum("late_rows").alias("numwait"))
+        .join(
+            F.broadcast(table(spark, sf_dir, "supplier")),
+            F.col("s_suppkey") == F.col("late_supp"),
+        )
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .agg(F.sum("numwait").cast("bigint").alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(20)
     )
