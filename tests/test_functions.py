@@ -147,3 +147,19 @@ def test_detect_language_samples(spark):
     got = df.select("expected", detect_language("text").alias("lang")).collect()
     for r in got:
         assert r["lang"] == r["expected"], f"{r['expected']}: got {r['lang']}"
+
+
+def test_dense_sequential_ids(spark):
+    """Scalable AUTOINCREMENT parity: dense, base-offset, assigned in
+    order-column order, no single-partition stage (functions/ids.py)."""
+    import pyspark.sql.functions as F
+
+    from the_hive_spark.functions.ids import dense_sequential_ids
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") * 37 % 5000).alias("k"), F.rand(7).alias("x")
+    ).repartition(16)
+    rows = dense_sequential_ids(df, "k", base=100).orderBy("k").collect()
+    assert [r["id"] for r in rows] == list(range(100, 100 + len(rows)))
+    ks = [r["k"] for r in rows]
+    assert ks == sorted(ks)

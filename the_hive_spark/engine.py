@@ -222,8 +222,14 @@ class HiveEngine:
             "document_id",
         )
         base = self._next_id("events")
-        events = tallies.select(
-            (F.lit(base) + F.row_number().over(_order_all("document_id")) - 1).alias("id"),
+        # ingest batches can be a bulk backfill — ids via the scalable
+        # range-partitioned numbering, not a single-partition window
+        from the_hive_spark.functions.ids import dense_sequential_ids
+
+        events = dense_sequential_ids(
+            tallies, "document_id", base=base
+        ).select(
+            F.col("id"),
             now.alias("timestamp"),
             F.col("ingest_type").alias("event_type"),
             F.col("document_id").alias("document_name"),
@@ -742,6 +748,10 @@ class HiveEngine:
 
 
 def _order_all(col: str):
+    """Single-partition ordering window — ONLY for inputs that are
+    bounded by construction (single audit rows, trigger-bounded
+    micro-batches). Bulk paths use functions.ids.dense_sequential_ids
+    instead, which numbers rows without a single-partition stage."""
     from pyspark.sql import Window
 
     return Window.orderBy(col)

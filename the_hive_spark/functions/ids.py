@@ -41,3 +41,51 @@ def digest_chunk_id(doc_id: Column, chunk_index: Column) -> Column:
     """Portable md5 digest id — same determinism contract as uuid5 but
     expressible in any SQL engine (used by oracle-checked queries)."""
     return F.md5(F.concat(doc_id.cast("string"), F.lit("-"), chunk_index.cast("string")))
+
+
+def dense_sequential_ids(
+    df, order_col: str, base: int = 1, id_col: str = "id"
+):
+    """AUTOINCREMENT-parity ids at cluster scale: dense, starting at
+    ``base``, assigned in ``order_col`` order.
+
+    A bare ``row_number() OVER (ORDER BY …)`` funnels the whole input
+    through ONE partition — fine for a micro-batch, fatal for a bulk
+    backfill. This is the scalable form: range-partition by the order
+    column, number rows *within* each partition, then add per-partition
+    offsets computed from one tiny count-per-partition job (the
+    DataFrame image of RDD.zipWithIndex's two-pass scheme). Global
+    order holds because range partitions are themselves ordered.
+
+    Returns df plus ``id_col``. Two extra shuffles of df + one
+    O(partitions) collect; no single-partition stage anywhere.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    n = spark.sparkContext.defaultParallelism
+    # localCheckpoint pins the range boundaries (repartitionByRange
+    # SAMPLES its input — re-evaluating it in the counts job and the
+    # numbering job could draw different partition boundaries and
+    # misalign the offsets)
+    ranged = (
+        df.repartitionByRange(n, F.col(order_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = ranged.groupBy("_pid").count().collect()
+    offsets, acc = {}, base
+    for r in sorted(counts, key=lambda r: r["_pid"]):
+        offsets[int(r["_pid"])] = acc
+        acc += r["count"]
+    off_map = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    w = Window.partitionBy("_pid").orderBy(order_col)
+    return (
+        ranged.withColumn(
+            id_col,
+            (off_map[F.col("_pid")] + F.row_number().over(w) - 1).cast("long"),
+        )
+        .drop("_pid")
+    )
