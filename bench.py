@@ -49,6 +49,10 @@ HEADLINE = [
 EXTENDED = [
     "doc_minhash_lsh_pairs",
     "doc_dup_clusters",
+    "doc_simhash_hamming_pairs",
+    "doc_pii_redact",
+    "events_retention",
+    "emb_centroid_by_label",
 ]
 
 

@@ -879,26 +879,32 @@ LIMIT 100
 )
 def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18: orders whose total quantity exceeds 250 (cents-scaled
-    exact HAVING), with their customers. The IN-subquery is a self-agg
-    on lineitem semi-joined back; AQE broadcasts the small qualifying
-    set into the fact join. Top-100 by price with orderkey
-    tie-break."""
+    exact HAVING), with their customers. ONE lineitem pass: the
+    textbook plan re-joins lineitem to re-sum quantities per order, but
+    that re-aggregate is exactly the HAVING aggregate — so the
+    qualifying set carries its sum and only the (tiny) orders/customer
+    lookups remain, which AQE turns into broadcast joins. Top-100 by
+    price with orderkey tie-break."""
     li = table(spark, sf_dir, "lineitem")
     big = (
         li.groupBy(F.col("l_orderkey").alias("big_orderkey"))
         .agg(F.sum(_qtyc()).alias("oq"))
         .filter(F.col("oq") > 25000)
-        .select("big_orderkey")
     )
     return (
-        li.join(big, F.col("big_orderkey") == F.col("l_orderkey"))
-        .join(table(spark, sf_dir, "orders"), F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(table(spark, sf_dir, "customer"), F.col("c_custkey") == F.col("o_custkey"))
-        .groupBy(
+        big.join(
+            table(spark, sf_dir, "orders"),
+            F.col("o_orderkey") == F.col("big_orderkey"),
+        )
+        .join(
+            table(spark, sf_dir, "customer"),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .select(
             "c_name", "c_custkey", "o_orderkey", "o_orderdate",
             cents(F.col("o_totalprice")).alias("totalprice_cents"),
+            F.col("oq").cast("bigint").alias("sum_qty_cents"),
         )
-        .agg(F.sum(_qtyc()).cast("bigint").alias("sum_qty_cents"))
         .orderBy(F.desc("totalprice_cents"), F.asc("o_orderkey"))
         .limit(100)
     )

@@ -687,6 +687,82 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HAMMING_MAX = 3
+# 30 simhash bits split (8,8,8,6): pigeonhole over 4 chunks makes the
+# chunk-equality join EXACT for hamming ≤ 3 — a pair differing in ≤3
+# bits cannot differ in all 4 chunks
+_SIMHASH_CHUNKS = [(0, 8), (8, 8), (16, 8), (24, 6)]
+
+
+@query(
+    "doc_simhash_hamming_pairs",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents WHERE length(text) > 0
+), hashed AS (
+  SELECT doc_id, {_HASH31_DUCK.format(t="token")} AS h
+  FROM tok WHERE length(token) > 0
+), bits AS (
+  SELECT doc_id, b.bit,
+         SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS weight
+  FROM hashed CROSS JOIN (SELECT unnest(range(0, 30)) AS bit) b
+  GROUP BY doc_id, b.bit
+), sh AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN weight > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+""",
+)
+def doc_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: hamming distance ≤ 3 on the 30-bit
+    fingerprint — EXACT results via pigeonhole banding, never an
+    all-pairs join: the fingerprint splits into 4 chunks (8+8+8+6
+    bits), any pair within distance 3 must agree exactly on ≥1 chunk,
+    so candidates come from 4 chunk-equality equi-joins and only they
+    get the bit_count(xor) check. The oracle IS the all-pairs join —
+    equality proves no pair is lost. Fixed-width signatures ⇒ cost is
+    independent of document length; the chunk join is the same shape
+    that survives the 100 TB corpus (chunk value = partition key).
+    """
+    sig = doc_simhash(spark, sf_dir)
+    chunk_exprs = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.expr(f"shiftright(simhash, {off}) & {(1 << width) - 1}").alias(
+                "val"
+            ),
+        )
+        for i, (off, width) in enumerate(_SIMHASH_CHUNKS)
+    ]
+    banded = sig.select(
+        "doc_id", "simhash", F.explode(F.array(*chunk_exprs)).alias("bv")
+    ).select("doc_id", "simhash", "bv.band", "bv.val")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    hamming = F.expr("bit_count(a.simhash ^ b.simhash)")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.cast("bigint").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
 @query(
     "doc_dedup_corpus",
     oracle="""

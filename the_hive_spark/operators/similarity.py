@@ -329,3 +329,31 @@ def emb_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_sq_norm_milli"),
         F.min("vec_id").cast("bigint").alias("min_vec_id"),
     )
+
+
+@query(
+    "emb_centroid_by_label",
+    oracle=f"""
+SELECT label, CAST(t.i - 1 AS BIGINT) AS pos,
+       CAST(SUM({_Q_DUCK.format(x="embedding[t.i]")}) AS BIGINT) AS sum_milli,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors
+FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+GROUP BY label, pos
+""",
+)
+def emb_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label element-wise embedding sums — the centroid-update step
+    of IVF/KMeans index builds, as one map-side-combinable aggregation
+    over posexplode'd elements (quantized milli-units so sums are
+    exact integers on any engine/partitioning). Centroid = sum/n,
+    left to the caller to keep the oracle division-free."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = F.expr(_Q_SPARK.format(x="e"))
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "e"))
+        .groupBy("label", F.col("pos").cast("bigint").alias("pos"))
+        .agg(
+            F.sum(q).cast("bigint").alias("sum_milli"),
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        )
+    )

@@ -363,3 +363,42 @@ def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             " t -> t rlike '^[^A-Za-z0-9]$')"
         )).cast("bigint").alias("n_symbol_tokens"),
     )
+
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_LONGNUM_RE = "[0-9]{7,}"
+
+
+@query(
+    "doc_pii_redact",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_LONGNUM_RE}')) AS BIGINT) AS n_longnums,
+       md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_LONGNUM_RE}', '<NUM>', 'g')) AS redacted_md5
+FROM documents WHERE length(text) > 0
+""",
+)
+def doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction pass every training-data pipeline
+    runs before a corpus ships: emails and long digit runs (phone/ID
+    shaped) replaced by typed placeholders, plus per-doc match tallies
+    for scrub-rate monitoring. Pure JVM regexp (one codegen'd scan, no
+    Python); the md5 of the redacted text makes the rewrite itself —
+    not just the counts — oracle-checkable. Patterns are RE2/Java
+    common-subset so both engines match identical spans."""
+    docs = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    redacted = F.regexp_replace(
+        F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"),
+        _LONGNUM_RE,
+        "<NUM>",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count("text", F.lit(_LONGNUM_RE))
+        .cast("bigint")
+        .alias("n_longnums"),
+        F.md5(redacted).alias("redacted_md5"),
+    )

@@ -279,3 +279,45 @@ def events_hourly_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy(
         F.hour("ts").cast("int").alias("hour_of_day"), "event_type"
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "events_retention",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CAST(ts AS DATE)) AS f_day
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT e.user_id,
+         strftime(f.f_day, '%Y-%m') AS cohort_month,
+         datediff('day', f.f_day, CAST(e.ts AS DATE)) // 7 AS week_n
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+)
+SELECT cohort_month, CAST(week_n AS BIGINT) AS week_n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM activity
+GROUP BY cohort_month, week_n
+""",
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-seen month, counted
+    per week-offset from their own first day — the standard
+    product-analytics retention triangle. Two aggregations keyed on
+    user_id back-to-back, so the cohort join reuses the firsts
+    shuffle; week offsets are user-relative integer math (no
+    calendar-week dialect differences to leak between engines)."""
+    ev = table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("f_day")
+    )
+    activity = ev.join(firsts, "user_id").select(
+        "user_id",
+        F.date_format("f_day", "yyyy-MM").alias("cohort_month"),
+        F.floor(F.datediff(F.to_date("ts"), F.col("f_day")) / 7)
+        .cast("bigint")
+        .alias("week_n"),
+    )
+    return activity.groupBy("cohort_month", "week_n").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users")
+    )
