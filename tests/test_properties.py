@@ -1,0 +1,172 @@
+"""Property-based tests (hypothesis) for the cross-engine helper
+contracts — the invariants the oracle gate depends on but only ever
+samples at fixed scale factors:
+
+- Python helpers used by the dense-regime dedup plans must agree with
+  the SQL expressions the oracles run (shingling, hash31, minhash
+  chunking, quantization) on ARBITRARY inputs, not just the testdata;
+- the hybrid connected-components paths must agree with a reference
+  union-find on arbitrary edge lists.
+
+DuckDB evaluates the SQL side (no JVM startup), so hundreds of
+examples run in seconds; the one Spark-backed property keeps its
+example count small.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import duckdb
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from the_hive_spark.operators.dedup import (
+    N_MINHASH,
+    SHINGLE_W,
+    _HASH31_DUCK,
+    _py_shingle_set,
+)
+
+# printable-ish text incl. unicode, but no surrogates
+_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0x2FFF),
+    min_size=0,
+    max_size=60,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_text)
+def test_py_shingle_set_matches_sql_semantics(text):
+    """_py_shingle_set == array_distinct(transform(sequence(...)))
+    as run by the sparse-plan SQL (same w, same substring windows)."""
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT DISTINCT unnest(list_distinct(
+          list_transform(range(1, greatest(length(t) - {SHINGLE_W - 1}, 1) + 1),
+                         i -> substring(t, i, {SHINGLE_W}))))
+        FROM (SELECT ? AS t) WHERE length(t) >= {SHINGLE_W}
+        """,
+        [text],
+    ).fetchall()
+    sql_set = {r[0] for r in rows}
+    py_set = _py_shingle_set(text) if len(text) >= SHINGLE_W else set()
+    assert py_set == sql_set
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet=st.characters(min_codepoint=1, max_codepoint=127),
+               min_size=1, max_size=30))
+def test_hash31_duck_matches_python(token):
+    """The portable 31-polynomial hash the simhash oracle runs must
+    equal the obvious Python fold (mod 1e9+7, ascii codepoints)."""
+    con = duckdb.connect()
+    got = con.execute(
+        f"SELECT {_HASH31_DUCK.format(t='t')} FROM (SELECT ? AS t)", [token]
+    ).fetchone()[0]
+    acc = 0
+    for ch in token:
+        acc = (acc * 31 + ord(ch)) % 1000000007
+    assert got == acc
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+               min_size=SHINGLE_W, max_size=60))
+def test_dense_minhash_chunks_match_sql(text):
+    """The dense plan's driver-side md5-chunk minima == the sparse
+    oracle's MIN(substring(md5(shingle), 1+4c, 4)) per chunk."""
+    shingles = _py_shingle_set(text)
+    py_sig = [
+        min(
+            hashlib.md5(s.encode()).hexdigest()[4 * c : 4 * c + 4]
+            for s in shingles
+        )
+        for c in range(N_MINHASH)
+    ]
+    con = duckdb.connect()
+    sql_sig = list(
+        con.execute(
+            "SELECT "
+            + ", ".join(
+                f"MIN(substring(md5(s), {1 + 4 * c}, 4))"
+                for c in range(N_MINHASH)
+            )
+            + " FROM (SELECT unnest(?) AS s)",
+            [sorted(shingles)],
+        ).fetchone()
+    )
+    assert py_sig == sql_sig
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.floats(min_value=-10, max_value=10, allow_nan=False),
+             min_size=1, max_size=16)
+)
+def test_quantization_matches_sql(vec):
+    """numpy milli-unit quantization == FLOOR(x*1000 + 0.5) in SQL
+    (the arithmetic every vectorized similarity scorer relies on)."""
+    import numpy as np
+    import pandas as pd
+
+    from the_hive_spark.operators.similarity import _quantize_block
+
+    got = _quantize_block(pd.Series([vec]))[0].tolist()
+    con = duckdb.connect()
+    want = con.execute(
+        "SELECT list_transform(?::DOUBLE[], "
+        "x -> CAST(FLOOR(x * 1000 + 0.5) AS BIGINT))",
+        [vec],
+    ).fetchone()[0]
+    assert got == want
+
+
+def _reference_components(edges):
+    """Plain-python union-find with min-id labels."""
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            lo, hi = min(ru, rv), max(ru, rv)
+            parent[hi] = lo
+    return {n: find(n) for n in parent if any(n in e for e in edges)}
+
+
+@pytest.mark.parametrize("threshold", [1_000_000, 0])
+@settings(max_examples=15, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_cc_matches_reference_unionfind(spark, threshold, edges):
+    """Both CC paths (driver union-find / distributed star-contraction)
+    label arbitrary graphs exactly like a reference union-find
+    (self-loops dropped, min-id labels, isolated nodes absent)."""
+    from the_hive_spark.operators.graph import connected_components
+
+    real = [(u, v) for u, v in edges if u != v]
+    df = spark.createDataFrame(
+        edges, "src bigint, dst bigint"
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df, local_threshold=threshold).collect()
+    }
+    want = _reference_components(real)
+    assert got == want
