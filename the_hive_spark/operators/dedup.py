@@ -25,6 +25,7 @@ Spark and DuckDB, totally ordered, cheap to min().
 
 from __future__ import annotations
 
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
@@ -628,6 +629,8 @@ _HASH31_DUCK = (
 )
 
 
+
+
 @query(
     "doc_simhash",
     oracle=f"""
@@ -657,34 +660,33 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     followed by a Hamming-distance check.
     """
     docs = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
-    tok = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("token")
-    ).filter(F.length("token") > 0)
+    n = spark.sparkContext.defaultParallelism
+    tok = (
+        docs.repartition(n, "doc_id")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.length("token") > 0)
+    )
     hashed = tok.select(
         "doc_id", F.expr(_HASH31_SPARK.format(t="token")).alias("h")
     )
-    bits = (
-        hashed.crossJoin(
-            F.broadcast(
-                spark.range(30).select(F.col("id").cast("int").alias("bit"))
-            )
-        )
-        .groupBy("doc_id", "bit")
-        .agg(
+    # all 30 per-bit majority votes in ONE map-side-combinable
+    # aggregation (the oracle's bit crossJoin ×30 is the naive plan —
+    # same integer math, 30× the rows)
+    weights = hashed.groupBy("doc_id").agg(
+        *[
             F.sum(
-                F.when(F.expr("shiftright(h, bit) & 1 = 1"), 1).otherwise(-1)
-            ).alias("weight")
-        )
+                F.when(F.expr(f"shiftright(h, {b}) & 1 = 1"), 1).otherwise(-1)
+            ).alias(f"w{b}")
+            for b in range(30)
+        ]
     )
-    return bits.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("weight") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
-                F.lit(0).cast("bigint")
-            )
+    simhash = None
+    for b in range(30):
+        term = F.when(F.col(f"w{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
         )
-        .cast("bigint")
-        .alias("simhash")
-    )
+        simhash = term if simhash is None else simhash + term
+    return weights.select("doc_id", simhash.cast("bigint").alias("simhash"))
 
 
 HAMMING_MAX = 3
