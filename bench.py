@@ -53,6 +53,8 @@ EXTENDED = [
     "doc_pii_redact",
     "events_retention",
     "emb_centroid_by_label",
+    "events_asof_last_order",
+    "events_within_hour_pairs",
 ]
 
 

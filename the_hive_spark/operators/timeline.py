@@ -321,3 +321,114 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_month", "week_n").agg(
         F.countDistinct("user_id").cast("bigint").alias("n_users")
     )
+
+
+@query(
+    "events_asof_last_order",
+    oracle="""
+SELECT e.event_id, e.user_id,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS last_order_date
+FROM events e
+ASOF JOIN orders o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+""",
+)
+def events_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF JOIN — for every event, the latest order of the same user
+    at or before the event time. Spark has no asof operator; the
+    scalable composition is the union-merge: tag both inputs, union,
+    ONE shuffle on the key, and a running last_value(ignorenulls) over
+    (time, tag) ordering carries each order date forward to the events
+    that follow it. No per-row probe, no range explosion — the same
+    sort-merge shape a native asof join would execute. Oracle: DuckDB's
+    native ASOF JOIN (inner semantics — events with no prior order are
+    dropped, matching the trailing isNotNull filter)."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        "event_id",
+        F.lit(None).cast("timestamp").alias("odate"),
+        F.lit(1).alias("tag"),
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderdate").alias("odate"),
+        F.lit(0).alias("tag"),
+    )
+    # tag orders before events at equal t ⇒ ts >= o_orderdate inclusive
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = orders.unionByName(ev).withColumn(
+        "last_odate", F.last("odate", ignorenulls=True).over(w)
+    )
+    return (
+        merged.filter((F.col("tag") == 1) & F.col("last_odate").isNotNull())
+        .select(
+            "event_id",
+            F.col("k").alias("user_id"),
+            F.date_format("last_odate", "yyyy-MM-dd").alias("last_order_date"),
+        )
+    )
+
+
+_HOUR_US = 3_600_000_000
+
+
+@query(
+    "events_within_hour_pairs",
+    oracle=f"""
+SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b,
+       CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT) AS gap_us
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts >= a.ts
+ AND epoch_us(b.ts) - epoch_us(a.ts) <= {_HOUR_US}
+ AND a.event_id < b.event_id
+""",
+)
+def events_within_hour_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE (interval) self-join — pairs of events by the same user
+    within one hour. The naive theta join is O(n²) per user; the scale
+    plan BANDS time into hour buckets and joins on (user, bucket) with
+    each left row probing its own and the next bucket, which covers
+    every ≤1h pair exactly (a gap ≤1h spans at most one bucket
+    boundary). Equi-join + bounded fan-out of 2 — the interval-join
+    shape that survives arbitrarily long histories. Oracle: the naive
+    theta join, affordable at sf0.01 — equality proves no pair is
+    gained or lost."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    )
+    left = ev.select(
+        "user_id", F.col("event_id").alias("event_a"), F.col("us").alias("us_a"),
+        F.explode(
+            F.array(
+                (F.col("us") / _HOUR_US).cast("long"),
+                (F.col("us") / _HOUR_US).cast("long") + 1,
+            )
+        ).alias("bucket"),
+    )
+    right = ev.select(
+        "user_id", F.col("event_id").alias("event_b"), F.col("us").alias("us_b"),
+        (F.col("us") / _HOUR_US).cast("long").alias("bucket"),
+    )
+    return (
+        left.join(right, ["user_id", "bucket"])
+        .filter(
+            (F.col("us_b") >= F.col("us_a"))
+            & (F.col("us_b") - F.col("us_a") <= _HOUR_US)
+            & (F.col("event_a") < F.col("event_b"))
+        )
+        .select(
+            "user_id", "event_a", "event_b",
+            (F.col("us_b") - F.col("us_a")).cast("bigint").alias("gap_us"),
+        )
+        .dropDuplicates(["user_id", "event_a", "event_b"])
+    )
