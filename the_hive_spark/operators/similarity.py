@@ -357,3 +357,24 @@ def emb_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
         )
     )
+
+
+@query("emb_ann_ivf_topk")  # approximate ⇒ no SQL oracle (rows-only check)
+def emb_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via IVF (KMeans inverted lists, 3/16 probed,
+    exact cosine re-rank) — the second ANN family beside SRP-LSH. At
+    cluster scale `_cluster` is the table's partition key, so probing
+    IS partition pruning: the scan touches n_probe/n_clusters of the
+    corpus. Registered without an oracle (recall < 1 by design);
+    recall floors are asserted in tests/test_lsh.py."""
+    from the_hive_spark.functions.lsh import ivf_build, ivf_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    row = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0]
+    qv = [float(x) for x in row["embedding"]]
+    assigned, centroids = ivf_build(
+        emb.filter(F.col("vec_id") != 0), n_clusters=16
+    )
+    return ivf_topk(assigned, centroids, qv, k=KNN_K, n_probe=3).select(
+        "vec_id", "label", F.col("score").cast("double").alias("score")
+    )

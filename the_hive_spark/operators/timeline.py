@@ -432,3 +432,41 @@ def events_within_hour_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates(["user_id", "event_a", "event_b"])
     )
+
+
+@query(
+    "events_value_by_type_salted",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_value_micros
+FROM events GROUP BY event_type
+""",
+)
+def events_value_by_type_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe aggregation in the graded surface: event_type has a
+    handful of hot keys over the whole corpus — the textbook case
+    where a plain groupBy sends each hot key to one reducer. The
+    salted two-phase rewrite (functions/skew.py) spreads each key over
+    16 salts map-side, then merges partials; the oracle is the plain
+    GROUP BY, so hash equality proves the rewrite changes the shuffle
+    distribution and nothing else."""
+    from the_hive_spark.functions.skew import salted_agg
+
+    ev = table(spark, sf_dir, "events").withColumn(
+        "value_micros", F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint")
+    )
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n_events": ("event_id", "count"),
+            "total_value_micros": ("value_micros", "sum"),
+        },
+    )
+    return out.select(
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("total_value_micros").cast("bigint").alias("total_value_micros"),
+    )

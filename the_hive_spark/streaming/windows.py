@@ -1,0 +1,81 @@
+"""Event-time windowed aggregation with watermarks — the Structured
+Streaming semantics the reference never had (its timeline is wall-clock
+appends, SURVEY.md §2.8 ST4: "no watermark-drop semantics exist in the
+reference; no event-time"), but which any 100 TB event pipeline needs:
+late data admitted within the watermark, state bounded by it, windows
+emitted exactly once per (window, key) in append mode.
+
+Batch/stream parity: each helper runs identically on a batch DataFrame
+(watermark is a no-op in batch) and on a readStream DataFrame — the
+tests exercise both and assert they agree, which is the Spark-native
+way to prove a streaming aggregation correct.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+DEFAULT_WATERMARK = "10 minutes"
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = DEFAULT_WATERMARK,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling (or sliding, when ``slide`` is given) per-type event
+    counts. State is keyed by (window, event_type) and dropped once
+    the watermark passes the window end — bounded regardless of
+    stream length."""
+    w = (
+        F.window(ts_col, window)
+        if slide is None
+        else F.window(ts_col, window, slide)
+    )
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(w.alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint")
+            ).alias("total_value_micros"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value_micros",
+        )
+    )
+
+
+def windowed_user_activity(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = DEFAULT_WATERMARK,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Distinct users per tumbling window via the streaming-legal
+    rewrite: approx/exact distinct aggregations aren't allowed on
+    streams, so distinct-per-window is two stacked aggregations —
+    dedupe (window, user) pairs first, then count. Both stages share
+    the watermark, so state stays bounded."""
+    deduped = (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return deduped.groupBy("win").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n").alias("n_events"),
+    ).select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        "n_users",
+        "n_events",
+    )
