@@ -62,6 +62,15 @@ def chunk_fixed(
     )
 
 
+def _docs_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents spread to cluster parallelism — the chunk explode
+    multiplies per-row cost by n_chunks, a fan-out stage that must not
+    run at input-file-split parallelism (the table arrives as one
+    small parquet split)."""
+    n = spark.sparkContext.defaultParallelism
+    return table(spark, sf_dir, "documents").repartition(n, "doc_id")
+
+
 @query(
     "doc_chunks",
     oracle=f"""
@@ -84,7 +93,7 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     the F3 idempotent-id scheme (UUIDv5 exact form lives in
     functions.ids; the digest here keeps the oracle portable).
     """
-    return chunk_fixed(table(spark, sf_dir, "documents"))
+    return chunk_fixed(_docs_parallel(spark, sf_dir))
 
 
 @query(
@@ -103,7 +112,7 @@ FROM exploded GROUP BY doc_id
 )
 def doc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document chunk tally (A3 ingest-tally parity)."""
-    return chunk_fixed(table(spark, sf_dir, "documents")).groupBy("doc_id").agg(
+    return chunk_fixed(_docs_parallel(spark, sf_dir)).groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum("chunk_len").cast("bigint").alias("total_chunk_chars"),
     )
