@@ -1082,3 +1082,90 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(20)
     )
+
+
+@query(
+    "q_rollup_revenue",
+    oracle=f"""
+SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+       COALESCE(CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR), 'ALL') AS order_year,
+       CAST(SUM({_REV_SQL}) AS BIGINT) AS revenue_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+GROUP BY ROLLUP(o_orderpriority, EXTRACT(year FROM o_orderdate))
+""",
+)
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (priority → priority×year → grand
+    total) in one pass — Catalyst expands the grouping sets with a
+    single Expand + one shuffle, the multi-level-report shape the
+    reference computed with separate handler queries. NULL grouping
+    slots are COALESCEd to 'ALL' labels so the hash never compares
+    engine NULL renderings."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate").cast("string")
+    return (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .rollup(F.col("o_orderpriority").alias("p"), yr.alias("y"))
+        .agg(
+            F.sum(_rev()).cast("bigint").alias("revenue_cents"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+        .select(
+            F.coalesce("p", F.lit("ALL")).alias("priority"),
+            F.coalesce("y", F.lit("ALL")).alias("order_year"),
+            "revenue_cents",
+            "n_lines",
+        )
+    )
+
+
+@query(
+    "q_running_monthly_revenue",
+    oracle=f"""
+WITH monthly AS (
+  SELECT o_orderpriority AS priority,
+         strftime(o_orderdate, '%Y-%m') AS month,
+         SUM({_REV_SQL}) AS revenue_cents
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  GROUP BY priority, month
+)
+SELECT priority, month,
+       CAST(revenue_cents AS BIGINT) AS revenue_cents,
+       CAST(SUM(revenue_cents) OVER (
+         PARTITION BY priority ORDER BY month
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS running_revenue_cents
+FROM monthly
+""",
+)
+def q_running_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running cumulative revenue per priority by month — aggregation
+    feeding a PARTITIONed running-sum window. The window partitions on
+    the (low-cardinality) priority only AFTER the monthly rollup has
+    shrunk the data to |priorities|×|months| rows, so the sort inside
+    each window partition is trivial at any input scale."""
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    monthly = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        )
+        .agg(F.sum(_rev()).alias("revenue_cents"))
+    )
+    w = (
+        Window.partitionBy("priority")
+        .orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return monthly.select(
+        "priority",
+        "month",
+        F.col("revenue_cents").cast("bigint").alias("revenue_cents"),
+        F.sum("revenue_cents").over(w).cast("bigint").alias("running_revenue_cents"),
+    )
