@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import pytest
 
+from the_hive_spark.plans.inspect import executed_plan, plan_summary
 from the_hive_spark.registry import QUERIES, load_all
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -26,8 +27,7 @@ PAIRWISE_BASELINES = {
 
 
 def _plan(spark, name: str) -> str:
-    df = QUERIES[name](spark, SF_DIR)
-    return df._jdf.queryExecution().executedPlan().toString()
+    return executed_plan(QUERIES[name](spark, SF_DIR))
 
 
 def test_q1_scan_pushdown_and_pruning(spark):
@@ -73,3 +73,17 @@ def test_no_accidental_cartesian(spark, name):
         pytest.skip("documented brute-force pair baseline")
     plan = _plan(spark, name)
     assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
+def test_plan_summary_reports_health(spark):
+    """plans.inspect.plan_summary surfaces the numbers the scale
+    docstrings claim: q5 = broadcast-only star join, one fact
+    shuffle-agg; q1 = pushed filters + pruned scan."""
+    s5 = plan_summary(QUERIES["q5_local_supplier_volume"](spark, SF_DIR))
+    assert s5["broadcast_hash_joins"] >= 3
+    assert s5["sort_merge_joins"] == 0
+    assert s5["cartesian_products"] == 0
+    s1 = plan_summary(QUERIES["q1_pricing_summary"](spark, SF_DIR), execute=True)
+    assert any("l_shipdate" in f for f in s1["pushed_filters"])
+    assert s1["scans"] >= 1 and s1["codegen_spans"] >= 1
+    assert all("l_orderkey" not in rs for rs in s1["read_schemas"])

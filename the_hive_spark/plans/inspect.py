@@ -1,0 +1,85 @@
+"""Physical-plan inspection utilities — the feedback loop behind every
+scale decision in this engine.
+
+The reference has no optimizer to replicate (SURVEY.md §4); what a
+Spark-native engine owes its operators instead is *evidence* that
+Catalyst produced the plan they were designed for: filters pushed into
+the parquet scan, dimensions broadcast, top-k compiled to
+TakeOrderedAndProject, no accidental CartesianProduct, whole-stage
+codegen covering the hot expressions. These helpers extract that
+evidence from a DataFrame so tests (tests/test_plans.py) and
+development loops can assert on it instead of hoping.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def executed_plan(df: DataFrame) -> str:
+    """The physical plan string (post-AQE initial plan)."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_plan(df: DataFrame) -> str:
+    """The Catalyst-optimized logical plan string."""
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def pushed_filters(plan: str) -> list[str]:
+    """Every PushedFilters list in the plan, flattened."""
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan):
+        body = m.group(1).strip()
+        if body:
+            out.extend(s.strip() for s in body.split(","))
+    return out
+
+
+def read_schemas(plan: str) -> list[str]:
+    """The ReadSchema struct of every file scan (column-pruning proof)."""
+    return [m.group(1) for m in re.finditer(r"ReadSchema: (\S+)", plan)]
+
+
+def plan_summary(df: DataFrame, execute: bool = False) -> dict:
+    """One-look plan health: join strategies, shuffle count, codegen
+    span count, scans and their pushdowns.
+
+    With ``execute=True`` THIS DataFrame is collected first so AQE
+    finalizes ITS plan — codegen spans and runtime join demotions only
+    show up in the final plan (``isFinalPlan=true``), and a separate
+    action like ``df.count()`` builds a different query that leaves
+    this one unexecuted. Use on bounded results (it materializes them).
+
+    The numbers to watch while iterating on an operator:
+    - ``exchanges`` — every one is a full shuffle of its input;
+    - ``sort_merge_joins`` on a TPC-H-ratio dimension means a missing
+      broadcast; ``cartesian_products`` outside a documented pair
+      baseline means a bug;
+    - ``codegen_spans`` shrinking after a change usually means an
+      expression fell out of whole-stage codegen (e.g. a Python UDF
+      landed in the hot path).
+    """
+    if execute:
+        df.collect()
+    plan = executed_plan(df)
+    return {
+        "exchanges": len(re.findall(r"\bExchange\b", plan)),
+        "broadcast_hash_joins": plan.count("BroadcastHashJoin"),
+        "sort_merge_joins": plan.count("SortMergeJoin"),
+        "shuffled_hash_joins": plan.count("ShuffledHashJoin"),
+        "cartesian_products": plan.count("CartesianProduct"),
+        "broadcast_nested_loop_joins": plan.count("BroadcastNestedLoopJoin"),
+        "take_ordered": "TakeOrderedAndProject" in plan,
+        # codegen stages appear as "*(n) Operator" prefixes in the plan
+        # string (and as "WholeStageCodegen (n)" in formatted explain)
+        "codegen_spans": len(
+            set(re.findall(r"\*\((\d+)\)", plan))
+            | set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))
+        ),
+        "scans": len(re.findall(r"FileScan|Scan parquet", plan)),
+        "pushed_filters": pushed_filters(plan),
+        "read_schemas": read_schemas(plan),
+    }
