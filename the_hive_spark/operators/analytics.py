@@ -1039,12 +1039,14 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE per-order aggregate: after the lineitem ⋈ finalized-orders
     join (which restricts to 'F' orders — sound, because every output
     order must have a late line and late lines only come from 'F'
-    orders), a single groupBy(l_orderkey) computes supplier count,
-    late-supplier count, late-row count and the sole late supplier
-    together. The groupBy key equals the join key, so the aggregation
-    reuses the join's shuffle partitioning — the whole query moves
-    lineitem through the cluster once, vs the textbook plan's three
-    passes (late, multi, sole_late) plus two semi-joins."""
+    orders), per-order stats come from TWO STACKED PLAIN aggregations
+    — (order, supplier) first, then order — instead of multi-distinct
+    aggregates, which Catalyst would execute by Expanding the joined
+    fact ×3 before the shuffle (measured ~30% slower, and strictly
+    worse at scale: the plain first agg combines map-side and shrinks
+    to distinct (order, supplier) pairs before anything shuffles).
+    The whole query still moves lineitem through the cluster once, vs
+    the textbook plan's three passes plus two semi-joins."""
     li = table(spark, sf_dir, "lineitem")
     fo = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     is_late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
@@ -1057,14 +1059,14 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_suppkey",
             is_late.cast("long").alias("late"),
         )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.sum("late").alias("n_late"))
         .groupBy("l_orderkey")
         .agg(
-            F.count_distinct("l_suppkey").alias("ns"),
-            F.count_distinct(
-                F.when(F.col("late") == 1, F.col("l_suppkey"))
-            ).alias("nl"),
-            F.sum("late").alias("late_rows"),
-            F.max(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias(
+            F.count(F.lit(1)).alias("ns"),
+            F.sum((F.col("n_late") > 0).cast("long")).alias("nl"),
+            F.sum("n_late").alias("late_rows"),
+            F.max(F.when(F.col("n_late") > 0, F.col("l_suppkey"))).alias(
                 "late_supp"
             ),
         )
