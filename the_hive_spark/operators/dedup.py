@@ -929,3 +929,41 @@ def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("component", "doc_id").cast("bigint").alias("cluster_id"),
         )
     )
+
+
+@query(
+    "doc_corpus_filtered",
+    oracle="""
+WITH m AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS n_tokens
+  FROM documents WHERE length(text) > 0
+), keep AS (
+  SELECT md5(text) AS h, MIN(doc_id) AS keep FROM documents GROUP BY md5(text)
+)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d
+JOIN keep c ON md5(d.text) = c.h AND d.doc_id = c.keep
+JOIN m ON m.doc_id = d.doc_id
+WHERE m.n_chars >= 50 AND m.n_tokens >= 10
+  AND (m.n_chars - m.n_tokens + 1.0) / greatest(m.n_tokens, 1) BETWEEN 2 AND 12
+""",
+)
+def doc_corpus_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shipped corpus: exact-dedup canonicalization ∩ quality
+    gate — the composition a training pipeline actually materializes
+    (dedup profiling and quality scoring are diagnostics; THIS is the
+    output dataset). Composes doc_dedup_corpus and doc_quality_score
+    so both stay single-source-of-truth; Catalyst collapses the
+    shared documents scans."""
+    from the_hive_spark.operators.text_analysis import doc_quality_score
+
+    passing = (
+        doc_quality_score(spark, sf_dir)
+        .filter(F.col("passes_quality"))
+        .select("doc_id")
+    )
+    return doc_dedup_corpus(spark, sf_dir).join(passing, "doc_id").select(
+        "doc_id", "lang", "source", "n_chars"
+    )

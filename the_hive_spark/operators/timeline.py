@@ -470,3 +470,60 @@ def events_value_by_type_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("bigint").alias("n_events"),
         F.col("total_value_micros").cast("bigint").alias("total_value_micros"),
     )
+
+
+@query(
+    "events_anomaly_daily",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+         COUNT(*) AS n_events
+  FROM events GROUP BY event_type, day
+), trail7 AS (
+  SELECT event_type, day, n_events,
+         SUM(n_events) OVER w AS sum7,
+         COUNT(*) OVER w AS cnt7
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, day, CAST(n_events AS BIGINT) AS n_events,
+       CAST(sum7 AS BIGINT) AS sum7, CAST(cnt7 AS BIGINT) AS cnt7,
+       (cnt7 > 0 AND 2 * abs(n_events * cnt7 - sum7) > sum7) AS is_anomaly
+FROM trail7
+""",
+)
+def events_anomaly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: each (event_type, day) count against
+    its trailing-7-day average, flagged when it deviates > ±50%. The
+    ratio test is cross-multiplied into pure integer arithmetic
+    (2·|n·cnt7 − sum7| > sum7), so both engines agree exactly — no
+    float mean/std to drift. The window partitions by event_type
+    AFTER daily aggregation: state per partition is |days| rows,
+    independent of raw event volume."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    trailing = daily.select(
+        "event_type",
+        "day",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.sum("n_events").over(w).cast("bigint").alias("sum7"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("cnt7"),
+    )
+    return trailing.withColumn(
+        "is_anomaly",
+        (F.col("cnt7") > 0)
+        & (
+            2 * F.abs(F.col("n_events") * F.col("cnt7") - F.col("sum7"))
+            > F.col("sum7")
+        ),
+    )
