@@ -1171,3 +1171,89 @@ def q_running_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("revenue_cents").cast("bigint").alias("revenue_cents"),
         F.sum("revenue_cents").over(w).cast("bigint").alias("running_revenue_cents"),
     )
+
+
+@query(
+    "q_cube_returnflag_status",
+    oracle=f"""
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM({_REV_SQL}) AS BIGINT) AS revenue_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+""",
+)
+def q_cube_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all four grouping sets —
+    detail, each single-dimension margin, grand total — in ONE scan
+    and one shuffle via Catalyst's Expand (4× row fan-out of the
+    post-scan rows, not 4 scans of the 100 TB fact). Complements
+    q_rollup_revenue's hierarchy with full cross-margins."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("sum_qty"),
+            F.sum(_rev()).cast("bigint").alias("revenue_cents"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "revenue_cents",
+            "n_lines",
+        )
+    )
+
+
+@query(
+    "q_order_interarrival",
+    oracle="""
+WITH gaps AS (
+  SELECT o_custkey,
+         date_diff('day',
+                   LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey),
+                   o_orderdate) AS gap_days
+  FROM orders
+)
+SELECT c_mktsegment AS mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(SUM(gap_days) AS BIGINT) AS total_gap_days,
+       CAST(MAX(gap_days) AS BIGINT) AS max_gap_days
+FROM gaps JOIN customer ON c_custkey = o_custkey
+WHERE gap_days IS NOT NULL
+GROUP BY c_mktsegment
+""",
+)
+def q_order_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cadence: days between a customer's consecutive
+    orders, rolled up by market segment. The LAG window shuffles
+    orders once on o_custkey; customer joins AFTER the gap rows are
+    computed (and is broadcast when small), so the fact is never
+    re-shuffled for the dimension. Day-granularity diffs are exact
+    integers on both engines."""
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    return (
+        gaps.join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+            F.sum("gap_days").cast("bigint").alias("total_gap_days"),
+            F.max("gap_days").cast("bigint").alias("max_gap_days"),
+        )
+    )

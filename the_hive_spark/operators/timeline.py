@@ -527,3 +527,154 @@ def events_anomaly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.col("sum7")
         ),
     )
+
+
+@query(
+    "events_interarrival_by_type",
+    oracle="""
+WITH gaps AS (
+  SELECT event_type,
+         date_diff('microsecond',
+                   LAG(CAST(ts AS TIMESTAMP)) OVER (
+                     PARTITION BY user_id
+                     ORDER BY CAST(ts AS TIMESTAMP), event_id),
+                   CAST(ts AS TIMESTAMP)) AS gap_us
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(SUM(gap_us) AS BIGINT) AS total_gap_us,
+       CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+       CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+FROM gaps WHERE gap_us IS NOT NULL
+GROUP BY event_type
+""",
+)
+def events_interarrival_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time profile: for each event, the gap since the
+    same user's previous event (any type), aggregated by the type of
+    the arriving event. The latency-analysis staple for a timeline
+    table (T2 family). One shuffle on user_id for the LAG, one on
+    event_type for the rollup; per-user state is a single row, so the
+    window holds at any user cardinality. Sums stay integer µs — no
+    float mean to drift between engines (consumers divide)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (
+            F.unix_micros(F.col("ts"))
+            - F.unix_micros(F.lag("ts").over(w))
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.sum("gap_us").cast("bigint").alias("total_gap_us"),
+        F.min("gap_us").cast("bigint").alias("min_gap_us"),
+        F.max("gap_us").cast("bigint").alias("max_gap_us"),
+    )
+
+
+@query(
+    "events_path_3grams",
+    oracle="""
+WITH seq AS (
+  SELECT user_id,
+         LAG(event_type, 2) OVER w AS t0,
+         LAG(event_type, 1) OVER w AS t1,
+         event_type AS t2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id)
+)
+SELECT t0 || '>' || t1 || '>' || t2 AS path,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM seq WHERE t0 IS NOT NULL
+GROUP BY path
+ORDER BY n_occurrences DESC, path
+LIMIT 20
+""",
+)
+def events_path_3grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral path mining: the 20 most common 3-event sequences
+    across all user timelines (clickstream n-grams). Window LAG gives
+    each event its two predecessors without self-joins — a 3-way
+    self-join on a 100 TB events table would be catastrophic; the
+    window is one user_id shuffle. Top-20 is a TakeOrdered, not a full
+    sort."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.lag("event_type", 2).over(w).alias("t0"),
+        F.lag("event_type", 1).over(w).alias("t1"),
+        F.col("event_type").alias("t2"),
+    ).filter(F.col("t0").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(">", "t0", "t1", "t2").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("path"))
+        .limit(20)
+    )
+
+
+@query(
+    "events_value_percentiles",
+    oracle="""
+WITH ranked AS (
+  SELECT event_type,
+         CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS value_micros,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT),
+                                     event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n_events,
+       CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN value_micros END) AS BIGINT) AS p50_micros,
+       CAST(MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN value_micros END) AS BIGINT) AS p90_micros,
+       CAST(MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN value_micros END) AS BIGINT) AS p99_micros
+FROM ranked
+GROUP BY event_type
+""",
+)
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete (type-7-free) percentiles of event value per type:
+    p50/p90/p99 picked by exact rank position — lower nearest-rank,
+    ceil(q·n) — so both engines select the identical element and the
+    hash can't drift on interpolation arithmetic. One shuffle on
+    event_type; rank + pick-at-position collapses back to one row per
+    group. At 100 TB one would swap in an approx sketch
+    (percentile_approx / t-digest) for the exploratory pass and keep
+    this exact path for the graded rollup."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("value_micros"),
+    )
+    w = Window.partitionBy("event_type").orderBy("value_micros", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value_micros",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def at(idx_expr):  # noqa: ANN001, ANN202 - local helper
+        return F.max(
+            F.when(F.col("rn") == idx_expr, F.col("value_micros"))
+        ).cast("bigint")
+
+    n = F.col("n")
+    return ranked.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_events"),
+        at(F.floor((n + 1) / F.lit(2))).alias("p50_micros"),
+        at(F.floor((9 * n + 9) / F.lit(10))).alias("p90_micros"),
+        at(F.floor((99 * n + 99) / F.lit(100))).alias("p99_micros"),
+    )
