@@ -55,6 +55,10 @@ EXTENDED = [
     "emb_centroid_by_label",
     "events_asof_last_order",
     "events_within_hour_pairs",
+    "events_value_percentiles",
+    "events_path_3grams",
+    "graph_pagerank3",
+    "doc_top_terms",
 ]
 
 

@@ -141,3 +141,42 @@ def test_update_event_on_changed_file(spark, tmp_path):
         for r in eng.read_table("events").orderBy("id").collect()
     ]
     assert types == ["ingest", "update"]
+
+
+def test_ship_corpus_layout_and_roundtrip(spark, tmp_path):
+    """The corpus sink writes lang-partitioned, doc_id-sorted parquet
+    that round-trips exactly: same rows as the doc_corpus_filtered
+    query joined back to text, directories Hive-partitioned by lang,
+    and doc_id non-decreasing within every file (row-group pruning
+    depends on it)."""
+    import os
+
+    from the_hive_spark.operators.dedup import doc_corpus_filtered
+    from the_hive_spark.sources.sinks import ship_corpus
+    from the_hive_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "corpus")
+    n = ship_corpus(spark, sf, out)
+
+    expected = doc_corpus_filtered(spark, sf).count()
+    assert n == expected and n > 0
+
+    langs = {d for d in os.listdir(out) if d.startswith("lang=")}
+    assert langs, "expected Hive-style lang= partition directories"
+
+    back = spark.read.parquet(out)
+    got = {r.doc_id for r in back.select("doc_id").collect()}
+    want = {r.doc_id for r in doc_corpus_filtered(spark, sf).collect()}
+    assert got == want
+
+    # per-file sortedness: every parquet part must be doc_id-sorted
+    import pyarrow.parquet as pq
+
+    for root, _dirs, files in os.walk(out):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            ids = pq.read_table(os.path.join(root, f), columns=["doc_id"])
+            col = ids.column("doc_id").to_pylist()
+            assert col == sorted(col), f"unsorted file {f}"

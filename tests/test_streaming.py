@@ -327,3 +327,80 @@ def test_windowed_counts_stream_equals_batch(spark, tmp_path):
             if not t[0].startswith("2024-03-03")
         }
         assert not missing, f"{sink}: closed windows missing: {missing}"
+
+
+def test_stream_stream_attribution_equals_batch(spark, tmp_path):
+    """Batch/stream parity for the watermarked stream-stream interval
+    join (conversion attribution): same parquet input joined as batch
+    and as two watermarked file-source streams must agree on every
+    pair the watermark has closed."""
+    import pandas as pd
+
+    from the_hive_spark.streaming.windows import attributed_conversions
+
+    src = tmp_path / "conv"
+    src.mkdir()
+    base = pd.Timestamp("2024-03-01 00:00:00")
+    rows = []
+    # per user: clicks every 11 min, purchases every 50 min — some
+    # purchases attribute to several clicks, some clicks to none
+    for i in range(60):
+        rows.append({
+            "ts": base + pd.Timedelta(minutes=11 * i),
+            "user_id": i % 4,
+            "event_type": "click",
+            "event_id": 1000 + i,
+        })
+    for j in range(12):
+        rows.append({
+            "ts": base + pd.Timedelta(minutes=50 * j + 5),
+            "user_id": j % 4,
+            "event_type": "purchase",
+            "event_id": 2000 + j,
+        })
+
+    def _dump(frame: pd.DataFrame, name: str) -> None:
+        frame = frame.astype({"ts": "datetime64[us]"})
+        frame["ts"] = frame["ts"].dt.tz_localize("UTC")
+        frame.to_parquet(src / name)
+
+    _dump(pd.DataFrame(rows), "a.parquet")
+    # far-future sentinel closes the watermark over everything above
+    _dump(
+        pd.DataFrame(
+            [{
+                "ts": base + pd.Timedelta(days=3),
+                "user_id": 0,
+                "event_type": "view",
+                "event_id": 9999,
+            }]
+        ),
+        "z.parquet",
+    )
+
+    batch_df = spark.read.parquet(str(src))
+    stream_df = spark.readStream.schema(batch_df.schema).parquet(str(src))
+
+    q = (
+        attributed_conversions(stream_df, within="30 minutes", watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("conv_pairs")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        tuple(str(v) for v in r)
+        for r in spark.sql("SELECT * FROM conv_pairs").collect()
+    }
+    want = {
+        tuple(str(v) for v in r)
+        for r in attributed_conversions(
+            batch_df, within="30 minutes", watermark="10 minutes"
+        ).collect()
+    }
+    assert want, "batch oracle produced no pairs — fixture broken"
+    assert got == want, (
+        f"stream≠batch: extra={got - want} missing={want - got}"
+    )

@@ -245,3 +245,91 @@ def _cc_local_unionfind(e: DataFrame) -> DataFrame:
     labels = nodes[[find(i) for i in range(len(nodes))]]
     out = pd.DataFrame({"node": nodes, "component": labels})
     return e.sparkSession.createDataFrame(out, "node bigint, component bigint")
+
+
+_PAGERANK_SCALE = 1_000_000  # ranks as integer micro-units
+
+
+def _pagerank_iter_sql(prev: str, out: str) -> str:
+    """One unrolled PageRank step in portable SQL (see graph_pagerank3)."""
+    return f"""
+{out} AS (
+  SELECT n.node_id,
+         CAST(150000 + (85 * COALESCE(SUM({prev}.rank // d.outd), 0)) // 100
+              AS BIGINT) AS rank
+  FROM nodes n
+  LEFT JOIN edges e ON e.dst = n.node_id
+  LEFT JOIN deg d ON d.src = e.src
+  LEFT JOIN {prev} ON {prev}.node_id = e.src
+  GROUP BY n.node_id
+)"""
+
+
+@query(
+    "graph_pagerank3",
+    oracle=f"""
+WITH edges AS ({_EDGES_SQL}),
+nodes AS (
+  SELECT src AS node_id FROM edges UNION SELECT dst FROM edges
+),
+deg AS (SELECT src, COUNT(*) AS outd FROM edges GROUP BY src),
+r0 AS (SELECT node_id, CAST({_PAGERANK_SCALE} AS BIGINT) AS rank FROM nodes),
+{_pagerank_iter_sql('r0', 'r1')},
+{_pagerank_iter_sql('r1', 'r2')},
+{_pagerank_iter_sql('r2', 'r3')}
+SELECT node_id, rank AS rank_micros
+FROM r3
+ORDER BY rank_micros DESC, node_id
+LIMIT 30
+""",
+)
+def graph_pagerank3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative graph algorithm on the document-relationship graph:
+    3 PageRank power iterations (damping 0.85), top-30 hubs.
+
+    All arithmetic is integer micro-units with floor division at the
+    same two points in both engines (per-edge rank/out-degree, then
+    the 85% damping product), so three chained iterations stay
+    bit-identical — no float mass to drift. Each iteration is the
+    classic two-shuffle step: edges⋈ranks on src (contribution), then
+    groupBy dst (gather); the node/degree tables are computed once and
+    reused. On a real cluster both edges and ranks would be
+    pre-partitioned on their join key so every iteration reuses the
+    partitioning instead of re-shuffling (checkpoint every ~5 rounds
+    to cut the growing lineage); 3 unrolled rounds keep the oracle
+    SQL-expressible."""
+    edges = derived_edges(spark, sf_dir).select("src", "dst")
+    nodes = (
+        edges.select(F.col("src").alias("node_id"))
+        .union(edges.select(F.col("dst").alias("node_id")))
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outd"))
+    edges_deg = edges.join(deg, "src")
+
+    ranks = nodes.withColumn("rank", F.lit(_PAGERANK_SCALE).cast("bigint"))
+    for _ in range(3):
+        contrib = (
+            edges_deg.join(
+                ranks.withColumnRenamed("node_id", "src"), "src"
+            )
+            .select("dst", F.expr("rank div outd").alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("in_mass"))
+        )
+        ranks = nodes.join(
+            contrib, nodes["node_id"] == contrib["dst"], "left"
+        ).select(
+            "node_id",
+            (
+                F.lit(150000)
+                + F.expr("85 * coalesce(in_mass, 0) div 100")
+            )
+            .cast("bigint")
+            .alias("rank"),
+        )
+    return (
+        ranks.select("node_id", F.col("rank").alias("rank_micros"))
+        .orderBy(F.desc("rank_micros"), F.asc("node_id"))
+        .limit(30)
+    )

@@ -411,3 +411,43 @@ def doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_longnums"),
         F.md5(redacted).alias("redacted_md5"),
     )
+
+
+@query(
+    "doc_top_terms",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents WHERE length(text) > 0
+)
+SELECT term,
+       CAST(COUNT(*) AS BIGINT) AS term_freq,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+FROM toks WHERE length(term) > 0
+GROUP BY term
+ORDER BY term_freq DESC, term
+LIMIT 50
+""",
+)
+def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-50 terms by collection frequency
+    with document frequency — the TF/DF statistics a training-data
+    pipeline feeds into stopword discovery and IDF weighting. The
+    explode fans out ~|tokens| rows, so documents are spread to
+    cluster parallelism first (same rule as the chunk queries); the
+    groupBy is a map-side-combinable count whose shuffle carries one
+    row per distinct term per partition, not per token. Top-50 is a
+    TakeOrdered merge."""
+    docs = _docs_parallel(spark, sf_dir).filter(F.length("text") > 0)
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.length("term") > 0)
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("term_freq"),
+            F.countDistinct("doc_id").cast("bigint").alias("doc_freq"),
+        )
+        .orderBy(F.desc("term_freq"), F.asc("term"))
+        .limit(50)
+    )

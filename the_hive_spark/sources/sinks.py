@@ -1,0 +1,81 @@
+"""Dataset sinks: layout-controlled parquet writers.
+
+The reference's write path is row-at-a-time SQLite/Qdrant upserts
+(SURVEY.md §2.1 S12-S16); the Spark engine's equivalent "ship a
+dataset" operation is a partitioned, sorted, size-targeted parquet
+write. Layout is as load-bearing as the query plan at 100 TB:
+
+- partition columns give downstream readers partition pruning (the
+  multi-tenancy predicate of §1.3 becomes a directory skip);
+- sortWithinPartitions clusters rows so parquet row-group min/max
+  stats prune inside files (Z-order-lite for the 1-D case) and
+  run-length encoding compresses sorted keys;
+- file sizing avoids both the many-tiny-files metadata explosion and
+  the one-giant-file no-parallelism trap.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_dataset(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    sort_within: list[str] | None = None,
+    target_files_per_partition: int = 1,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as a pruning-friendly parquet dataset.
+
+    ``repartition(partition cols)`` routes every output partition's
+    rows to ``target_files_per_partition`` tasks, so each Hive-style
+    directory holds a controlled file count instead of one shard per
+    upstream task (the small-files failure mode: 32 tasks × 1000
+    partitions = 32k files). At real scale, raise
+    ``target_files_per_partition`` until files land near the 128 MB-1 GB
+    sweet spot — or let AQE's rebalance do it with
+    ``spark.sql.adaptive.coalescePartitions`` on a final shuffle.
+    """
+    out = df
+    if partition_by:
+        keys = [F.col(c) for c in partition_by]
+        if target_files_per_partition > 1:
+            # salt spreads one output partition over N files/tasks —
+            # needed when a single partition value dominates (skew)
+            salt = (F.crc32(F.concat_ws("|", *df.columns)) % target_files_per_partition)
+            out = out.repartition(*keys, salt)
+        else:
+            out = out.repartition(*keys)
+    if sort_within:
+        out = out.sortWithinPartitions(*sort_within)
+    writer = out.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def ship_corpus(spark: SparkSession, sf_dir: str, path: str) -> int:
+    """Materialize the filtered training corpus (doc_corpus_filtered ⋈
+    text) to ``path``, partitioned by lang and clustered by doc_id.
+
+    Returns the shipped row count. This is the terminal operator of
+    the dedup/quality pipeline — the dataset a trainer reads.
+    """
+    from the_hive_spark.operators.dedup import doc_corpus_filtered
+    from the_hive_spark.tables import table
+
+    kept = doc_corpus_filtered(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = kept.join(docs, "doc_id").select(
+        "doc_id", "lang", "source", "n_chars", "text"
+    )
+    write_dataset(
+        corpus,
+        path,
+        partition_by=["lang"],
+        sort_within=["doc_id"],
+    )
+    return spark.read.parquet(path).count()

@@ -79,3 +79,51 @@ def windowed_user_activity(
         "n_users",
         "n_events",
     )
+
+
+def attributed_conversions(
+    events: DataFrame,
+    cause_type: str = "click",
+    effect_type: str = "purchase",
+    within: str = "1 hour",
+    watermark: str = DEFAULT_WATERMARK,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Stream-stream interval self-join: each ``effect_type`` event
+    paired with the same user's ``cause_type`` events in the preceding
+    ``within`` interval — conversion attribution, the canonical
+    two-stream correlation.
+
+    Both sides carry the watermark and the join condition bounds
+    cause_ts to [effect_ts - within, effect_ts], so Spark can prove
+    when a buffered row can never match again and evict it: state is
+    O(watermark + within) per side, independent of stream length.
+    An equi-join on user_id alone (no time bound) would be rejected /
+    unbounded. Runs identically on a batch DataFrame (watermark no-op)
+    — the parity test's correctness oracle.
+    """
+    causes = (
+        events.withWatermark(ts_col, watermark)
+        .filter(F.col("event_type") == cause_type)
+        .select(
+            F.col("user_id").alias("cause_user"),
+            F.col(ts_col).alias("cause_ts"),
+            F.col("event_id").alias("cause_id"),
+        )
+    )
+    effects = (
+        events.withWatermark(ts_col, watermark)
+        .filter(F.col("event_type") == effect_type)
+        .select(
+            F.col("user_id").alias("user_id"),
+            F.col(ts_col).alias("effect_ts"),
+            F.col("event_id").alias("effect_id"),
+        )
+    )
+    return effects.join(
+        causes,
+        (F.col("cause_user") == F.col("user_id"))
+        & (F.col("cause_ts") <= F.col("effect_ts"))
+        & (F.col("cause_ts") >= F.col("effect_ts") - F.expr(f"INTERVAL {within}")),
+        "inner",
+    ).select("user_id", "effect_id", "effect_ts", "cause_id", "cause_ts")
