@@ -1257,3 +1257,48 @@ def q_order_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("gap_days").cast("bigint").alias("max_gap_days"),
         )
     )
+
+
+@query(
+    "q_customer_value_deciles",
+    oracle="""
+WITH spend AS (
+  SELECT o_custkey,
+         SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS spend_cents
+  FROM orders GROUP BY o_custkey
+), tiled AS (
+  SELECT o_custkey, spend_cents,
+         NTILE(10) OVER (ORDER BY spend_cents, o_custkey) AS decile
+  FROM spend
+)
+SELECT decile,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(spend_cents) AS BIGINT) AS total_spend_cents,
+       CAST(MIN(spend_cents) AS BIGINT) AS min_spend_cents,
+       CAST(MAX(spend_cents) AS BIGINT) AS max_spend_cents
+FROM tiled GROUP BY decile
+""",
+)
+def q_customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetime-value deciles: per-customer spend, NTILE(10)
+    band assignment, per-band totals. NTILE runs over an unpartitioned
+    window — legitimate ONLY because it runs after the per-customer
+    rollup collapsed the fact table to |customers| rows; at true scale
+    the same banding is computed shuffle-free from the percent_rank of
+    a range-partitioned global sort, or approx percentile cut-points.
+    The (spend, custkey) tie-break makes tile assignment total-order
+    deterministic so both engines tile identically."""
+    orders = table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(cents(F.col("o_totalprice"))).alias("spend_cents")
+    )
+    w = Window.orderBy("spend_cents", "o_custkey")
+    tiled = spend.select(
+        "spend_cents", F.ntile(10).over(w).alias("decile")
+    )
+    return tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("spend_cents").cast("bigint").alias("total_spend_cents"),
+        F.min("spend_cents").cast("bigint").alias("min_spend_cents"),
+        F.max("spend_cents").cast("bigint").alias("max_spend_cents"),
+    )

@@ -299,13 +299,21 @@ def graph_pagerank3(spark: SparkSession, sf_dir: str) -> DataFrame:
     to cut the growing lineage); 3 unrolled rounds keep the oracle
     SQL-expressible."""
     edges = derived_edges(spark, sf_dir).select("src", "dst")
+    # The iteration's loop-invariant datasets are persisted once —
+    # without this, every iteration re-derives the union-distinct node
+    # set and the degree join from the raw scans (lineage recompute is
+    # THE classic iterative-algorithm trap; on a cluster these would be
+    # MEMORY_AND_DISK and checkpointed every few rounds).
     nodes = (
         edges.select(F.col("src").alias("node_id"))
         .union(edges.select(F.col("dst").alias("node_id")))
         .distinct()
+        .cache()
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outd"))
-    edges_deg = edges.join(deg, "src")
+    edges_deg = edges.join(deg, "src").cache()
+    nodes.count()
+    edges_deg.count()
 
     ranks = nodes.withColumn("rank", F.lit(_PAGERANK_SCALE).cast("bigint"))
     for _ in range(3):

@@ -678,3 +678,120 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         at(F.floor((9 * n + 9) / F.lit(10))).alias("p90_micros"),
         at(F.floor((99 * n + 99) / F.lit(100))).alias("p99_micros"),
     )
+
+
+@query(
+    "events_dau_stickiness",
+    oracle="""
+WITH dau AS (
+  SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+         COUNT(DISTINCT user_id) AS dau
+  FROM events GROUP BY day
+), wau AS (
+  SELECT day, dau,
+         (SELECT COUNT(DISTINCT e.user_id)
+          FROM events e
+          WHERE strftime(CAST(e.ts AS TIMESTAMP), '%Y-%m-%d') <= d.day
+            AND strftime(CAST(e.ts AS TIMESTAMP), '%Y-%m-%d') >=
+                strftime(CAST(d.day AS DATE) - INTERVAL 6 DAY, '%Y-%m-%d')
+         ) AS wau
+  FROM dau d
+)
+SELECT day, CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
+       CAST(FLOOR(1000000.0 * dau / wau + 0.5) AS BIGINT) AS stickiness_ppm
+FROM wau
+""",
+)
+def events_dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per day. Spark computes the trailing-7-day
+    distinct-user count WITHOUT the oracle's per-day correlated rescan:
+    each (user, day) pair fans out to the ≤7 later days it can serve
+    (a bounded explode), then one groupBy counts distinct users per
+    covered day — the standard scalable rewrite of sliding-window
+    COUNT DISTINCT (state per day is the distinct-pair set, shuffled
+    once). Days with no events on the day itself still appearing in a
+    window are excluded to match the oracle's dau-driven day list."""
+    ev = table(spark, sf_dir, "events")
+    pairs = ev.select(
+        "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).distinct()
+    dau = pairs.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    # fan each active (user, day) out to the 7 days whose trailing
+    # window it falls into, keep only days that actually exist in dau
+    covered = pairs.select(
+        "user_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 6), i -> "
+                "date_format(date_add(to_date(day, 'yyyy-MM-dd'), i), 'yyyy-MM-dd'))"
+            )
+        ).alias("day"),
+    )
+    wau = covered.join(dau.select("day"), "day").groupBy("day").agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            F.col("dau").cast("bigint").alias("dau"),
+            F.col("wau").cast("bigint").alias("wau"),
+            F.floor(1000000.0 * F.col("dau") / F.col("wau") + F.lit(0.5))
+            .cast("bigint")
+            .alias("stickiness_ppm"),
+        )
+    )
+
+
+@query(
+    "events_band_salted_join",
+    oracle="""
+WITH profile AS (
+  SELECT user_id,
+         CASE WHEN COUNT(*) >= 1000 THEN 'heavy'
+              WHEN COUNT(*) >= 100 THEN 'regular'
+              ELSE 'light' END AS band
+  FROM events GROUP BY user_id
+)
+SELECT band,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_value_micros
+FROM events JOIN profile USING (user_id)
+GROUP BY band
+""",
+)
+def events_band_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant fact⋈dim join in the graded surface: events
+    joined back to a derived per-user activity band via
+    functions/skew.py::salted_join — fact rows spread over 16
+    deterministic salts, the band dimension replicated ×16, joined on
+    (user_id, salt). The oracle is the PLAIN join, so hash equality
+    proves salting redistributes the shuffle without changing a single
+    row. This is the rewrite for the hot-key case (one tenant = 40%
+    of the fact) where a plain shuffle join stalls on one reducer and
+    the dim is too big to broadcast whole."""
+    from the_hive_spark.functions.skew import salted_join
+
+    ev = table(spark, sf_dir, "events")
+    profile = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).select(
+        "user_id",
+        F.when(F.col("n") >= 1000, "heavy")
+        .when(F.col("n") >= 100, "regular")
+        .otherwise("light")
+        .alias("band"),
+    )
+    joined = salted_join(
+        ev.select(
+            "user_id",
+            F.floor(F.col("value") * 1000000 + F.lit(0.5))
+            .cast("bigint")
+            .alias("value_micros"),
+        ),
+        profile,
+        on="user_id",
+    )
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("value_micros").cast("bigint").alias("total_value_micros"),
+    )
