@@ -83,3 +83,39 @@ def plan_summary(df: DataFrame, execute: bool = False) -> dict:
         "pushed_filters": pushed_filters(plan),
         "read_schemas": read_schemas(plan),
     }
+
+
+def _main() -> None:
+    """CLI: ``python -m the_hive_spark.plans.inspect <query> [sf_dir]``
+    prints the plan-health summary (and the executed plan with -v) for
+    any registered query — the development feedback loop as a command."""
+    import argparse
+    import json
+
+    from the_hive_spark import registry
+    from the_hive_spark.session import get_spark
+
+    ap = argparse.ArgumentParser(description=_main.__doc__)
+    ap.add_argument("query", help="registered query name (see registry)")
+    ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
+    ap.add_argument("-v", "--verbose", action="store_true",
+                    help="also print the executed plan text")
+    ap.add_argument("--execute", action="store_true",
+                    help="collect first so AQE finalizes the plan")
+    args = ap.parse_args()
+
+    registry.load_all()
+    if args.query not in registry.QUERIES:
+        raise SystemExit(
+            f"unknown query {args.query!r}; known: {sorted(registry.QUERIES)}"
+        )
+    spark = get_spark(app_name=f"inspect-{args.query}")
+    df = registry.QUERIES[args.query](spark, args.sf_dir)
+    print(json.dumps(plan_summary(df, execute=args.execute), indent=2, default=str))
+    if args.verbose:
+        print(executed_plan(df))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    _main()

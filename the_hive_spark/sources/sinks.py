@@ -44,9 +44,13 @@ def write_dataset(
         keys = [F.col(c) for c in partition_by]
         if target_files_per_partition > 1:
             # salt spreads one output partition over N files/tasks —
-            # needed when a single partition value dominates (skew)
+            # needed when a single partition value dominates (skew).
+            # The explicit partition count pins the shuffle to
+            # REPARTITION_BY_NUM, which AQE will NOT coalesce back to
+            # one task (coalescing would silently undo the spread).
             salt = (F.crc32(F.concat_ws("|", *df.columns)) % target_files_per_partition)
-            out = out.repartition(*keys, salt)
+            n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+            out = out.repartition(n, *keys, salt)
         else:
             out = out.repartition(*keys)
     if sort_within:
