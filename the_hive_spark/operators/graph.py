@@ -311,7 +311,10 @@ def graph_pagerank3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outd"))
-    edges_deg = edges.join(deg, "src").cache()
+    # cached pre-partitioned on the iteration join key: the in-memory
+    # relation keeps hashpartitioning(src), so each iteration's
+    # edges⋈ranks join re-shuffles only the (much smaller) rank side
+    edges_deg = edges.join(deg, "src").repartition("src").cache()
     nodes.count()
     edges_deg.count()
 

@@ -451,3 +451,47 @@ def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("term_freq"), F.asc("term"))
         .limit(50)
     )
+
+
+@query(
+    "doc_split_assignment",
+    oracle="""
+WITH assigned AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+           AS bucket
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM assigned
+GROUP BY lang, split
+""",
+)
+def doc_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10) by hashing the
+    document id — the reproducible-split idiom every training pipeline
+    needs: assignment is a pure function of doc_id, so re-runs,
+    retries, and different cluster sizes all agree, and no split state
+    is stored anywhere. The md5-prefix bucket is computed identically
+    in both engines; output is the per-(lang, split) census used to
+    sanity-check stratification before shipping."""
+    docs = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    assigned = docs.select(
+        "lang",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return assigned.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
