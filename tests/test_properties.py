@@ -170,3 +170,30 @@ def test_cc_matches_reference_unionfind(spark, threshold, edges):
     }
     want = _reference_components(real)
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(-1000, 1000)),
+        min_size=1,
+        max_size=60,
+    ),
+    n_salts=st.sampled_from([2, 5, 16]),
+)
+def test_salted_join_equals_plain_join(spark, rows, n_salts):
+    """salted_join must be row-identical to the plain equi-join for
+    arbitrary fact/dim data and salt counts — including duplicate fact
+    keys, dim keys with no fact rows, and vice versa."""
+    from the_hive_spark.functions.skew import salted_join
+
+    fact = spark.createDataFrame(rows, "k bigint, v bigint")
+    # dim: one row per even key in range (some fact keys unmatched)
+    dim = spark.createDataFrame(
+        [(k, f"d{k}") for k in range(0, 6, 2)], "k bigint, label string"
+    )
+    got = sorted(
+        tuple(r) for r in salted_join(fact, dim, on="k").collect()
+    )
+    want = sorted(tuple(r) for r in fact.join(dim, "k").collect())
+    assert got == want
