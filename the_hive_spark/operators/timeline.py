@@ -795,3 +795,62 @@ def events_band_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.sum("value_micros").cast("bigint").alias("total_value_micros"),
     )
+
+
+@query(
+    "events_value_histogram",
+    oracle="""
+SELECT event_type,
+       CAST(LEAST(FLOOR(value / 50), 9) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY event_type, bin
+""",
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event type: 10 bins of width 50
+    with an overflow bucket — the distribution profile behind every
+    latency/size dashboard. Binning is a pure scan expression folded
+    into the single aggregation shuffle; bin edges are exact in IEEE
+    (value/50 then floor), so both engines bucket identically."""
+    ev = table(spark, sf_dir, "events")
+    bin_col = F.least(F.floor(F.col("value") / 50), F.lit(9)).cast("bigint")
+    return ev.groupBy("event_type", bin_col.alias("bin")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+
+
+@query(
+    "events_daily_type_pivot",
+    oracle="""
+SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+       COUNT(*) FILTER (WHERE event_type = 'view') AS n_view,
+       COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       COUNT(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+       COUNT(*) FILTER (WHERE event_type = 'error') AS n_error
+FROM events
+GROUP BY day
+""",
+)
+def events_daily_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day × event-type pivot (long→wide reshape) over the closed type
+    domain. Uses ``pivot(col, values)`` WITH the value list supplied:
+    omitting it makes Spark run an extra distinct-scan job to discover
+    the domain — a silent full pass over the fact at 100 TB. One
+    shuffle; each cell is a conditional count, same as the oracle's
+    FILTER aggregates."""
+    ev = table(spark, sf_dir, "events")
+    types = ["view", "click", "purchase", "signup", "error"]
+    wide = (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "day",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}")
+            for t in types
+        ],
+    )
