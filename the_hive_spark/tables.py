@@ -30,13 +30,21 @@ TABLE_NAMES = [
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS): read as ns-long (see
-        # session.py nanosAsLong), floor-divide to µs — the same
-        # truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP.
-        from pyspark.sql.types import LongType
+        # Normalize events.ts to TIMESTAMP (with-tz, session TZ pinned
+        # UTC) regardless of how the parquet stored it:
+        # - TIMESTAMP(NANOS) reads as ns-long (session.py nanosAsLong):
+        #   floor-divide to µs, same truncation DuckDB applies casting
+        #   TIMESTAMP_NS → TIMESTAMP;
+        # - TIMESTAMP(MICROS, isAdjustedToUTC=0) reads as TIMESTAMP_NTZ:
+        #   cast to TIMESTAMP — a wall-clock reinterpretation under the
+        #   UTC session zone, matching the oracle's CAST(ts AS TIMESTAMP).
+        from pyspark.sql.types import LongType, TimestampNTZType
 
-        if isinstance(df.schema["ts"].dataType, LongType):
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
