@@ -90,32 +90,42 @@ def main() -> None:
             except Exception:
                 pass
 
-    def _time(name: str) -> float:
+    # Per-query fault isolation: one failing query must never take down
+    # the whole run — record its error string and keep timing the rest,
+    # so the emitted JSON line always exists and is always parseable.
+    errors: dict[str, str] = {}
+
+    def _time(name: str) -> float | None:
         fn = registry.QUERIES[name]
         t0 = time.perf_counter()
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        try:
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {str(exc)[:300]}"
+            return None
         return round(time.perf_counter() - t0, 4)
 
-    timings = {name: _time(name) for name in names}
-    ext_timings = {name: _time(name) for name in ext_names}
+    raw = {name: _time(name) for name in names}
+    raw_ext = {name: _time(name) for name in ext_names}
+    timings = {k: v for k, v in raw.items() if v is not None}
+    ext_timings = {k: v for k, v in raw_ext.items() if v is not None}
 
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
     try:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "extended_queries": ext_timings,
-                "sf": sf_val,
-            }
-        )
-    )
+    out: dict = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "extended_queries": ext_timings,
+        "sf": sf_val,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -163,3 +163,68 @@ def test_dense_sequential_ids(spark):
     assert [r["id"] for r in rows] == list(range(100, 100 + len(rows)))
     ks = [r["k"] for r in rows]
     assert ks == sorted(ks)
+
+
+def test_embedder_factory_selection(spark, monkeypatch):
+    """U1 provider factory: explicit arg wins, env selects otherwise,
+    deterministic default is bow; unknown providers fail fast."""
+    import pytest
+
+    from the_hive_spark.functions import embedding as E
+
+    assert E.make_embedder("mock") is not None
+    monkeypatch.setenv("HIVE_SPARK_EMBED_PROVIDER", "mock")
+    assert E.make_embedder() is not None  # env-selected, no error
+    monkeypatch.delenv("HIVE_SPARK_EMBED_PROVIDER")
+    with pytest.raises(ValueError, match="unknown embedding provider"):
+        E.make_embedder("qdrant9000")
+    with pytest.raises(ValueError, match="endpoint"):
+        E.make_embedder("openai")  # network provider without endpoint
+
+
+def test_http_embedder_with_stub_transport(spark):
+    """Real-provider seam: the batched HTTP UDF posts one request per
+    Arrow batch (OpenAI EmbedBatch shape, openai.go:63) and maps the
+    response vectors back positionally; nulls get the F6 zero vector."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from the_hive_spark.functions.embedding import make_http_embedder
+
+    def stub(url, payload):
+        # runs inside the executor's python worker: prove the request
+        # shape through the returned vectors (no shared driver state)
+        assert url == "http://localhost:0/v1/embeddings"
+        assert payload["model"] == "m"
+        assert None not in payload["input"]  # nulls never reach the wire
+        return {
+            "data": [
+                {"embedding": [float(len(t))] * 8} for t in payload["input"]
+            ]
+        }
+
+    udf = make_http_embedder("http://localhost:0/v1/embeddings", "m", 8,
+                             transport=stub)
+    df = spark.createDataFrame(
+        [("ab",), ("wxyz",), (None,)], "text string"
+    ).repartition(1)
+    rows = df.select("text", udf(F.col("text")).alias("v")).collect()
+    by_text = {r["text"]: r["v"] for r in rows}
+    assert by_text["ab"] == [2.0] * 8
+    assert by_text["wxyz"] == [4.0] * 8
+    assert by_text[None] == [0.0] * 8  # zero-vector fallback, no HTTP call
+
+
+def test_http_embedder_rejects_bad_dim(spark):
+    import pytest
+    import pyspark.sql.functions as F
+
+    from the_hive_spark.functions.embedding import make_http_embedder
+
+    def bad_stub(url, payload):
+        return {"data": [{"embedding": [1.0, 2.0]} for _ in payload["input"]]}
+
+    udf = make_http_embedder("http://x", "m", 8, transport=bad_stub)
+    df = spark.createDataFrame([("a",)], "text string")
+    with pytest.raises(Exception, match="dim"):
+        df.select(udf(F.col("text"))).collect()

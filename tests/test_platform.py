@@ -163,3 +163,66 @@ def test_api_key_lifecycle(engine):
     engine.set_api_key_active(key, False)
     status = {r["client_name"]: r for r in engine.clients_status().collect()}
     assert status["drone-1"]["is_online"] is False
+
+
+def test_system_metadata_days_active(engine):
+    """A7/A8: install-date K/V + whole-day derivation + trial countdown
+    (system_metadata.go:96-104, licensing_middleware.go:70-84)."""
+    assert engine.days_active() == 0  # no install_date recorded yet
+    engine.set_metadata("install_date", "2026-01-01")
+    assert engine.get_metadata("install_date") == "2026-01-01"
+    assert engine.days_active(as_of="2026-01-31") == 30
+    assert engine.trial_days_remaining(trial_days=365, as_of="2026-01-31") == 335
+    assert engine.trial_days_remaining(trial_days=10, as_of="2026-03-01") == 0
+    # upsert semantics: re-set replaces, not duplicates
+    engine.set_metadata("install_date", "2026-02-01")
+    assert engine.get_metadata("install_date") == "2026-02-01"
+    assert engine.read_table("system_metadata").filter(
+        "key = 'install_date'"
+    ).count() == 1
+
+
+def test_brute_force_near_dup_guard(spark):
+    """The exact all-pairs baseline must refuse corpora above its
+    documented bound instead of OOMing (VERDICT r1 #5)."""
+    import pytest
+
+    from the_hive_spark.operators.similarity import near_dup_pairs_brute
+    from the_hive_spark.tables import table
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    with pytest.raises(ValueError, match="brute-force bound"):
+        near_dup_pairs_brute(spark, emb, max_rows=10)
+    # under the bound it still runs (plan materializes)
+    assert near_dup_pairs_brute(spark, emb).count() >= 0
+
+
+def test_users_orgs_rbac(engine):
+    """§2.10 management CRUD: org/user creation is idempotent
+    (UUIDv5), roles gate like the reference middleware chain, and
+    tenant-from-domain resolves (users_handler.go, tenant_handler.go)."""
+    import pytest
+
+    org = engine.create_organization("acme", custom_domain="acme.hive.example")
+    # idempotent re-create: same id, row replaced not duplicated
+    assert engine.create_organization("acme", custom_domain="acme.hive.example") == org
+    admin = engine.create_user("root@acme.io", role="admin", organization_id=org)
+    viewer = engine.create_user("eyes@acme.io", role="viewer", organization_id=org)
+    super_ = engine.create_user("boss@hq.io", role="super-admin")
+    with pytest.raises(ValueError, match="unknown role"):
+        engine.create_user("x@y.z", role="owner")
+
+    assert engine.users(org).count() == 2
+    assert engine.organizations().count() == 1
+    assert engine.org_from_domain("acme.hive.example") == org
+    assert engine.org_from_domain("nope.example") is None
+
+    assert engine.require_role(admin, ("admin",))
+    assert not engine.require_role(viewer, ("admin",))
+    assert engine.require_role(super_, ("admin",))  # super-admin passes all
+    assert engine.require_role(viewer, ("admin", "viewer"))
+
+    engine.set_user_role(viewer, "admin")
+    assert engine.require_role(viewer, ("admin",))
+    engine.set_user_active(viewer, False)
+    assert not engine.require_role(viewer, ("admin",))  # inactive fails gate

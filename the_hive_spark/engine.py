@@ -62,6 +62,9 @@ _TABLE_SCHEMAS = {
     "chat_sessions": schemas.CHAT_SESSIONS,
     "chat_messages": schemas.CHAT_MESSAGES,
     "usage": schemas.USAGE,
+    "system_metadata": schemas.SYSTEM_METADATA,
+    "users": schemas.USERS,
+    "organizations": schemas.ORGANIZATIONS,
 }
 
 # tables physically partitioned by tenant
@@ -601,6 +604,135 @@ class HiveEngine:
             "last_seen_at",
             "is_online",
         )
+
+    # ------------------------------------------------- users / orgs (§2.10)
+
+    ROLES = ("super-admin", "admin", "viewer")  # users_handler.go RBAC tiers
+
+    def create_organization(
+        self, name: str, custom_domain: str | None = None
+    ) -> str:
+        """Org CRUD (tenant_handler.go:13-120 semantics; store file
+        missing from snapshot). Deterministic id = UUIDv5(name) so
+        re-creation is idempotent, matching the engine's MERGE style."""
+        import uuid
+
+        org_id = str(uuid.uuid5(uuid.NAMESPACE_URL, f"org-{name}"))
+        row = self.spark.createDataFrame(
+            [(org_id, name, custom_domain, None)], schemas.ORGANIZATIONS
+        ).withColumn("created_at", F.current_timestamp())
+        self._upsert("organizations", row, ["organization_id"])
+        return org_id
+
+    def create_user(
+        self,
+        email: str,
+        role: str = "viewer",
+        organization_id: str | None = None,
+        display_name: str | None = None,
+    ) -> str:
+        """User CRUD (users_handler.go:13-263 semantics). Role must be
+        one of the reference's three tiers; id = UUIDv5(email)."""
+        import uuid
+
+        if role not in self.ROLES:
+            raise ValueError(f"unknown role {role!r}; expected one of {self.ROLES}")
+        user_id = str(uuid.uuid5(uuid.NAMESPACE_URL, f"user-{email}"))
+        row = self.spark.createDataFrame(
+            [(user_id, email, display_name or email.split("@")[0], role,
+              organization_id, True, None)],
+            schemas.USERS,
+        ).withColumn("created_at", F.current_timestamp())
+        self._upsert("users", row, ["user_id"])
+        return user_id
+
+    def set_user_role(self, user_id: str, role: str) -> None:
+        if role not in self.ROLES:
+            raise ValueError(f"unknown role {role!r}; expected one of {self.ROLES}")
+        users = self.read_table("users").withColumn(
+            "role",
+            F.when(F.col("user_id") == user_id, F.lit(role)).otherwise(F.col("role")),
+        )
+        self._replace("users", users)
+
+    def set_user_active(self, user_id: str, active: bool) -> None:
+        users = self.read_table("users").withColumn(
+            "is_active",
+            F.when(F.col("user_id") == user_id, F.lit(active)).otherwise(
+                F.col("is_active")
+            ),
+        )
+        self._replace("users", users)
+
+    def users(self, organization_id: str | None = None) -> DataFrame:
+        df = self.read_table("users")
+        if organization_id is not None:
+            df = df.filter(F.col("organization_id") == organization_id)
+        return df.orderBy("email")
+
+    def organizations(self) -> DataFrame:
+        return self.read_table("organizations").orderBy("name")
+
+    def require_role(self, user_id: str, allowed: tuple[str, ...]) -> bool:
+        """RBAC gate (cmd/hive-server/main.go:535-537 middleware
+        analog): active user whose role is in ``allowed``. super-admin
+        passes every gate, as in the reference's middleware chain."""
+        rows = (
+            self.read_table("users")
+            .filter((F.col("user_id") == user_id) & F.col("is_active"))
+            .select("role")
+            .collect()
+        )
+        return bool(rows) and (
+            rows[0]["role"] == "super-admin" or rows[0]["role"] in allowed
+        )
+
+    def org_from_domain(self, domain: str) -> str | None:
+        """Tenant-from-domain resolution (the middleware step of §3.1;
+        CustomDomainStore semantics from cmd/hive-server/main.go)."""
+        rows = (
+            self.read_table("organizations")
+            .filter(F.col("custom_domain") == domain)
+            .select("organization_id")
+            .collect()
+        )
+        return rows[0]["organization_id"] if rows else None
+
+    # ---------------------------------------------------- system metadata
+
+    def set_metadata(self, key: str, value: str) -> None:
+        """K/V system metadata upsert (system_metadata.go:28-60)."""
+        row = self.spark.createDataFrame([(key, value)], schemas.SYSTEM_METADATA)
+        self._upsert("system_metadata", row, ["key"])
+
+    def get_metadata(self, key: str) -> str | None:
+        rows = (
+            self.read_table("system_metadata")
+            .filter(F.col("key") == key)
+            .select("value")
+            .collect()
+        )
+        return rows[0]["value"] if rows else None
+
+    def days_active(self, as_of: str | None = None) -> int:
+        """A7: whole days since install_date (system_metadata.go:96-104,
+        int(time.Since(install).Hours()/24)). ``as_of`` (YYYY-MM-DD)
+        pins 'now' for deterministic tests; default is current_date."""
+        install = self.get_metadata("install_date")
+        if install is None:
+            return 0
+        now = F.to_date(F.lit(as_of)) if as_of else F.current_date()
+        row = self.spark.range(1).select(
+            F.datediff(now, F.to_date(F.lit(install))).alias("d")
+        ).collect()[0]
+        return max(int(row["d"]), 0)
+
+    def trial_days_remaining(
+        self, trial_days: int = 365, as_of: str | None = None
+    ) -> int:
+        """A8: licensing trial countdown (licensing_middleware.go:70-84,
+        middleware/license.go:17-76 — 365-day trial from install)."""
+        return max(trial_days - self.days_active(as_of=as_of), 0)
 
     # --------------------------------------------------------------- graph
 

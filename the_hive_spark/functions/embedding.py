@@ -13,9 +13,12 @@ Implemented as an Arrow-batched pandas UDF: the per-text seed is a
 cheap byte loop, the dim-384 sin/normalize is vectorized numpy over
 the whole batch — no per-row Python in the vector math.
 
-Real providers would be drop-in pandas UDFs with the same signature
-(text batch in → float32[dim] batch out); they are network-bound and
-deliberately not implemented here (no external services in scope).
+Real providers (OpenAI / Ollama analogs) slot in through the same
+factory as batched HTTP pandas UDFs (``make_http_embedder``): the
+transport is injectable so tests exercise the batching/shape contract
+with a stub, and no network call ever happens in the default (mock)
+configuration — mirroring the reference, where only the mock is the
+tested path.
 """
 
 from __future__ import annotations
@@ -134,13 +137,117 @@ def make_bow_embedder(dim: int = EMBEDDING_DIM):
     return bow_embed
 
 
+# --- real-provider seam (U1/U2 config surface) -----------------------
+#
+# The reference's factory (internal/embeddings/embeddings.go:11-57)
+# selects the provider from env and each provider carries its own
+# dimension (mock 384, ollama 768, openai 1536 — embeddings.go:45-49,
+# ollama.go:24, openai.go:26-33). The network providers are EmbedBatch
+# HTTP calls (openai.go:63) — which is exactly the pandas-UDF batch
+# shape, so a provider here is one POST per Arrow batch.
+
+PROVIDER_DIMS = {"mock": EMBEDDING_DIM, "bow": EMBEDDING_DIM,
+                 "openai": 1536, "ollama": 768}
+
+
+def _default_transport(url: str, payload: dict) -> dict:
+    """POST JSON → parsed-JSON response (stdlib-only; no retries — the
+    Spark task retry is the retry loop at cluster scale)."""
+    import json
+    import urllib.request
+
+    req = urllib.request.Request(
+        url,
+        data=json.dumps(payload).encode("utf-8"),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=30) as resp:
+        return json.loads(resp.read().decode("utf-8"))
+
+
+def make_http_embedder(
+    endpoint: str,
+    model: str,
+    dim: int,
+    transport=None,
+):
+    """Batched HTTP embedding provider (openai.go:24-130 / ollama.go:
+    22-107 analog): one POST per Arrow batch with the OpenAI-style
+    request/response shape ``{"model", "input": [...]}`` →
+    ``{"data": [{"embedding": [...]}, ...]}``.
+
+    ``transport(url, payload) -> dict`` is injectable so the batching
+    contract is unit-testable without a network; the default transport
+    is a stdlib urllib POST. Vectors are validated to ``dim`` and
+    zero-filled for null/empty texts (F6 fallback semantics).
+    """
+    send = transport or _default_transport
+
+    @pandas_udf(ArrayType(FloatType()))
+    def http_embed(texts: pd.Series) -> pd.Series:
+        out: list[np.ndarray] = [None] * len(texts)
+        idx = [i for i, t in enumerate(texts) if t]
+        if idx:
+            resp = send(endpoint, {"model": model, "input": [texts.iloc[i] for i in idx]})
+            vecs = [d["embedding"] for d in resp["data"]]
+            if len(vecs) != len(idx):
+                raise ValueError(
+                    f"embedding provider returned {len(vecs)} vectors "
+                    f"for {len(idx)} inputs"
+                )
+            for i, v in zip(idx, vecs):
+                a = np.asarray(v, dtype=np.float32)
+                if a.shape != (dim,):
+                    raise ValueError(
+                        f"embedding provider returned dim {a.shape} != ({dim},)"
+                    )
+                out[i] = a
+        zero = np.zeros(dim, dtype=np.float32)
+        return pd.Series([v if v is not None else zero for v in out])
+
+    return http_embed
+
+
 PROVIDERS = {"mock": make_mock_embedder, "bow": make_bow_embedder}
 
 
-def make_embedder(provider: str = "bow", dim: int = EMBEDDING_DIM):
-    """U1 provider factory (embeddings.go:11-57 analog): deterministic
-    providers only; network providers would slot in here behind config."""
-    return PROVIDERS[provider](dim)
+def make_embedder(
+    provider: str | None = None,
+    dim: int | None = None,
+    endpoint: str | None = None,
+    model: str | None = None,
+    transport=None,
+):
+    """U1 provider factory (embeddings.go:11-57 analog).
+
+    Selection: explicit ``provider`` arg, else the
+    ``HIVE_SPARK_EMBED_PROVIDER`` env var, else the deterministic
+    default (``bow``). Deterministic providers (mock/bow) are the
+    tested correctness path; ``openai``/``ollama`` build the batched
+    HTTP UDF against ``HIVE_SPARK_EMBED_ENDPOINT`` /
+    ``HIVE_SPARK_EMBED_MODEL`` with the provider's native dimension —
+    config-gated and untested for equality, exactly like the
+    reference's network providers.
+    """
+    import os
+
+    provider = provider or os.environ.get("HIVE_SPARK_EMBED_PROVIDER", "bow")
+    dim = dim or PROVIDER_DIMS.get(provider, EMBEDDING_DIM)
+    if provider in PROVIDERS:
+        return PROVIDERS[provider](dim)
+    if provider in ("openai", "ollama"):
+        endpoint = endpoint or os.environ.get("HIVE_SPARK_EMBED_ENDPOINT")
+        if not endpoint:
+            raise ValueError(
+                f"provider '{provider}' needs an endpoint "
+                "(HIVE_SPARK_EMBED_ENDPOINT)"
+            )
+        model = model or os.environ.get(
+            "HIVE_SPARK_EMBED_MODEL",
+            "text-embedding-3-small" if provider == "openai" else "nomic-embed-text",
+        )
+        return make_http_embedder(endpoint, model, dim, transport=transport)
+    raise ValueError(f"unknown embedding provider: {provider}")
 
 
 def zero_vector(dim: int = 1536) -> Column:

@@ -196,9 +196,35 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows/partitions; per-executor memory is O(n·d), which holds to
     ~1M×256 vectors. Past that the pair space itself is the problem
     and the LSH path (emb_near_dup_lsh) is the scale answer — this
-    query stays the exact oracle baseline.
+    query stays the exact oracle baseline, hard-bounded by
+    ``near_dup_pairs_brute``'s row guard so it fails fast (with a
+    pointer to the LSH path) instead of OOMing at corpus scale.
     """
     emb = table(spark, sf_dir, "embeddings")
+    return near_dup_pairs_brute(spark, emb)
+
+
+BRUTE_MAX_ROWS = 1_200_000  # ~1M×256 int64 ≈ 2 GB broadcast, the documented bound
+
+
+def near_dup_pairs_brute(
+    spark: SparkSession, emb: DataFrame, max_rows: int = BRUTE_MAX_ROWS
+) -> DataFrame:
+    """Exact all-pairs near-dup scorer (library form of the baseline).
+
+    Raises ``ValueError`` when the corpus exceeds ``max_rows`` — the
+    O(n·d) driver collect + broadcast stops being a plan past ~1M
+    vectors; callers at that scale must use the banded-LSH path
+    (``emb_near_dup_lsh`` / functions/lsh.py), which produces the same
+    pairs without materializing the matrix anywhere.
+    """
+    n_rows = emb.count()
+    if n_rows > max_rows:
+        raise ValueError(
+            f"near_dup_pairs_brute: corpus has {n_rows} rows, above the "
+            f"brute-force bound of {max_rows}; use the LSH-banded path "
+            "(emb_near_dup_lsh / lsh_near_dup_candidates) at this scale"
+        )
     pdf = emb.select("vec_id", "embedding").toPandas()
     ids_all = pdf["vec_id"].to_numpy(np.int64)
     Q = _quantize_block(pdf["embedding"])

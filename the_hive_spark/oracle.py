@@ -31,8 +31,10 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     if len(df):
         df = df.sort_values(by=list(df.columns), ignore_index=True)
-    # canonical string form per cell: stable across engines iff values equal
-    return df.map(lambda v: repr(v))
+    # canonical string form per cell: stable across engines iff values
+    # equal; astype(object) so EMPTY frames also compare dtype-blind
+    # (datetime64[ns] vs [us] on zero rows must still be equal)
+    return df.map(lambda v: repr(v)).astype(object)
 
 
 @dataclass

@@ -45,15 +45,24 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 def load_all() -> None:
-    """Import every module that registers queries (idempotent)."""
+    """Import every module that registers queries (idempotent).
+
+    Import order IS driver-verification order: the driver's correctness
+    gate checks the first 50 registrations, so families that have never
+    had a driver-oracle row register first (timeline, text_analysis,
+    the rest of similarity, hive parity), and the long-green analytics
+    block registers last.
+    """
+    from the_hive_spark.operators import (  # noqa: F401
+        timeline,
+        text_analysis,
+        similarity,
+    )
+    from the_hive_spark import hive_queries  # noqa: F401
     from the_hive_spark.operators import (  # noqa: F401
         analytics,
         dedup,
         graph,
         multimodal,
         rules,
-        similarity,
-        text_analysis,
-        timeline,
     )
-    from the_hive_spark import hive_queries  # noqa: F401

@@ -178,6 +178,39 @@ USAGE = StructType(
     ]
 )
 
+# §2.10 management dims — store files missing from the reference
+# snapshot; schemas inferred from handler call-sites
+# (internal/server/users_handler.go:13-263, tenant_handler.go:13-120,
+# SURVEY.md snapshot caveat). Kept minimal and additive.
+USERS = StructType(
+    [
+        StructField("user_id", StringType(), False),
+        StructField("email", StringType(), True),
+        StructField("display_name", StringType(), True),
+        StructField("role", StringType(), True),  # super-admin|admin|viewer
+        StructField("organization_id", StringType(), True),
+        StructField("is_active", BooleanType(), True),
+        StructField("created_at", TimestampType(), True),
+    ]
+)
+
+ORGANIZATIONS = StructType(
+    [
+        StructField("organization_id", StringType(), False),
+        StructField("name", StringType(), True),
+        StructField("custom_domain", StringType(), True),
+        StructField("created_at", TimestampType(), True),
+    ]
+)
+
+# key/value system metadata (internal/database/system_metadata.go:28-37)
+SYSTEM_METADATA = StructType(
+    [
+        StructField("key", StringType(), False),
+        StructField("value", StringType(), True),
+    ]
+)
+
 # raw ingest-side row (proto/hive.proto:17-23 wire chunk analog)
 INGEST_FILES = StructType(
     [
