@@ -76,7 +76,7 @@ def main() -> None:
     #    JIT for the exact plan shapes about to be timed.
     spark.range(1).count()
     for t in ("lineitem", "orders", "customer", "supplier", "nation",
-              "region", "events"):
+              "region", "part", "events", "documents", "embeddings"):
         path = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(path):
             spark.read.parquet(path).count()

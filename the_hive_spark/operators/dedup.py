@@ -151,26 +151,20 @@ def _py_shingle_set(text: str, w: int = SHINGLE_W) -> set:
 
 def _dense_vocab_probe(spark: SparkSession, docs: DataFrame):
     """Sorted shingle vocabulary if the corpus is in the dense regime,
-    else None. One bounded job: per-batch distinct shingles → global
-    distinct → LIMIT vocab_max+1 (the limit caps the collect in the
-    sparse case — the probe never materializes a huge vocabulary)."""
-    import pandas as pd
-
+    else None. One bounded job, entirely JVM-side: per-doc distinct
+    shingles (``shingles_expr`` already wraps ``array_distinct``) →
+    explode → global distinct → LIMIT vocab_max+1. The LIMIT caps the
+    collect in the sparse case — the probe never materializes a huge
+    vocabulary — and the whole stage runs in whole-stage codegen
+    (an earlier mapInPandas version of this probe cost more than the
+    pipeline it was gating)."""
     if docs.count() > _BITSET_MAX_DOCS:
         return None
-
-    def emit(batches):
-        for pdf in batches:
-            seen = set()
-            for text in pdf["text"]:
-                seen |= _py_shingle_set(text)
-            yield pd.DataFrame({"shingle": sorted(seen)})
 
     n = spark.sparkContext.defaultParallelism
     rows = (
         docs.repartition(n, "doc_id")
-        .select("doc_id", "text")
-        .mapInPandas(emit, "shingle string")
+        .select(F.explode(shingles_expr()).alias("shingle"))
         .distinct()
         .limit(_BITSET_MAX_VOCAB + 1)
         .collect()
@@ -542,13 +536,23 @@ def _minhash_signatures_from(sh: DataFrame) -> DataFrame:
 
 def _lsh_band_pairs(sig: DataFrame) -> DataFrame:
     """(doc_a, doc_b, n_bands) pairs whose signatures collide on ≥1
-    LSH band — the equi-join that replaces all-pairs comparison."""
+    LSH band — the equi-join that replaces all-pairs comparison.
+
+    The banded table is persisted before the self-join: a self-join
+    re-executes its input subplan once PER SIDE, and here that subplan
+    is the whole signature pipeline (shingle → MinHash, or the dense
+    Python packer). Persisting turns both sides into InMemoryTableScan
+    — the signatures are computed exactly once. MEMORY_AND_DISK so an
+    at-scale run spills instead of recomputing; the cached rows are
+    fixed-width (4 rows/doc), tiny relative to the corpus."""
+    from pyspark import StorageLevel
+
     band_cols = ", ".join(
         f"{b}, concat(mh{2 * b}, mh{2 * b + 1})" for b in range(N_BANDS)
     )
     bands = sig.selectExpr(
         "doc_id", f"stack({N_BANDS}, {band_cols}) as (band, band_key)"
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -666,9 +670,18 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
         .filter(F.length("token") > 0)
     )
-    hashed = tok.select(
-        "doc_id", F.expr(_HASH31_SPARK.format(t="token")).alias("h")
+    # Hash the DISTINCT vocabulary, not every occurrence: the per-char
+    # portable hash (a non-codegen higher-order aggregate) runs once
+    # per distinct token and joins back — real corpora repeat tokens
+    # ~1000:1, so this removes ~99.9% of the lambda work. AQE turns
+    # the join into a broadcast when the vocabulary is small; a huge
+    # vocabulary degrades gracefully to a shuffle join on `token`.
+    vocab = (
+        tok.select("token")
+        .distinct()
+        .select("token", F.expr(_HASH31_SPARK.format(t="token")).alias("h"))
     )
+    hashed = tok.join(vocab, "token").select("doc_id", "h")
     # all 30 per-bit majority votes in ONE map-side-combinable
     # aggregation (the oracle's bit crossJoin ×30 is the naive plan —
     # same integer math, 30× the rows)
@@ -742,9 +755,18 @@ def doc_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for i, (off, width) in enumerate(_SIMHASH_CHUNKS)
     ]
-    banded = sig.select(
-        "doc_id", "simhash", F.explode(F.array(*chunk_exprs)).alias("bv")
-    ).select("doc_id", "simhash", "bv.band", "bv.val")
+    # persisted for the same reason as _lsh_band_pairs: the self-join
+    # would otherwise run the whole tokenize→hash→majority-vote
+    # signature pipeline once per side
+    from pyspark import StorageLevel
+
+    banded = (
+        sig.select(
+            "doc_id", "simhash", F.explode(F.array(*chunk_exprs)).alias("bv")
+        )
+        .select("doc_id", "simhash", "bv.band", "bv.val")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     hamming = F.expr("bit_count(a.simhash ^ b.simhash)")
