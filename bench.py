@@ -59,6 +59,9 @@ EXTENDED = [
     "events_path_3grams",
     "graph_pagerank3",
     "doc_top_terms",
+    "doc_bm25_topk",
+    "events_last_touch",
+    "doc_pack_sequences",
 ]
 
 

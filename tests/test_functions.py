@@ -165,6 +165,27 @@ def test_dense_sequential_ids(spark):
     assert ks == sorted(ks)
 
 
+def test_distributed_prefix_sum(spark):
+    """Exclusive running sum matches the single-partition window form
+    and never funnels through one partition (functions/ids.py)."""
+    import pyspark.sql.functions as F
+
+    from the_hive_spark.functions.ids import distributed_prefix_sum
+
+    df = spark.range(0, 4000).select(
+        (F.col("id") * 13 % 4000).alias("k"),
+        (F.col("id") % 7 + 1).alias("v"),
+    ).repartition(16)
+    rows = distributed_prefix_sum(df, "k", "v", out_col="p").orderBy("k").collect()
+    acc = 0
+    for r in rows:
+        assert r["p"] == acc, (r["k"], r["p"], acc)
+        acc += r["v"]
+    # empty input: no rows, no crash
+    empty = df.filter(F.col("k") < 0)
+    assert distributed_prefix_sum(empty, "k", "v").count() == 0
+
+
 def test_embedder_factory_selection(spark, monkeypatch):
     """U1 provider factory: explicit arg wins, env selects otherwise,
     deterministic default is bow; unknown providers fail fast."""

@@ -78,14 +78,67 @@ def dense_sequential_ids(
     for r in sorted(counts, key=lambda r: r["_pid"]):
         offsets[int(r["_pid"])] = acc
         acc += r["count"]
-    off_map = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]
+    # empty input → no offsets; create_map() rejects zero args
+    off = (
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])[
+            F.col("_pid")
+        ]
+        if offsets
+        else F.lit(base)
     )
     w = Window.partitionBy("_pid").orderBy(order_col)
     return (
         ranged.withColumn(
             id_col,
-            (off_map[F.col("_pid")] + F.row_number().over(w) - 1).cast("long"),
+            (off + F.row_number().over(w) - 1).cast("long"),
+        )
+        .drop("_pid")
+    )
+
+
+def distributed_prefix_sum(
+    df, order_col: str, value_col: str, out_col: str = "prefix_sum"
+):
+    """Exclusive running sum of ``value_col`` in ``order_col`` order at
+    cluster scale (row i gets the sum of all values strictly before it).
+
+    Same two-pass scheme as :func:`dense_sequential_ids` — a bare
+    ``SUM() OVER (ORDER BY …)`` is a single-partition funnel. Here:
+    range-partition on the order column, running-sum *within* each
+    partition, then add per-partition totals from one O(partitions)
+    collect. Global order holds because range partitions are ordered.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    n = spark.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n, F.col(order_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    totals = ranged.groupBy("_pid").agg(F.sum(value_col).alias("_t")).collect()
+    offsets, acc = {}, 0
+    for r in sorted(totals, key=lambda r: r["_pid"]):
+        offsets[int(r["_pid"])] = acc
+        acc += int(r["_t"] or 0)
+    # empty input → no offsets; create_map() rejects zero args
+    off = (
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])[
+            F.col("_pid")
+        ]
+        if offsets
+        else F.lit(0)
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        ranged.withColumn(
+            out_col,
+            (off + F.coalesce(F.sum(value_col).over(w), F.lit(0))).cast("long"),
         )
         .drop("_pid")
     )

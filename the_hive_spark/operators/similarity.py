@@ -404,3 +404,82 @@ def emb_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(assigned, centroids, qv, k=KNN_K, n_probe=3).select(
         "vec_id", "label", F.col("score").cast("double").alias("score")
     )
+
+
+@query(
+    "emb_label_affinity",
+    oracle=f"""
+WITH s AS (
+  SELECT label, CAST(t.i - 1 AS BIGINT) AS pos,
+         CAST(SUM({_Q_DUCK.format(x="embedding[t.i]")}) AS BIGINT) AS sv
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+  GROUP BY label, pos
+), nrm AS (
+  SELECT label, CAST(SUM(sv * sv) AS BIGINT) AS nrm FROM s GROUP BY label
+), d AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         CAST(SUM(a.sv * b.sv) AS BIGINT) AS dot
+  FROM s a JOIN s b ON a.pos = b.pos AND a.label < b.label
+  GROUP BY label_a, label_b
+)
+SELECT d.label_a, d.label_b,
+       CAST(FLOOR(1000000.0 * d.dot
+            / sqrt(CAST(na.nrm AS DOUBLE) * nb.nrm) + 0.5) AS BIGINT) AS cos_ppm
+FROM d
+JOIN nrm na ON na.label = d.label_a
+JOIN nrm nb ON nb.label = d.label_b
+""",
+)
+def emb_label_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine between per-label centroid directions — the
+    class-confusability matrix used to audit label quality before
+    training. Cosine is scale-invariant, so the centroid MEAN is
+    replaced by the element-wise SUM of quantized milli-units
+    (identical direction, exact int64 arithmetic — no float-division
+    drift to reconcile between engines). Plan: one explode + map-side-
+    combined sum to |labels|·dim rows (tiny regardless of corpus
+    size — persisted so the pairwise self-join reads it from memory
+    instead of re-exploding the corpus per side), then an all-pairs
+    join over labels, which is quadratic only in the LABEL count.
+    Int64 headroom: per-(label,pos) sums stay exact below ~10⁹ vectors
+    per label (sv ≈ n·10³, sv² ≈ n²·10⁶ < 2⁶³); past that, rescale to
+    centi-units or mean-center first."""
+    from pyspark import StorageLevel
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = F.expr(_Q_SPARK.format(x="e"))
+    s = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "e"))
+        .groupBy("label", F.col("pos").cast("bigint").alias("pos"))
+        .agg(F.sum(q).cast("bigint").alias("sv"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nrm = s.groupBy("label").agg(
+        F.sum(F.col("sv") * F.col("sv")).cast("bigint").alias("nrm")
+    )
+    a, b = s.alias("a"), s.alias("b")
+    d = (
+        a.join(
+            b,
+            (F.col("a.pos") == F.col("b.pos"))
+            & (F.col("a.label") < F.col("b.label")),
+        )
+        .groupBy(
+            F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b")
+        )
+        .agg(F.sum(F.col("a.sv") * F.col("b.sv")).cast("bigint").alias("dot"))
+    )
+    na = nrm.select(F.col("label").alias("label_a"), F.col("nrm").alias("na_n"))
+    nb = nrm.select(F.col("label").alias("label_b"), F.col("nrm").alias("nb_n"))
+    return (
+        d.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            F.expr(
+                "CAST(FLOOR(1000000.0 * dot"
+                " / sqrt(CAST(na_n AS DOUBLE) * nb_n) + 0.5) AS BIGINT)"
+            ).alias("cos_ppm"),
+        )
+    )

@@ -495,3 +495,182 @@ def doc_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.groupBy("lang", "split").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs")
     )
+
+
+SAMPLE_HEX_LT = "1a"  # keep when first md5 byte < 0x1a → 26/256 ≈ 10.2%
+
+
+@query(
+    "doc_stratified_sample",
+    oracle=f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE substring(md5(concat(lang, ':', source, ':', CAST(doc_id AS VARCHAR))), 1, 2)
+      < '{SAMPLE_HEX_LT}'
+""",
+)
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% stratified sample of the corpus — the
+    reproducible-subset idiom for eval sets and ablations. The keep
+    decision hashes (lang, source, doc_id) together, so each
+    (lang, source) stratum gets an independent Bernoulli draw at the
+    same rate (hashing doc_id alone would correlate samples across
+    strata), and the assignment is a pure function of the row: re-runs,
+    retries, and any cluster size agree with zero sampling state. The
+    md5-prefix compare is string-ordered hex — identical in both
+    engines. The predicate is a function of the row, so it can't reach
+    parquet PushedFilters, but it evaluates inside the scan's codegen
+    stage: unsampled rows die before any shuffle, and the output is
+    ~10% of the corpus regardless of scale."""
+    docs = table(spark, sf_dir, "documents")
+    keep = (
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("lang"),
+                    F.lit(":"),
+                    F.col("source"),
+                    F.lit(":"),
+                    F.col("doc_id").cast("string"),
+                )
+            ),
+            1,
+            2,
+        )
+        < SAMPLE_HEX_LT
+    )
+    return docs.filter(keep).select("doc_id", "lang", "source", "n_chars")
+
+
+PACK_BUDGET = 512  # tokens per packed training sequence
+
+
+@query(
+    "doc_pack_sequences",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+  FROM t
+)
+SELECT doc_id, n_tokens, CAST(prev // {PACK_BUDGET} AS BIGINT) AS bin_id
+FROM c
+""",
+)
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM training: assign each document to a
+    fixed-token-budget bin by its exclusive running token count in
+    doc_id order (contiguous packing — deterministic, order-stable,
+    and every bin except possibly the last is filled to ≥ budget once
+    a doc crosses the boundary). The oracle's ``SUM() OVER (ORDER
+    BY)`` is the single-partition funnel Spark must NOT run at scale;
+    here the running sum comes from
+    :func:`the_hive_spark.functions.ids.distributed_prefix_sum` —
+    range-partition, per-partition window, O(partitions) offset
+    collect — so the plan stays fully parallel."""
+    from the_hive_spark.functions.ids import distributed_prefix_sum
+
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    packed = distributed_prefix_sum(t, "doc_id", "n_tokens", out_col="prev")
+    return packed.select(
+        "doc_id",
+        "n_tokens",
+        F.expr(f"prev div {PACK_BUDGET}").cast("bigint").alias("bin_id"),
+    )
+
+
+BM25_TERMS = ("join", "filter", "scan")
+BM25_K = 15
+
+
+@query(
+    "doc_bm25_topk",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), tok_f AS (
+  SELECT doc_id, token FROM tok WHERE length(token) > 0
+), dl AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok_f GROUP BY doc_id
+), gstats AS (
+  SELECT CAST(SUM(dl) AS BIGINT) AS big_t,
+         CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS big_n
+  FROM dl
+), tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok_f WHERE token IN ('join', 'filter', 'scan')
+  GROUP BY doc_id, token
+), dfreq AS (
+  SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tf GROUP BY token
+)
+SELECT tf.doc_id,
+       CAST(SUM(((big_n * 1000000) // dfreq.df) * 22 * big_t * tf.tf
+            // (10 * big_t * tf.tf + 3 * big_t + 9 * dl.dl * big_n)) AS BIGINT) AS score
+FROM tf
+JOIN dfreq ON tf.token = dfreq.token
+JOIN dl ON dl.doc_id = tf.doc_id
+CROSS JOIN gstats
+GROUP BY tf.doc_id
+ORDER BY score DESC, tf.doc_id
+LIMIT {BM25_K}
+""",
+)
+def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword ranking (k1=1.2, b=0.75), top-15 docs for a fixed
+    term set — the lexical-retrieval half of a hybrid search stack.
+
+    All arithmetic is integer: the standard log-idf is replaced by the
+    exact rational idf_ppm = N·10⁶ // df (log-free Robertson variant —
+    same ordering for single-term weights, deterministic across
+    engines), and the k1/b normalization is cross-multiplied so each
+    term's score is one int64 division:
+    ``idf_ppm · 22·T·tf // (10·T·tf + 3·T + 9·dl·N)`` with T = corpus
+    token count, dl = doc length. Sums of integers are
+    order-independent, so results hash identically on any partitioning.
+    Plan shape: explode → two map-side-combined aggs (tf, dl) → tiny
+    broadcast joins (df, global T/N) → TakeOrdered(k). The per-term
+    products stay < 2⁶³ up to ~10¹² corpus tokens; past that, rescale
+    idf_ppm to idf_ppb or precompute dl/avgdl ratios."""
+    docs = table(spark, sf_dir, "documents")
+    n = spark.sparkContext.defaultParallelism
+    tok = (
+        docs.repartition(n, "doc_id")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.length("token") > 0)
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
+    glob = dl.agg(F.sum("dl").cast("bigint").alias("big_t")).crossJoin(
+        docs.agg(F.count(F.lit(1)).cast("bigint").alias("big_n"))
+    )
+    tf = (
+        tok.filter(F.col("token").isin(*BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(glob))
+        .withColumn(
+            "term_score",
+            F.expr(
+                "((big_n * 1000000) div df) * 22 * big_t * tf"
+                " div (10 * big_t * tf + 3 * big_t + 9 * dl * big_n)"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("term_score").cast("bigint").alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(BM25_K)

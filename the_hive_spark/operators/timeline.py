@@ -854,3 +854,41 @@ def events_daily_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             for t in types
         ],
     )
+
+
+@query(
+    "events_last_touch",
+    oracle="""
+SELECT user_id, event_type, event_id,
+       CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_us
+FROM (
+  SELECT user_id, event_type, event_id, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+""",
+)
+def events_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch dedup: the most recent event per (user, event_type) —
+    the attribution/compaction primitive for event logs (same shape as
+    CDC upsert-compaction: newest row per key wins, event_id breaks
+    ts ties so the winner is unique). One hash shuffle on the group
+    key, rank-1 filter inside the window — no global sort, no
+    self-join against a MAX subquery (the naive form scans the fact
+    twice and re-shuffles both sides)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+        )
+    )
