@@ -404,3 +404,71 @@ def test_stream_stream_attribution_equals_batch(spark, tmp_path):
     assert got == want, (
         f"stream≠batch: extra={got - want} missing={want - got}"
     )
+
+
+def test_incremental_near_dup_stream_equals_batch(spark, tmp_path):
+    """Batch/stream parity for incremental MinHash dedup: new docs
+    screened against a static banded corpus index must produce the
+    same (new_doc_id, corpus_doc_id, band) hits whether the new docs
+    arrive as a batch DataFrame or as a file-source stream (the whole
+    pipeline is stateless map + stream-static equi-join)."""
+    import pandas as pd
+
+    from the_hive_spark.operators.dedup import (
+        N_MINHASH,
+        band_signatures,
+        incremental_near_dup_candidates,
+        with_minhash_cols,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog while counting "
+    corpus_rows = [
+        {"doc_id": i, "text": base + f"sheep number {i % 4}"} for i in range(20)
+    ]
+    corpus = spark.createDataFrame(pd.DataFrame(corpus_rows))
+    corpus_bands = band_signatures(
+        with_minhash_cols(corpus).select(
+            "doc_id", *[f"mh{s}" for s in range(N_MINHASH)]
+        )
+    ).cache()
+
+    # near-dups of corpus docs + one unrelated doc + one too-short doc
+    new_rows = [
+        {"doc_id": 100, "text": base + "sheep number 0"},
+        {"doc_id": 101, "text": base + "sheep number 3 extra tail"},
+        {"doc_id": 102, "text": "completely different content here entirely"},
+        {"doc_id": 103, "text": "abc"},
+    ]
+    src = tmp_path / "newdocs"
+    src.mkdir()
+    pd.DataFrame(new_rows).to_parquet(src / "batch0.parquet")
+
+    batch_df = spark.read.parquet(str(src))
+    expected = sorted(
+        tuple(r)
+        for r in incremental_near_dup_candidates(batch_df, corpus_bands)
+        .select("new_doc_id", "corpus_doc_id", "band")
+        .collect()
+    )
+    assert expected, "fixture must produce at least one candidate hit"
+    assert not any(t[0] in (102, 103) for t in expected), (
+        "unrelated/short docs must not hit the index"
+    )
+
+    stream = spark.readStream.schema(batch_df.schema).parquet(str(src))
+    got = incremental_near_dup_candidates(stream, corpus_bands)
+    q = (
+        got.writeStream.format("memory")
+        .queryName("inc_dedup_hits")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = sorted(
+        tuple(r)
+        for r in spark.sql(
+            "SELECT new_doc_id, corpus_doc_id, band FROM inc_dedup_hits"
+        ).collect()
+    )
+    assert streamed == expected

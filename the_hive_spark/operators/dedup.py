@@ -13,9 +13,9 @@ Scale design (100 TB):
   the classic candidate-pair plan; at scale the hot shingles get AQE
   skew-split, and the MinHash/LSH variant below cuts the candidate
   set from O(n²) to near-linear before the exact re-check;
-- MinHash signatures are computed in ONE aggregation (8 mins over the
-  exploded shingles — map-side partial agg), banded, and candidates
-  come from an equi-join on (band, band_key);
+- MinHash signatures are computed PER ROW (array expressions over the
+  in-row shingle array — a pure map, no explode/shuffle), banded, and
+  candidates come from an equi-join on (band, band_key);
 - everything is integer/string-exact (md5 strings, ppm integers), so
   results are engine- and partitioning-independent.
 
@@ -38,12 +38,18 @@ N_MINHASH = 8
 N_BANDS = 4  # 2 rows per band
 
 
-def shingles_expr(text_col: str = "text", w: int = SHINGLE_W):
-    """Distinct character w-shingles of a text column (Spark Column)."""
-    return F.expr(
+def _shingles_sql(text_col: str = "text", w: int = SHINGLE_W) -> str:
+    """SQL text of the distinct character w-shingle array (composable
+    into larger expressions — see minhash_cols)."""
+    return (
         f"array_distinct(transform(sequence(1, greatest(length({text_col}) - {w - 1}, 1)),"
         f" i -> substring({text_col}, i, {w})))"
     )
+
+
+def shingles_expr(text_col: str = "text", w: int = SHINGLE_W):
+    """Distinct character w-shingles of a text column (Spark Column)."""
+    return F.expr(_shingles_sql(text_col, w))
 
 
 def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -513,10 +519,40 @@ def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_on_pairs_join(cand, sh)
 
 
+def with_minhash_cols(
+    df: DataFrame, text_col: str = "text", w: int = SHINGLE_W
+) -> DataFrame:
+    """Append the 8 MinHash chunk-minimum columns (mh0..mh7) computed
+    PER ROW — no explode, no shuffle: shingle array → one md5 per
+    shingle → array_min of each fixed-width hex chunk. Numerically
+    identical to the explode + groupBy(min) form (min over the same
+    distinct-shingle md5 chunks), but the plan is a pure map: it runs
+    on a streaming micro-batch as-is (no aggregation state, no
+    watermark needed) and at 100 TB it turns signature computation
+    from a corpus-wide shuffle into scan-local work. The md5 array
+    sits in its own projection so the 8 chunk-min expressions share
+    one hashing pass (CollapseProject does not inline a non-cheap
+    alias referenced 8 times)."""
+    sigs = F.expr(f"transform({_shingles_sql(text_col, w)}, s -> md5(s))")
+    mins = [
+        F.expr(
+            f"array_min(transform(_sigs, h -> substring(h, {1 + 4 * s}, 4)))"
+        ).alias(f"mh{s}")
+        for s in range(N_MINHASH)
+    ]
+    return df.withColumn("_sigs", sigs).select("*", *mins).drop("_sigs")
+
+
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc MinHash signature: 8 16-bit chunk minima of one md5 per
-    shingle, computed in one map-side-combinable aggregation."""
-    return _minhash_signatures_from(doc_shingles(spark, sf_dir))
+    shingle — per-row map-only form (see with_minhash_cols)."""
+    docs = table(spark, sf_dir, "documents").filter(
+        F.length("text") >= SHINGLE_W
+    )
+    n = spark.sparkContext.defaultParallelism
+    return with_minhash_cols(docs.repartition(n, "doc_id")).select(
+        "doc_id", *[f"mh{s}" for s in range(N_MINHASH)]
+    )
 
 
 def _minhash_signatures_from(sh: DataFrame) -> DataFrame:
@@ -534,6 +570,45 @@ def _minhash_signatures_from(sh: DataFrame) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def band_signatures(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) LSH banding of a signature table —
+    mh chunk pairs concatenated per band via one stack() generator
+    (a pure map; streaming-safe)."""
+    band_cols = ", ".join(
+        f"{b}, concat(mh{2 * b}, mh{2 * b + 1})" for b in range(N_BANDS)
+    )
+    return sig.selectExpr(
+        "doc_id", f"stack({N_BANDS}, {band_cols}) as (band, band_key)"
+    )
+
+
+def incremental_near_dup_candidates(
+    new_docs: DataFrame, corpus_bands: DataFrame
+) -> DataFrame:
+    """Near-dup screening for INCOMING documents against an indexed
+    corpus — the continuous-ingest form of MinHash dedup: signatures
+    for the new rows are computed per row (``with_minhash_cols``),
+    banded, and equi-joined against the pre-banded corpus index
+    (``band_signatures`` over the signature table a batch job
+    maintains). Returns (new_doc_id, corpus_doc_id, band) hits.
+
+    Every stage is stateless map + stream-static equi-join, so the
+    same code runs on a streaming micro-batch (append mode, no
+    watermark, no state store) and on a batch DataFrame — the parity
+    test's oracle. Aggregation to per-pair n_bands (and the exact
+    verify) belongs in foreachBatch, where the candidate set is tiny.
+    At scale the corpus index is bucketed on band_key so each
+    micro-batch joins without shuffling the static side."""
+    new_sig = with_minhash_cols(
+        new_docs.filter(F.length("text") >= SHINGLE_W)
+    ).select("doc_id", *[f"mh{s}" for s in range(N_MINHASH)])
+    nb = band_signatures(new_sig).withColumnRenamed("doc_id", "new_doc_id")
+    cb = corpus_bands.withColumnRenamed("doc_id", "corpus_doc_id")
+    return nb.join(cb, ["band", "band_key"]).select(
+        "new_doc_id", "corpus_doc_id", "band"
+    )
+
+
 def _lsh_band_pairs(sig: DataFrame) -> DataFrame:
     """(doc_a, doc_b, n_bands) pairs whose signatures collide on ≥1
     LSH band — the equi-join that replaces all-pairs comparison.
@@ -547,12 +622,7 @@ def _lsh_band_pairs(sig: DataFrame) -> DataFrame:
     fixed-width (4 rows/doc), tiny relative to the corpus."""
     from pyspark import StorageLevel
 
-    band_cols = ", ".join(
-        f"{b}, concat(mh{2 * b}, mh{2 * b + 1})" for b in range(N_BANDS)
-    )
-    bands = sig.selectExpr(
-        "doc_id", f"stack({N_BANDS}, {band_cols}) as (band, band_key)"
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    bands = band_signatures(sig).persist(StorageLevel.MEMORY_AND_DISK)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -603,19 +673,11 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact re-check confirms candidates (banding params: P(collide) ≈
     1-(1-j²)⁴, ~50% at j=0.4).
 
-    Dense regime: signatures come out of the single-pass Python
-    packer (vocab md5s hashed once, driver-side) instead of the
-    (doc, shingle) explode + 8-way min aggregation.
+    Signatures come from the per-row map-only form
+    (``with_minhash_cols`` — no explode, no shuffle, no regime probe);
+    the dense Python packer is reserved for pipelines that also need
+    the bitset matrix for exact verification (doc_dup_clusters).
     """
-    docs = table(spark, sf_dir, "documents").filter(
-        F.length("text") >= SHINGLE_W
-    )
-    vocab = _dense_vocab_probe(spark, docs)
-    if vocab is not None:
-        sig = _dense_packed_df(spark, docs, vocab, with_minhash=True).select(
-            "doc_id", *[f"mh{c}" for c in range(N_MINHASH)]
-        )
-        return _lsh_band_pairs(sig)
     return _lsh_band_pairs(minhash_signatures(spark, sf_dir))
 
 

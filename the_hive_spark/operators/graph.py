@@ -375,3 +375,57 @@ def graph_pagerank3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").alias("rank_micros"),
     )
     return decoded.orderBy(F.desc("rank_micros"), F.asc("node_id")).limit(30)
+
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), e AS (
+  SELECT part_a AS u, part_b AS v
+  FROM pairs GROUP BY part_a, part_b HAVING COUNT(*) >= 2
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM e e1
+JOIN e e2 ON e2.u = e1.v
+JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+""",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count on the co-purchase graph (parts co-ordered ≥2
+    times) — the clustering-coefficient numerator, and the classic
+    test of whether an engine can run a multiway self-join without a
+    cartesian blow-up.
+
+    Edges arrive canonically oriented (u < v from the pair
+    construction, the degree-orientation trick's effect: each triangle
+    counted exactly once as u<v<w). The thresholded edge list is
+    persisted — tiny relative to the fact table — and the two joins
+    are plain equi-joins Spark can broadcast (this graph) or
+    sort-merge (at scale). At 100 TB the standard refinement is
+    orienting by (degree, id) instead of id so high-degree hubs don't
+    dominate the e2 build side; the join shape is unchanged."""
+    from pyspark import StorageLevel
+
+    from the_hive_spark.operators.analytics import copurchase_pairs
+
+    li = table(spark, sf_dir, "lineitem")
+    e = (
+        copurchase_pairs(li)
+        .filter(F.col("n_orders") >= 2)
+        .select(F.col("part_a").alias("u"), F.col("part_b").alias("v"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    return (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"])
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )

@@ -674,3 +674,51 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("term_score").cast("bigint").alias("score"))
     )
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(BM25_K)
+
+
+@query(
+    "doc_rebalance_sample",
+    oracle="""
+WITH counts AS (
+  SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang
+), target AS (
+  SELECT CAST(MIN(cnt) AS BIGINT) AS t FROM counts
+), ranked AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+)
+SELECT doc_id, lang FROM ranked CROSS JOIN target WHERE rk <= t
+""",
+)
+def doc_rebalance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-rebalancing downsample: every language stratum cut to the
+    size of the SMALLEST one (the undersampling step before training
+    on skewed corpora). Selection is a deterministic hash rank — docs
+    ordered by md5(doc_id) within each stratum, doc_id tie-break — so
+    the kept set is a pure function of the data: re-runs and engines
+    agree, and the sample is unbiased w.r.t. any natural ordering of
+    the table. One per-stratum window (hash shuffle on lang, fine as
+    long as no single class outweighs an executor — salt the rank for
+    pathological single-class skew) plus a 1-row broadcast of the
+    target count."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    target = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.min("cnt").cast("bigint").alias("t"))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = docs.select(
+        "doc_id", "lang", F.row_number().over(w).alias("rk")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(target))
+        .filter(F.col("rk") <= F.col("t"))
+        .select("doc_id", "lang")
+    )
