@@ -483,3 +483,69 @@ def emb_label_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos_ppm"),
         )
     )
+
+
+BATCH_KNN_QUERIES = 5
+BATCH_KNN_K = 5
+
+
+@query(
+    "emb_knn_batch_topk",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+  WHERE vec_id < {BATCH_KNN_QUERIES}
+), scored AS (
+  SELECT q.q_id, e.vec_id,
+         CAST(FLOOR(1000000.0 * {_qdot_duck("e.embedding", "q.qv")}
+              / sqrt(CAST({_qdot_duck("e.embedding", "e.embedding")} AS DOUBLE)
+                     * {_qdot_duck("q.qv", "q.qv")}) + 0.5) AS BIGINT) AS cos_ppm
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id != q.q_id
+), ranked AS (
+  SELECT q_id, vec_id, cos_ppm,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cos_ppm DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT q_id, vec_id, cos_ppm FROM ranked WHERE rn <= {BATCH_KNN_K}
+""",
+)
+def emb_knn_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch k-NN: exact top-5 cosine neighbors for EACH of a query
+    SET (vec_id < 5) in one corpus pass — the bulk-serving shape
+    (re-embedding backfills, eval-set mining) where per-query scans
+    would read the corpus |Q| times.
+
+    The query set broadcasts; the corpus scan scores |Q| pairs per
+    row; the per-query top-k is a window rank over q_id — the shuffle
+    carries only (q_id, vec_id, score) triples, never vectors.
+    Parallelism is bounded by |Q| at this size; bulk serving at scale
+    runs thousands of queries per batch, which spreads that same
+    shuffle evenly (and hierarchical per-partition top-k before the
+    window would cut the shuffled rows to k·partitions·|Q|)."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < BATCH_KNN_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.expr(
+                f"CAST(FLOOR(1000000.0 * {_qdot_spark('embedding', 'qv')}"
+                f" / sqrt(CAST({_qdot_spark('embedding', 'embedding')} AS DOUBLE)"
+                f" * {_qdot_spark('qv', 'qv')}) + 0.5) AS BIGINT)"
+            ).alias("cos_ppm"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_ppm"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= BATCH_KNN_K)
+        .select("q_id", "vec_id", "cos_ppm")
+    )

@@ -722,3 +722,89 @@ def doc_rebalance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= F.col("t"))
         .select("doc_id", "lang")
     )
+
+
+@query(
+    "doc_training_manifest",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS n_tokens
+  FROM documents WHERE length(text) > 0
+), keep AS (
+  SELECT md5(text) AS h, MIN(doc_id) AS keep FROM documents GROUP BY md5(text)
+), corpus AS (
+  SELECT d.doc_id, d.lang,
+         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents d
+  JOIN keep c ON md5(d.text) = c.h AND d.doc_id = c.keep
+  JOIN m ON m.doc_id = d.doc_id
+  WHERE m.n_chars >= 50 AND m.n_tokens >= 10
+    AND (m.n_chars - m.n_tokens + 1.0) / greatest(m.n_tokens, 1) BETWEEN 2 AND 12
+), assigned AS (
+  SELECT doc_id, lang, n_tokens,
+         CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+              WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM corpus
+), packed AS (
+  SELECT doc_id, lang, n_tokens, split,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY split ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+  FROM assigned
+)
+SELECT doc_id, lang, split, n_tokens,
+       CAST(prev // {PACK_BUDGET} AS BIGINT) AS bin_id
+FROM packed
+""",
+)
+def doc_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data pipeline as ONE query — the
+    manifest a dataset build actually ships: exact-dedup
+    canonicalization ∩ quality gate (doc_corpus_filtered), then the
+    deterministic 80/10/10 hash split (doc_split_assignment's rule),
+    then fixed-budget sequence packing WITHIN each split. Every stage
+    is a pure function of the data, so the whole manifest is
+    reproducible from scratch on any cluster shape.
+
+    Packing runs as one distributed_prefix_sum PER split (the split
+    domain is three literals) and unions the results — per-split
+    running sums with no single-partition window anywhere, unlike the
+    oracle's PARTITION BY split window, which funnels each split
+    through one task."""
+    from the_hive_spark.functions.ids import distributed_prefix_sum
+    from the_hive_spark.operators.dedup import doc_corpus_filtered
+
+    corpus = doc_corpus_filtered(spark, sf_dir).select("doc_id", "lang")
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    assigned = (
+        corpus.join(docs, "doc_id")
+        .withColumn(
+            "split",
+            F.when(bucket < 80, "train")
+            .when(bucket < 90, "val")
+            .otherwise("test"),
+        )
+    )
+    parts = [
+        distributed_prefix_sum(
+            assigned.filter(F.col("split") == s), "doc_id", "n_tokens", "prev"
+        )
+        for s in ("train", "val", "test")
+    ]
+    packed = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return packed.select(
+        "doc_id",
+        "lang",
+        "split",
+        "n_tokens",
+        F.expr(f"prev div {PACK_BUDGET}").cast("bigint").alias("bin_id"),
+    )

@@ -892,3 +892,38 @@ def events_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros("ts").alias("ts_us"),
         )
     )
+
+
+_TUMBLE_US = 600_000_000  # 10-minute windows in microseconds
+
+
+@query(
+    "events_tumbling_10min",
+    oracle=f"""
+SELECT epoch_us(CAST(ts AS TIMESTAMP))
+         - epoch_us(CAST(ts AS TIMESTAMP)) % {_TUMBLE_US} AS window_start_us,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY window_start_us, event_type
+""",
+)
+def events_tumbling_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-minute window counts per event type — the batch
+    face of the streaming windowed aggregation
+    (streaming/windows.py::windowed_event_counts computes the same
+    thing with a watermark). The bucket is pure integer arithmetic on
+    epoch micros (µs − µs % width) instead of each engine's window/
+    time_bucket function, so both engines bucket identically with no
+    origin-convention risk. One map-side-combinable shuffle; COUNT
+    DISTINCT adds the standard partial-distinct expansion, still one
+    exchange."""
+    ev = table(spark, sf_dir, "events")
+    bucket = F.expr(
+        f"unix_micros(ts) - unix_micros(ts) % {_TUMBLE_US}"
+    ).alias("window_start_us")
+    return ev.groupBy(bucket, "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
