@@ -62,6 +62,10 @@ EXTENDED = [
     "doc_bm25_topk",
     "events_last_touch",
     "doc_pack_sequences",
+    "q_copurchase_pairs",
+    "graph_triangle_count",
+    "doc_training_manifest",
+    "emb_knn_batch_topk",
 ]
 
 

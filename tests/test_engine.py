@@ -207,3 +207,27 @@ def test_write_dataset_salted_file_spread(spark, tmp_path):
             continue
         parts = [f for f in os.listdir(os.path.join(out, d)) if f.endswith(".parquet")]
         assert len(parts) > 1, f"{d}: expected multiple files, got {parts}"
+
+
+def test_compact_dataset_merges_small_files(spark, tmp_path):
+    """Compaction rewrites a many-tiny-files dataset into the computed
+    target file count with the row set byte-identical (sinks.py)."""
+    import pyspark.sql.functions as F
+
+    from the_hive_spark.sources.sinks import compact_dataset
+
+    src = str(tmp_path / "tiny")
+    dst = str(tmp_path / "compacted")
+    # 64 writer tasks -> 64 tiny files, the streaming-sink failure mode
+    spark.range(0, 10_000).select(
+        "id", (F.col("id") % 7).alias("k"), F.md5(F.col("id").cast("string")).alias("payload")
+    ).repartition(64).write.parquet(src)
+
+    stats = compact_dataset(spark, src, dst, target_mb=256, sort_within=["id"])
+    assert stats["files_before"] == 64
+    assert stats["target_files"] == 1  # 10k rows ≪ 256 MB
+    assert stats["files_after"] == 1
+
+    before = sorted(tuple(r) for r in spark.read.parquet(src).collect())
+    after = sorted(tuple(r) for r in spark.read.parquet(dst).collect())
+    assert before == after

@@ -83,3 +83,70 @@ def ship_corpus(spark: SparkSession, sf_dir: str, path: str) -> int:
         sort_within=["doc_id"],
     )
     return spark.read.parquet(path).count()
+
+
+def compact_dataset(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_mb: int = 256,
+    partition_by: list[str] | None = None,
+    sort_within: list[str] | None = None,
+) -> dict:
+    """Small-file compaction — the table-maintenance pass every
+    long-lived dataset needs: streaming/incremental writers emit one
+    file per micro-batch task, and a year of that turns scans into
+    metadata storms (file listing + one footer read per file dominates
+    the actual I/O).
+
+    Reads ``src_path``, rewrites it to ``dst_path`` with
+    ceil(bytes / target_mb) output files — explicit-count repartition,
+    which AQE will not coalesce — preserving optional Hive
+    partitioning and within-file sort order. Writing to a NEW path and
+    swapping at the catalog/symlink level is deliberate: in-place
+    compaction that deletes source files it is still reading is how
+    datasets die. Returns before/after file counts and byte size.
+
+    File size is measured by walking the local path (tests, local
+    mode); a cluster deployment swaps in the Hadoop FileSystem
+    listing — the plan is identical.
+    """
+    import math
+    import os
+
+    n_files_before = 0
+    total_bytes = 0
+    for root, _dirs, files in os.walk(src_path):
+        for f in files:
+            if f.endswith(".parquet"):
+                n_files_before += 1
+                total_bytes += os.path.getsize(os.path.join(root, f))
+
+    n_out = max(1, math.ceil(total_bytes / (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(src_path)
+    if partition_by:
+        write_dataset(
+            df,
+            dst_path,
+            partition_by=partition_by,
+            sort_within=sort_within,
+            target_files_per_partition=n_out,
+        )
+    else:
+        out = df.repartition(n_out)
+        if sort_within:
+            out = out.sortWithinPartitions(*sort_within)
+        out.write.mode("overwrite").parquet(dst_path)
+
+    n_files_after = sum(
+        1
+        for root, _dirs, files in os.walk(dst_path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    return {
+        "files_before": n_files_before,
+        "files_after": n_files_after,
+        "bytes": total_bytes,
+        "target_files": n_out,
+    }
