@@ -197,3 +197,44 @@ def test_salted_join_equals_plain_join(spark, rows, n_salts):
     )
     want = sorted(tuple(r) for r in fact.join(dim, "k").collect())
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet="abcdef gh",
+            min_size=5,
+            max_size=120,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_per_row_minhash_equals_explode_form(spark, texts):
+    """The per-row MinHash (with_minhash_cols — map-only, streaming-
+    safe) must be value-identical to the explode + groupBy(min) form
+    for arbitrary text, including texts shorter than the shingle
+    width after filtering and repeated shingles."""
+    import pyspark.sql.functions as F
+
+    from the_hive_spark.operators.dedup import (
+        N_MINHASH,
+        SHINGLE_W,
+        _minhash_signatures_from,
+        shingles_expr,
+        with_minhash_cols,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).filter(F.length("text") >= SHINGLE_W)
+    cols = ["doc_id"] + [f"mh{s}" for s in range(N_MINHASH)]
+    per_row = sorted(
+        tuple(r) for r in with_minhash_cols(docs).select(*cols).collect()
+    )
+    sh = docs.select("doc_id", F.explode(shingles_expr()).alias("shingle"))
+    agg = sorted(
+        tuple(r) for r in _minhash_signatures_from(sh).select(*cols).collect()
+    )
+    assert per_row == agg

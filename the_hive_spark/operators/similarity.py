@@ -549,3 +549,50 @@ def emb_knn_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= BATCH_KNN_K)
         .select("q_id", "vec_id", "cos_ppm")
     )
+
+
+@query("emb_ann_recall")  # self-evaluation ⇒ no SQL oracle (rows-only check)
+def emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of both ANN families against the exact scan, for the
+    standard query (vec_id 0) — the index-quality gauge a pipeline
+    monitors when it swaps exact search for ANN. All paths are
+    seed-deterministic, so the recall figures are stable row values
+    (rows-only driver check; the hard floors live in tests/test_lsh.py).
+    One row per method: (method, k, n_hits, recall_ppm)."""
+    from the_hive_spark.functions.lsh import ann_topk_lsh, ivf_build, ivf_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    row = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0]
+    qv = [float(x) for x in row["embedding"]]
+    corpus = emb.filter(F.col("vec_id") != 0)
+
+    exact = set(
+        r["vec_id"]
+        for r in cosine_topk(corpus, qv, k=KNN_K).select("vec_id").collect()
+    )
+    lsh_ids = set(
+        r["vec_id"]
+        for r in ann_topk_lsh(corpus, qv, k=KNN_K, n_planes=6, n_tables=16)
+        .select("vec_id")
+        .collect()
+    )
+    assigned, centroids = ivf_build(corpus, n_clusters=16)
+    ivf_ids = set(
+        r["vec_id"]
+        for r in ivf_topk(assigned, centroids, qv, k=KNN_K, n_probe=3)
+        .select("vec_id")
+        .collect()
+    )
+
+    rows = [
+        (
+            method,
+            KNN_K,
+            len(exact & ids),
+            int(1_000_000 * len(exact & ids) / KNN_K),
+        )
+        for method, ids in (("srp_lsh", lsh_ids), ("ivf", ivf_ids))
+    ]
+    return spark.createDataFrame(
+        rows, "method string, k int, n_hits int, recall_ppm int"
+    )
