@@ -66,6 +66,7 @@ EXTENDED = [
     "graph_triangle_count",
     "doc_training_manifest",
     "emb_knn_batch_topk",
+    "events_error_bursts",
 ]
 
 

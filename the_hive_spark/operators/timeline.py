@@ -927,3 +927,113 @@ def events_tumbling_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
     )
+
+
+_BURST_GAP_US = 180_000_000  # 3 minutes between errors splits a burst
+
+
+@query(
+    "events_error_bursts",
+    oracle=f"""
+WITH e AS (
+  SELECT event_id, CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS us
+  FROM events WHERE event_type = 'error'
+), flagged AS (
+  SELECT event_id, us,
+         CASE WHEN LAG(us) OVER (ORDER BY us, event_id) IS NULL
+                   OR us - LAG(us) OVER (ORDER BY us, event_id) > {_BURST_GAP_US}
+              THEN 1 ELSE 0 END AS new_burst
+  FROM e
+), numbered AS (
+  SELECT us,
+         SUM(new_burst) OVER (ORDER BY us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS burst_id
+  FROM flagged
+)
+SELECT CAST(burst_id AS BIGINT) AS burst_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MIN(us) AS BIGINT) AS start_us,
+       CAST(MAX(us) AS BIGINT) AS end_us,
+       CAST(MAX(us) - MIN(us) AS BIGINT) AS duration_us
+FROM numbered GROUP BY burst_id
+""",
+)
+def events_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-burst detection — gaps-and-islands over the error stream:
+    consecutive errors ≤3 min apart merge into one burst (the incident
+    signal an on-call pages on), reported as (burst_id, n_events,
+    start, end, duration).
+
+    The oracle's form needs TWO unpartitioned windows (LAG for the
+    gap flag, running SUM for the island id) — single-partition
+    funnels at scale. Here both are distributed: range-partition on
+    (us, event_id) once (localCheckpoint pins the sampled boundaries),
+    LAG within each partition with the head row's predecessor filled
+    from an O(partitions) collect of per-partition maxima, and the
+    island id as the same two-pass exclusive-offsets prefix sum used
+    by functions/ids.py. No stage sees more than its partition."""
+    from pyspark.sql import Window
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .select("event_id", F.unix_micros("ts").alias("us"))
+    )
+    n = spark.sparkContext.defaultParallelism
+    ranged = (
+        ev.repartitionByRange(n, F.col("us"), F.col("event_id"))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    # head-row predecessor: the max us of the PREVIOUS partition
+    # ((us, event_id) range order makes that the globally previous row)
+    maxima = ranged.groupBy("_pid").agg(F.max("us").alias("mx")).collect()
+    by_pid = {int(r["_pid"]): r["mx"] for r in maxima}
+    # link each non-empty partition to the NEAREST earlier non-empty
+    # one (range partitions can come out empty; pid-1 isn't guaranteed)
+    sorted_pids = sorted(by_pid)
+    prev_of = {
+        pid: by_pid[sorted_pids[i - 1]]
+        for i, pid in enumerate(sorted_pids)
+        if i > 0
+    }
+    prev_fill = (
+        F.create_map(*[F.lit(x) for kv in prev_of.items() for x in kv])[
+            F.col("_pid")
+        ]
+        if prev_of
+        else F.lit(None).cast("long")
+    )
+    w = Window.partitionBy("_pid").orderBy("us", "event_id")
+    flagged = ranged.withColumn(
+        "prev_us", F.coalesce(F.lag("us").over(w), prev_fill)
+    ).withColumn(
+        "new_burst",
+        F.when(
+            F.col("prev_us").isNull()
+            | (F.col("us") - F.col("prev_us") > _BURST_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    totals = flagged.groupBy("_pid").agg(F.sum("new_burst").alias("t")).collect()
+    offsets, acc = {}, 0
+    for r in sorted(totals, key=lambda r: r["_pid"]):
+        offsets[int(r["_pid"])] = acc
+        acc += int(r["t"] or 0)
+    off = (
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])[
+            F.col("_pid")
+        ]
+        if offsets
+        else F.lit(0)
+    )
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    numbered = flagged.withColumn(
+        "burst_id", (off + F.sum("new_burst").over(wsum)).cast("bigint")
+    )
+    return numbered.groupBy("burst_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.min("us").cast("bigint").alias("start_us"),
+        F.max("us").cast("bigint").alias("end_us"),
+        (F.max("us") - F.min("us")).cast("bigint").alias("duration_us"),
+    )
