@@ -87,3 +87,40 @@ def test_plan_summary_reports_health(spark):
     assert any("l_shipdate" in f for f in s1["pushed_filters"])
     assert s1["scans"] >= 1 and s1["codegen_spans"] >= 1
     assert all("l_orderkey" not in rs for rs in s1["read_schemas"])
+
+
+def test_new_pipeline_ops_plan_health(spark):
+    """Machine-checked scale claims for the round-2 operators:
+    - stratified sample: no shuffle at all (filter evaluates in scan);
+    - last-touch: exactly one exchange (the window's key shuffle);
+    - BM25: TakeOrdered top-k, no cartesian;
+    - co-purchase: no self-join of the fact (≤2 scans), no cartesian;
+    - batch kNN: broadcast query side, vectors never in a shuffle."""
+    s = plan_summary(QUERIES["doc_stratified_sample"](spark, SF_DIR))
+    assert s["exchanges"] == 0
+    assert s["scans"] == 1
+
+    s = plan_summary(QUERIES["events_last_touch"](spark, SF_DIR))
+    assert s["exchanges"] == 1
+    assert s["cartesian_products"] == 0
+
+    bm25 = QUERIES["doc_bm25_topk"](spark, SF_DIR)
+    s = plan_summary(bm25)
+    assert s["take_ordered"]
+    assert s["cartesian_products"] == 0
+
+    s = plan_summary(QUERIES["q_copurchase_pairs"](spark, SF_DIR))
+    assert s["scans"] <= 2, "basket-explode must not self-join the fact"
+    assert s["cartesian_products"] == 0
+
+    plan = executed_plan(QUERIES["emb_knn_batch_topk"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lapsed_customers_anti_join_plan(spark):
+    """EXCEPT lowered to LEFT ANTI with pushed year filters."""
+    plan = executed_plan(QUERIES["q_lapsed_customers"](spark, SF_DIR))
+    assert "LeftAnti" in plan
+    assert "GreaterThanOrEqual(o_orderdate,1994-01-01" in plan
+    assert "GreaterThanOrEqual(o_orderdate,1995-01-01" in plan

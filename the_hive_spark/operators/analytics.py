@@ -1365,3 +1365,45 @@ def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return copurchase_pairs(li).orderBy(
         F.desc("n_orders"), F.asc("part_a"), F.asc("part_b")
     ).limit(25)
+
+
+@query(
+    "q_lapsed_customers",
+    oracle="""
+WITH y94 AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= DATE '1994-01-01' AND o_orderdate < DATE '1995-01-01'
+), y95 AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+), lapsed AS (
+  SELECT o_custkey FROM y94 EXCEPT SELECT o_custkey FROM y95
+)
+SELECT c.c_custkey, c.c_name, c.c_mktsegment
+FROM customer c JOIN lapsed l ON c.c_custkey = l.o_custkey
+""",
+)
+def q_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn cohort via set difference: customers active in 1994 with
+    no 1995 order. The oracle states it as EXCEPT; the Spark plan is
+    the LEFT ANTI join — the physical form every engine lowers EXCEPT
+    to, written directly so the intent (and the single hash shuffle on
+    custkey) is explicit. Both year filters push down to the orders
+    scan; the customer dimension joins broadcast."""
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+
+    def active(year: int) -> DataFrame:
+        return (
+            orders.filter(
+                (F.col("o_orderdate") >= f"{year}-01-01")
+                & (F.col("o_orderdate") < f"{year + 1}-01-01")
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    lapsed = active(1994).join(active(1995), "o_custkey", "left_anti")
+    return cust.join(
+        lapsed, cust["c_custkey"] == lapsed["o_custkey"]
+    ).select("c_custkey", "c_name", "c_mktsegment")
