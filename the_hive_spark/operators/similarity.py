@@ -596,3 +596,84 @@ def emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "method string, k int, n_hits int, recall_ppm int"
     )
+
+
+OUTLIER_K = 50
+
+
+@query(
+    "emb_label_outliers",
+    oracle=f"""
+WITH s AS (
+  SELECT label, CAST(t.i - 1 AS BIGINT) AS pos,
+         CAST(SUM({_Q_DUCK.format(x="embedding[t.i]")}) AS BIGINT) AS sv
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+  GROUP BY label, pos
+), ev AS (
+  SELECT e.vec_id, e.label, CAST(t.i - 1 AS BIGINT) AS pos,
+         {_Q_DUCK.format(x="e.embedding[t.i]")} AS qv
+  FROM embeddings e, unnest(range(1, len(e.embedding) + 1)) AS t(i)
+), x AS (
+  SELECT ev.vec_id, ev.label, ev.qv, s.sv - ev.qv AS loo
+  FROM ev JOIN s ON s.label = ev.label AND s.pos = ev.pos
+), agg AS (
+  SELECT vec_id, label,
+         CAST(SUM(qv * loo) AS BIGINT) AS dot,
+         CAST(SUM(qv * qv) AS BIGINT) AS n1,
+         CAST(SUM(loo * loo) AS BIGINT) AS n2
+  FROM x GROUP BY vec_id, label
+)
+SELECT vec_id, label,
+       CAST(FLOOR(1000000.0 * dot / sqrt(CAST(n1 AS DOUBLE) * n2) + 0.5)
+            AS BIGINT) AS cos_ppm
+FROM agg
+ORDER BY cos_ppm ASC, vec_id
+LIMIT {OUTLIER_K}
+""",
+)
+def emb_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mislabeled-sample mining: the 50 vectors LEAST aligned with
+    their own class — cosine of each vector against the leave-one-out
+    centroid direction of its label (sum-vector minus the vector
+    itself, exact integer subtraction; no float centroid division
+    anywhere). Low scores surface annotation errors and boundary
+    cases before they poison training.
+
+    Plan: one posexplode + map-side-combined per-(label, pos) sum
+    (|labels|·dim rows, broadcast back), a second posexplode joined to
+    it, per-vector integer reduction, TakeOrdered(k) ascending. Both
+    explode passes are scan-local; nothing wider than (vec_id, 3
+    int64s) shuffles."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = F.expr(_Q_SPARK.format(x="e"))
+    s = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "e"))
+        .groupBy("label", F.col("pos").cast("bigint").alias("pos"))
+        .agg(F.sum(q).cast("bigint").alias("sv"))
+    )
+    x = (
+        emb.select(
+            "vec_id", "label", F.posexplode("embedding").alias("pos", "e")
+        )
+        .withColumn("pos", F.col("pos").cast("bigint"))
+        .withColumn("qv", q)
+        .join(F.broadcast(s), ["label", "pos"])
+        .withColumn("loo", F.col("sv") - F.col("qv"))
+    )
+    agg = x.groupBy("vec_id", "label").agg(
+        F.sum(F.col("qv") * F.col("loo")).cast("bigint").alias("dot"),
+        F.sum(F.col("qv") * F.col("qv")).cast("bigint").alias("n1"),
+        F.sum(F.col("loo") * F.col("loo")).cast("bigint").alias("n2"),
+    )
+    return (
+        agg.select(
+            "vec_id",
+            "label",
+            F.expr(
+                "CAST(FLOOR(1000000.0 * dot / sqrt(CAST(n1 AS DOUBLE) * n2)"
+                " + 0.5) AS BIGINT)"
+            ).alias("cos_ppm"),
+        )
+        .orderBy(F.asc("cos_ppm"), F.asc("vec_id"))
+        .limit(OUTLIER_K)
+    )
