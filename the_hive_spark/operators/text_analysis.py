@@ -808,3 +808,48 @@ def doc_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.expr(f"prev div {PACK_BUDGET}").cast("bigint").alias("bin_id"),
     )
+
+
+@query(
+    "doc_token_weighted_sample",
+    oracle="""
+WITH mx AS (
+  SELECT CAST(MAX(len(string_split(text, ' '))) AS BIGINT) AS mx FROM documents
+), h AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 1000000 AS u
+  FROM documents
+)
+SELECT doc_id, lang, n_tokens
+FROM h CROSS JOIN mx
+WHERE u * mx < n_tokens * 1000000
+""",
+)
+def doc_token_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted (importance) sampling: each document kept with
+    probability proportional to its token count, so the SAMPLE is
+    uniform over TOKENS rather than documents — the correct unit when
+    composing an LLM training mix (a 10-token doc should not count as
+    much as a 10k-token doc). The Bernoulli draw is the md5-derived
+    uniform u ∈ [0, 10⁶) compared by exact integer cross-
+    multiplication (u·max_tokens < n_tokens·10⁶ — no float ratio, no
+    rounding divergence), with max_tokens from a 1-row broadcast.
+    Deterministic per doc_id: re-runs and engines agree exactly."""
+    docs = table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " ")).cast("bigint")
+    mx = docs.agg(F.max(n_tokens).alias("mx"))
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 1_000_000
+    )
+    h = docs.select(
+        "doc_id", "lang", n_tokens.alias("n_tokens"), u.alias("u")
+    )
+    return (
+        h.crossJoin(F.broadcast(mx))
+        .filter(F.col("u") * F.col("mx") < F.col("n_tokens") * 1_000_000)
+        .select("doc_id", "lang", "n_tokens")
+    )
