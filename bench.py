@@ -67,6 +67,8 @@ EXTENDED = [
     "doc_training_manifest",
     "emb_knn_batch_topk",
     "events_error_bursts",
+    "doc_repetition_ratio",
+    "events_approx_user_count",
 ]
 
 

@@ -118,6 +118,21 @@ def test_new_pipeline_ops_plan_health(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_corpus_quality_plan_health(spark):
+    """Gopher repetition filter: the dup-word/dup-bigram ratios are
+    in-row array expressions, so the only shuffles are the (doc, word)
+    top-word aggregation and its doc_id join back — never a cartesian,
+    never a third scan of the corpus. Sketch cardinality: one scan,
+    map-side partial HLL."""
+    s = plan_summary(QUERIES["doc_repetition_ratio"](spark, SF_DIR))
+    assert s["cartesian_products"] == 0
+    assert s["scans"] <= 2, "words/bigram stats must reuse ≤2 corpus scans"
+
+    s = plan_summary(QUERIES["events_approx_user_count"](spark, SF_DIR))
+    assert s["scans"] == 1
+    assert s["cartesian_products"] == 0
+
+
 def test_lapsed_customers_anti_join_plan(spark):
     """EXCEPT lowered to LEFT ANTI with pushed year filters."""
     plan = executed_plan(QUERIES["q_lapsed_customers"](spark, SF_DIR))

@@ -22,7 +22,10 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from the_hive_spark.operators.similarity import _qdot_duck, _qdot_spark
+from the_hive_spark.functions.vectorops import (
+    qdot_duck as _qdot_duck,
+    qdot_spark as _qdot_spark,
+)
 from the_hive_spark.registry import query
 from the_hive_spark.tables import table
 

@@ -1,0 +1,157 @@
+"""Gopher-style corpus repetition filters and sketch-based cardinality.
+
+Training-data quality gates beyond the per-document ratios in
+``operators/text_analysis.py::doc_quality_score``: the *repetition*
+family of signals (Rae et al., "Scaling Language Models: ...Gopher",
+arXiv:2112.11446 §A1.1 — duplicate-word fraction, most-common-word
+fraction, duplicate-n-gram fraction) used to drop boilerplate and
+degenerate machine-generated text, plus an HLL-sketch distinct-count
+self-evaluation — the O(1)-memory cardinality path a 100 TB pipeline
+uses instead of exact COUNT(DISTINCT)'s full shuffle.
+
+All ratio arithmetic is integer ppm (floor(1e6*x + 0.5)) so the DuckDB
+oracle hash-matches bit-for-bit — no IEEE division in compared columns.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from the_hive_spark.registry import query
+from the_hive_spark.tables import table
+
+# Whitespace word array, empties dropped (same tokenization as
+# doc_token_stats so the signals compose).
+_WORDS = "filter(split(text, ' '), t -> length(t) > 0)"
+# 1-indexed bigram strings "w[i] w[i+1]"; empty array for 1-word docs.
+_BIGRAMS = (
+    "transform(sequence(1, size(words) - 1),"
+    " i -> concat(element_at(words, i), ' ', element_at(words, i + 1)))"
+)
+
+
+@query(
+    "doc_repetition_ratio",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS words
+  FROM documents WHERE length(text) > 0
+), arr AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         len(list_distinct(words)) AS n_uniq_words,
+         list_transform(range(1, len(words)),
+                        i -> words[i] || ' ' || words[i + 1]) AS bigrams
+  FROM base WHERE len(words) > 0
+), w AS (
+  SELECT doc_id, unnest(words) AS word FROM base
+), wc AS (
+  SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY doc_id, word
+), top AS (
+  SELECT doc_id, MAX(c) AS top_word_cnt FROM wc GROUP BY doc_id
+)
+SELECT a.doc_id,
+       CAST(FLOOR(1000000.0 * (a.n_words - a.n_uniq_words) / a.n_words + 0.5) AS BIGINT)
+         AS dup_word_ppm,
+       CAST(FLOOR(1000000.0 * t.top_word_cnt / a.n_words + 0.5) AS BIGINT)
+         AS top_word_ppm,
+       CAST(FLOOR(1000000.0 * (len(a.bigrams) - len(list_distinct(a.bigrams)))
+                  / greatest(len(a.bigrams), 1) + 0.5) AS BIGINT)
+         AS dup_bigram_ppm,
+       (1000000.0 * (a.n_words - a.n_uniq_words) / a.n_words < 700000
+        AND 1000000.0 * t.top_word_cnt / a.n_words < 200000
+        AND 1000000.0 * (len(a.bigrams) - len(list_distinct(a.bigrams)))
+            / greatest(len(a.bigrams), 1) < 800000) AS passes_repetition
+FROM arr a JOIN top t ON a.doc_id = t.doc_id
+""",
+)
+def doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition signals per document: duplicate-word fraction,
+    most-common-word fraction, duplicate-bigram fraction (all ppm), and
+    the composite keep/drop flag.
+
+    Plan shape: duplicate-word and duplicate-bigram fractions are
+    in-row array expressions (``array_distinct`` on the words/bigrams
+    arrays — zero shuffle); only the most-common-word count needs a
+    (doc_id, word) explode, which is two map-side-combined aggregations
+    on the same key, then a single doc_id-keyed join back. At 100 TB
+    the explode stream shuffles once on (doc_id, word) and the join is
+    co-partitioned on doc_id — no broadcast of anything corpus-sized.
+    Thresholds are the Gopher §A1.1 bands adapted to whitespace words
+    (<0.70 dup-word, <0.20 top-word, <0.80 dup-bigram).
+    """
+    base = (
+        table(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select("doc_id", F.expr(_WORDS).alias("words"))
+        .filter(F.size("words") > 0)
+    )
+    arr = base.select(
+        "doc_id",
+        F.size("words").alias("n_words"),
+        F.size(F.array_distinct("words")).alias("n_uniq_words"),
+        F.expr(_BIGRAMS).alias("bigrams"),
+    ).select(
+        "doc_id",
+        "n_words",
+        "n_uniq_words",
+        F.size("bigrams").alias("n_bigrams"),
+        F.size(F.array_distinct("bigrams")).alias("n_uniq_bigrams"),
+    )
+    top = (
+        base.select("doc_id", F.explode("words").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_word_cnt"))
+    )
+    j = arr.join(top, "doc_id")
+    nb = F.greatest(F.col("n_bigrams"), F.lit(1))
+    dup_word = 1000000.0 * (F.col("n_words") - F.col("n_uniq_words")) / F.col("n_words")
+    top_word = 1000000.0 * F.col("top_word_cnt") / F.col("n_words")
+    dup_bigram = 1000000.0 * (F.col("n_bigrams") - F.col("n_uniq_bigrams")) / nb
+    return j.select(
+        "doc_id",
+        F.floor(dup_word + F.lit(0.5)).cast("bigint").alias("dup_word_ppm"),
+        F.floor(top_word + F.lit(0.5)).cast("bigint").alias("top_word_ppm"),
+        F.floor(dup_bigram + F.lit(0.5)).cast("bigint").alias("dup_bigram_ppm"),
+        (
+            (dup_word < 700000) & (top_word < 200000) & (dup_bigram < 800000)
+        ).alias("passes_repetition"),
+    )
+
+
+@query("events_approx_user_count")  # no oracle: HLL sketches are
+# engine-specific by construction; verified as a self-evaluation
+# against the exact count instead (same pattern as emb_ann_recall).
+def events_approx_user_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based distinct users per event type: HyperLogLog++
+    (``approx_count_distinct``, rsd 2%) next to the exact count, with
+    the observed relative error and a ±5% acceptance flag.
+
+    Why it exists: at 100 TB, exact COUNT(DISTINCT user_id) shuffles
+    every (type, user) pair; the HLL sketch is a few KB per group,
+    merged map-side — the only scalable form. The exact column here is
+    the self-check (affordable at bench SF), asserting the sketch's
+    configured error bound actually holds on this corpus. Spark's HLL
+    implementation is deterministic, so rows are stable run-to-run.
+    """
+    ev = table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    err_ppm = F.floor(
+        1000000.0
+        * F.abs(F.col("approx_users") - F.col("exact_users"))
+        / F.col("exact_users")
+        + F.lit(0.5)
+    ).cast("bigint")
+    return agg.select(
+        "event_type",
+        "approx_users",
+        "exact_users",
+        err_ppm.alias("abs_err_ppm"),
+        (err_ppm <= 50000).alias("within_5pct"),
+    ).orderBy("event_type")

@@ -72,35 +72,15 @@ def cosine_topk(
 
 # --- quantized (oracle-exact) registry queries ---
 
-# integer milli-unit quantization of a float element
-_Q_SPARK = "CAST(FLOOR(CAST({x} AS DOUBLE) * 1000 + 0.5) AS BIGINT)"
-_Q_DUCK = "CAST(FLOOR(CAST({x} AS DOUBLE) * 1000 + 0.5) AS BIGINT)"
-
-
-def _qdot_spark(a: str, b: str) -> str:
-    xa = _Q_SPARK.format(x="x")
-    xb = _Q_SPARK.format(x="y")
-    return (
-        f"aggregate(zip_with({a}, {b}, (x, y) -> {xa} * {xb}), 0L, (acc, v) -> acc + v)"
-    )
-
-
-def _qdot_duck(a: str, b: str) -> str:
-    ea = _Q_DUCK.format(x=f"{a}[i]")
-    eb = _Q_DUCK.format(x=f"{b}[i]")
-    return f"list_sum(list_transform(range(1, len({a}) + 1), i -> {ea} * {eb}))"
-
-
-def _quantize_block(col) -> np.ndarray:
-    """pandas Series of float arrays → (n, d) int64 milli-unit matrix.
-
-    floor(float64(x)·1000 + 0.5) elementwise — the numpy image of
-    ``_Q_SPARK``/``_Q_DUCK``, so every downstream integer dot product
-    is bit-identical to the SQL engines' arithmetic.
-    """
-    return np.floor(
-        np.array(col.tolist(), dtype=np.float64) * 1000.0 + 0.5
-    ).astype(np.int64)
+# Shared with hive_queries via functions.vectorops (which must stay
+# registry-free so importing it doesn't register this family early).
+from the_hive_spark.functions.vectorops import (  # noqa: E402
+    Q_DUCK as _Q_DUCK,
+    Q_SPARK as _Q_SPARK,
+    qdot_duck as _qdot_duck,
+    qdot_spark as _qdot_spark,
+    quantize_block as _quantize_block,
+)
 
 
 def qcos_ppm_udf():

@@ -49,20 +49,23 @@ def load_all() -> None:
 
     Import order IS driver-verification order: the driver's correctness
     gate checks the first 50 registrations, so families that have never
-    had a driver-oracle row register first (timeline, text_analysis,
-    the rest of similarity, hive parity), and the long-green analytics
-    block registers last.
+    had a driver-oracle row register first. This round's top-50 budget:
+    timeline events_* (24) + text_analysis doc_* (17) + hive parity (7)
+    + emb_knn_topk/emb_near_dup_pairs = 50 hash-checked rows; the
+    analytics/dedup/graph/media/rules blocks (driver-green in round 1)
+    and the remaining similarity family rotate back in next round.
     """
     from the_hive_spark.operators import (  # noqa: F401
         timeline,
         text_analysis,
-        similarity,
     )
     from the_hive_spark import hive_queries  # noqa: F401
     from the_hive_spark.operators import (  # noqa: F401
+        similarity,
         analytics,
         dedup,
         graph,
         multimodal,
         rules,
+        corpus_quality,
     )
