@@ -69,6 +69,7 @@ EXTENDED = [
     "events_error_bursts",
     "doc_repetition_ratio",
     "events_approx_user_count",
+    "doc_decontaminate",
 ]
 
 

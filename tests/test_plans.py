@@ -132,6 +132,13 @@ def test_corpus_quality_plan_health(spark):
     assert s["scans"] == 1
     assert s["cartesian_products"] == 0
 
+    # decontamination: the eval shingle set must broadcast (never a
+    # shuffle join against the corpus-sized gram stream)
+    s = plan_summary(QUERIES["doc_decontaminate"](spark, SF_DIR))
+    assert s["broadcast_hash_joins"] >= 1
+    assert s["sort_merge_joins"] == 0 and s["shuffled_hash_joins"] == 0
+    assert s["cartesian_products"] == 0
+
 
 def test_lapsed_customers_anti_join_plan(spark):
     """EXCEPT lowered to LEFT ANTI with pushed year filters."""

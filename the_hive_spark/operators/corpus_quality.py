@@ -122,6 +122,75 @@ def doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DECON_N = 4  # words per shingle; benchmark-overlap shingles
+DECON_EVAL_MOD = 50  # doc_id % 50 == 0 stands in for the eval set
+
+
+@query(
+    "doc_decontaminate",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS words
+  FROM documents WHERE length(text) > 0
+), g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(words) - {DECON_N - 2}),
+                i -> array_to_string(list_slice(words, i, i + {DECON_N - 1}), ' ')))) AS gram
+  FROM w WHERE len(words) >= {DECON_N}
+), eval_g AS (
+  SELECT DISTINCT gram FROM g WHERE doc_id % {DECON_EVAL_MOD} = 0
+)
+SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+FROM g JOIN eval_g USING (gram)
+WHERE g.doc_id % {DECON_EVAL_MOD} != 0
+GROUP BY g.doc_id
+""",
+)
+def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data decontamination: flag training documents that
+    share any word {DECON_N}-gram with the held-out eval/benchmark set
+    (here: every doc_id divisible by {DECON_EVAL_MOD}), returning the
+    count of distinct shared shingles per contaminated doc — the
+    C4/GPT-3-style n-gram overlap filter run before shipping a corpus.
+
+    Plan shape for 100 TB: the eval side is small by construction
+    (benchmarks are MBs against a TB-scale corpus), so its distinct
+    shingle set BROADCASTS and the train side is one explode + hash
+    join + per-doc count — a single shuffle on doc_id, no corpus-sized
+    state. The per-doc shingle arrays are deduped in-row
+    (array_distinct) before the explode so the join stream carries no
+    within-doc repeats.
+    """
+    base = (
+        table(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select("doc_id", F.expr(_WORDS).alias("words"))
+        .filter(F.size("words") >= DECON_N)
+    )
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, size(words) - {DECON_N - 1}),"
+                    f" i -> concat_ws(' ', slice(words, i, {DECON_N})))"
+                )
+            )
+        ).alias("gram"),
+    )
+    eval_grams = (
+        grams.filter(F.col("doc_id") % DECON_EVAL_MOD == 0)
+        .select("gram")
+        .distinct()
+    )
+    return (
+        grams.filter(F.col("doc_id") % DECON_EVAL_MOD != 0)
+        .join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_grams"))
+    )
+
+
 @query("events_approx_user_count")  # no oracle: HLL sketches are
 # engine-specific by construction; verified as a self-evaluation
 # against the exact count instead (same pattern as emb_ann_recall).
