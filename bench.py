@@ -70,6 +70,7 @@ EXTENDED = [
     "doc_repetition_ratio",
     "events_approx_user_count",
     "doc_decontaminate",
+    "doc_near_dedup_corpus",
 ]
 
 

@@ -880,9 +880,11 @@ def doc_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "doc_dup_clusters",
-    oracle=f"""
+# Shared by doc_dup_clusters and doc_near_dedup_corpus: the full
+# deterministic dedup pipeline as a DuckDB CTE chain ending in
+# clusters(doc_id, cluster_id). The recursive walk is the transitive
+# closure only an oracle-at-sf0.01 can afford.
+_DUP_CLUSTERS_CTE = f"""
 WITH RECURSIVE sh AS (
   SELECT doc_id, unnest(list_distinct(
            list_transform(range(1, greatest(length(text) - {SHINGLE_W - 1}, 1) + 1),
@@ -933,10 +935,15 @@ WITH RECURSIVE sh AS (
   SELECT doc_id, doc_id FROM documents
   UNION
   SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.node
-)
-SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_id
-FROM walk GROUP BY node
-""",
+), clusters AS (
+  SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_id
+  FROM walk GROUP BY node
+)"""
+
+
+@query(
+    "doc_dup_clusters",
+    oracle=_DUP_CLUSTERS_CTE + "\nSELECT doc_id, cluster_id FROM clusters",
 )
 def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clustering — the full production dedup pipeline:
@@ -1012,6 +1019,65 @@ def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.coalesce("component", "doc_id").cast("bigint").alias("cluster_id"),
         )
+    )
+
+
+@query(
+    "doc_near_dedup_corpus",
+    oracle=_DUP_CLUSTERS_CTE
+    + """
+, q AS (
+  SELECT doc_id,
+         (length(text) >= 50
+          AND len(list_filter(string_split(text, ' '), t -> length(t) > 0)) >= 10
+          AND (length(text) - len(list_filter(string_split(text, ' '), t -> length(t) > 0)) + 1.0)
+              / greatest(len(list_filter(string_split(text, ' '), t -> length(t) > 0)), 1)
+              BETWEEN 2 AND 12) AS passes_quality
+  FROM documents WHERE length(text) > 0
+)
+SELECT c.doc_id, c.cluster_id, d.lang, d.source, d.n_chars
+FROM clusters c
+JOIN q ON q.doc_id = c.doc_id
+JOIN documents d ON d.doc_id = c.doc_id
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY c.cluster_id
+  ORDER BY q.passes_quality DESC, d.n_chars DESC, c.doc_id
+) = 1
+""",
+)
+def doc_near_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dedup canonicalization, keep-best: one representative per
+    duplicate *cluster* (exact + ≥0.4-Jaccard near-dups, transitively
+    closed), chosen by quality — a passing doc beats a failing one,
+    then the longest wins, then min doc_id breaks ties. This is the
+    step that turns doc_dup_clusters' diagnostic labels into the
+    corpus you actually train on; keep-first-by-id (doc_dedup_corpus)
+    only handles byte-identical copies.
+
+    Scale shape: reuses the full doc_dup_clusters pipeline (LSH band
+    join → exact verify → CC — never all-pairs), then one window over
+    cluster_id. Cluster sizes are bounded by real duplicate multiplicity
+    (tiny relative to the corpus), so the per-cluster row_number never
+    sees a giant partition; everything else is doc_id-keyed equi-joins.
+    """
+    from pyspark.sql import Window
+
+    from the_hive_spark.operators.text_analysis import doc_quality_score
+
+    docs = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    clusters = doc_dup_clusters(spark, sf_dir)
+    quality = doc_quality_score(spark, sf_dir).select("doc_id", "passes_quality")
+    j = (
+        clusters.join(quality, "doc_id")
+        .join(docs.select("doc_id", "lang", "source", "n_chars"), "doc_id")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("passes_quality"), F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "cluster_id", "lang", "source", "n_chars")
     )
 
 
