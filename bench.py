@@ -71,6 +71,7 @@ EXTENDED = [
     "events_approx_user_count",
     "doc_decontaminate",
     "doc_near_dedup_corpus",
+    "events_approx_value_percentiles",
 ]
 
 

@@ -191,6 +191,47 @@ def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("events_approx_value_percentiles")  # no oracle: quantile
+# sketches are engine-specific by construction; self-evaluated against
+# Spark's exact percentile on the same scan (emb_ann_recall pattern).
+def events_approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based quantiles per event type: ``percentile_approx``
+    (Greenwald-Khanna, accuracy 10000) for p50/p90/p99 next to the
+    exact percentiles, with the worst relative error and a ±1%
+    acceptance flag.
+
+    The scale rationale mirrors events_approx_user_count: exact
+    percentiles need the full value set per group (sort or
+    memory-resident aggregation buffer); the GK sketch is bounded
+    O(1/ε) state merged map-side — the only form that survives a
+    100 TB group-by. Values are emitted in integer milli-units so
+    reruns hash stably. The exact-percentile columns double as the
+    self-check at bench SF.
+    """
+    ev = table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("approx"),
+        F.expr("percentile(value, array(0.5D, 0.9D, 0.99D))").alias("exact"),
+    )
+    milli = lambda c: F.floor(c * 1000 + F.lit(0.5)).cast("bigint")  # noqa: E731
+    err = F.expr(
+        "aggregate(zip_with(approx, exact,"
+        " (a, e) -> abs(a - e) / greatest(abs(e), 1e-9)),"
+        " 0D, (acc, v) -> greatest(acc, v))"
+    )
+    return agg.select(
+        "event_type",
+        milli(F.element_at("approx", 1)).alias("p50_milli"),
+        milli(F.element_at("approx", 2)).alias("p90_milli"),
+        milli(F.element_at("approx", 3)).alias("p99_milli"),
+        milli(F.element_at("exact", 1)).alias("p50_exact_milli"),
+        milli(F.element_at("exact", 2)).alias("p90_exact_milli"),
+        milli(F.element_at("exact", 3)).alias("p99_exact_milli"),
+        F.floor(1000000.0 * err + F.lit(0.5)).cast("bigint").alias("max_err_ppm"),
+        (err <= 0.01).alias("within_1pct"),
+    ).orderBy("event_type")
+
+
 @query("events_approx_user_count")  # no oracle: HLL sketches are
 # engine-specific by construction; verified as a self-evaluation
 # against the exact count instead (same pattern as emb_ann_recall).
