@@ -72,6 +72,7 @@ EXTENDED = [
     "doc_decontaminate",
     "doc_near_dedup_corpus",
     "events_approx_value_percentiles",
+    "emb_quantize_int8",
 ]
 
 

@@ -657,3 +657,72 @@ def emb_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("cos_ppm"), F.asc("vec_id"))
         .limit(OUTLIER_K)
     )
+
+
+@query(
+    "emb_quantize_int8",
+    oracle="""
+WITH q AS (
+  SELECT vec_id,
+         greatest(list_max(list_transform(embedding,
+                  x -> abs(CAST(x AS DOUBLE)))), 1e-12) AS amax,
+         embedding
+  FROM embeddings
+), codes AS (
+  SELECT vec_id, amax,
+         list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127 / amax + 0.5) AS BIGINT)) AS code,
+         embedding
+  FROM q
+)
+SELECT vec_id,
+       CAST(FLOOR(amax * 1000000 + 0.5) AS BIGINT) AS amax_micro,
+       md5(array_to_string(code, ',')) AS codes_md5,
+       CAST(FLOOR(1000000.0 * list_max(
+              list_transform(range(1, len(embedding) + 1),
+                i -> abs(CAST(embedding[i] AS DOUBLE) - code[i] * amax / 127)))
+            / amax + 0.5) AS BIGINT) AS max_err_ppm
+FROM codes
+""",
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding store: per-vector
+    absmax scale, codes in [-127, 127], and the worst reconstruction
+    error relative to the scale — the 4× storage / bandwidth reduction
+    every 100 TB vector store applies before serving (with full-precision
+    re-rank on the shortlist).
+
+    Everything is per-row array arithmetic in float64 — IEEE ops are
+    bit-deterministic across engines, and the only reductions (max) are
+    order-insensitive, so the oracle hash-matches without integer
+    tricks beyond the final ppm floor. The codes column is emitted as
+    an md5 digest so the oracle asserts the quantized bytes themselves,
+    not just the error summary. Zero shuffles: scan → project.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    amax = F.greatest(
+        F.expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"),
+        F.lit(1e-12),
+    )
+    q = emb.select("vec_id", amax.alias("amax"), "embedding")
+    codes = q.select(
+        "vec_id",
+        "amax",
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127 / amax + 0.5) AS BIGINT))"
+        ).alias("code"),
+        "embedding",
+    )
+    return codes.select(
+        "vec_id",
+        F.floor(F.col("amax") * 1000000 + F.lit(0.5)).cast("bigint").alias("amax_micro"),
+        F.md5(F.expr("array_join(code, ',')")).alias("codes_md5"),
+        F.expr(
+            "CAST(FLOOR(1000000.0 * array_max("
+            " transform(sequence(1, size(embedding)),"
+            "  i -> abs(CAST(element_at(embedding, i) AS DOUBLE)"
+            "           - element_at(code, i) * amax / 127)))"
+            " / amax + 0.5) AS BIGINT)"
+        ).alias("max_err_ppm"),
+    )
