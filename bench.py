@@ -73,6 +73,7 @@ EXTENDED = [
     "doc_near_dedup_corpus",
     "events_approx_value_percentiles",
     "emb_quantize_int8",
+    "emb_hard_negatives",
 ]
 
 

@@ -726,3 +726,78 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / amax + 0.5) AS BIGINT)"
         ).alias("max_err_ppm"),
     )
+
+
+HARD_NEG_ANCHOR_MOD = 100  # every 100th vector anchors a triplet
+
+
+@query(
+    "emb_hard_negatives",
+    oracle=f"""
+WITH a AS (
+  SELECT vec_id AS anchor_id, label AS anchor_label, embedding AS qv
+  FROM embeddings WHERE vec_id % {HARD_NEG_ANCHOR_MOD} = 0
+), scored AS (
+  SELECT a.anchor_id, a.anchor_label, e.vec_id AS neg_id, e.label AS neg_label,
+         CAST(FLOOR(1000000.0 * {{qd_en}}
+              / sqrt(CAST({{qd_ee}} AS DOUBLE) * {{qd_qq}}) + 0.5) AS BIGINT) AS cos_ppm
+  FROM embeddings e CROSS JOIN a
+  WHERE e.label != a.anchor_label
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                               ORDER BY cos_ppm DESC, neg_id) AS rn
+  FROM scored
+)
+SELECT anchor_id, anchor_label, neg_id, neg_label, cos_ppm
+FROM ranked WHERE rn = 1
+""".format(
+        qd_en=_qdot_duck("e.embedding", "a.qv"),
+        qd_ee=_qdot_duck("e.embedding", "e.embedding"),
+        qd_qq=_qdot_duck("a.qv", "a.qv"),
+    ),
+)
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    (every {HARD_NEG_ANCHOR_MOD}th vector) find the single most-similar
+    vector carrying a DIFFERENT label — the near-miss example that
+    makes a triplet/InfoNCE batch informative, versus random negatives
+    that are trivially separable.
+
+    Same scale shape as batch kNN: the anchor set broadcasts (hard-
+    negative mining always anchors on a bounded batch, not the full
+    corpus), the corpus is scanned once scoring |A| pairs per row with
+    the label-inequality pushed into the scorer stage, and the window
+    shuffle carries only (anchor, candidate, score) triples — vectors
+    never shuffle. Mining against the full 100 TB corpus per batch is
+    the production pattern (the harder the negative pool, the better),
+    so the one-pass property is the whole game.
+    """
+    from pyspark.sql import Window
+
+    emb = table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") % HARD_NEG_ANCHOR_MOD == 0).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("qv"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(anchors))
+        .filter(F.col("label") != F.col("anchor_label"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            F.expr(
+                f"CAST(FLOOR(1000000.0 * {_qdot_spark('embedding', 'qv')}"
+                f" / sqrt(CAST({_qdot_spark('embedding', 'embedding')} AS DOUBLE)"
+                f" * {_qdot_spark('qv', 'qv')}) + 0.5) AS BIGINT)"
+            ).alias("cos_ppm"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cos_ppm"), F.asc("neg_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("anchor_id", "anchor_label", "neg_id", "neg_label", "cos_ppm")
+    )
