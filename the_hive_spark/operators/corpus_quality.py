@@ -81,11 +81,18 @@ def doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     Thresholds are the Gopher §A1.1 bands adapted to whitespace words
     (<0.70 dup-word, <0.20 top-word, <0.80 dup-bigram).
     """
+    # One explicit doc_id repartition feeds the whole DAG: the word
+    # explode runs at cluster parallelism (fan-out stage convention),
+    # and hash-on-doc_id satisfies ClusteredDistribution for the
+    # (doc_id, word) agg, the doc_id agg, AND both join sides — so no
+    # further exchange anywhere downstream.
+    n = spark.sparkContext.defaultParallelism
     base = (
         table(spark, sf_dir, "documents")
         .filter(F.length("text") > 0)
         .select("doc_id", F.expr(_WORDS).alias("words"))
         .filter(F.size("words") > 0)
+        .repartition(n, "doc_id")
     )
     arr = base.select(
         "doc_id",
