@@ -472,3 +472,139 @@ def test_incremental_near_dup_stream_equals_batch(spark, tmp_path):
         ).collect()
     )
     assert streamed == expected
+
+
+def test_session_window_stream_equals_batch(spark, tmp_path):
+    """Batch/stream parity for session_window sessionization: bursts
+    separated by > gap must come out as distinct finalized sessions,
+    identical between the batch run and the availableNow stream for
+    every session the watermark has closed."""
+    import pandas as pd
+
+    from the_hive_spark.streaming.windows import user_sessions
+
+    src = tmp_path / "sess"
+    src.mkdir()
+    base = pd.Timestamp("2024-03-01 00:00:00")
+    rows = []
+    # two users, three bursts each (burst = 3 events 2 min apart),
+    # bursts separated by 90 min >> the 30 min gap
+    for user in (1, 2):
+        for burst in range(3):
+            for k in range(3):
+                rows.append(
+                    {
+                        "ts": base
+                        + pd.Timedelta(minutes=90 * burst + 2 * k + user),
+                        "user_id": user,
+                        "event_type": "view",
+                        "value": 0.25 * k,
+                    }
+                )
+
+    def _dump(frame: pd.DataFrame, name: str) -> None:
+        frame = frame.astype({"ts": "datetime64[us]"})
+        frame["ts"] = frame["ts"].dt.tz_localize("UTC")
+        frame.to_parquet(src / name)
+
+    _dump(pd.DataFrame(rows), "a.parquet")
+    # far-future sentinel closes every real session in append mode
+    _dump(
+        pd.DataFrame(
+            [{
+                "ts": base + pd.Timedelta(days=2),
+                "user_id": 1,
+                "event_type": "view",
+                "value": 0.0,
+            }]
+        ),
+        "z.parquet",
+    )
+
+    batch_df = spark.read.parquet(str(src))
+    stream_df = spark.readStream.schema(batch_df.schema).parquet(str(src))
+
+    q = (
+        user_sessions(stream_df, gap="30 minutes", watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        tuple(str(v) for v in r)
+        for r in spark.sql("SELECT * FROM sessions_out").collect()
+    }
+    want = {
+        tuple(str(v) for v in r)
+        for r in user_sessions(batch_df, gap="30 minutes").collect()
+    }
+    assert got, "stream emitted no sessions"
+    assert got.issubset(want), f"stream ⊄ batch: {got - want}"
+    missing = {t for t in want - got if not t[0].startswith("2024-03-03")}
+    assert not missing, f"closed sessions missing from stream: {missing}"
+    # 2 users × 3 bursts = 6 real sessions, each of 3 events
+    real = [t for t in got if not t[0].startswith("2024-03-03")]
+    assert len(real) == 6
+    assert all(t[3] == "3" for t in real)
+
+
+def test_dedup_within_watermark_stream_equals_batch(spark, tmp_path):
+    """Redelivered events (same event_id, inside the watermark horizon)
+    must be suppressed by the bounded-state stream dedup, matching the
+    batch dropDuplicates oracle row-for-row."""
+    import pandas as pd
+
+    from the_hive_spark.streaming.windows import dedup_within_watermark
+
+    src = tmp_path / "dedup"
+    src.mkdir()
+    base = pd.Timestamp("2024-03-01 00:00:00")
+    first = [
+        {
+            "event_id": i,
+            "ts": base + pd.Timedelta(minutes=i),
+            "user_id": i % 2,
+            "event_type": "view",
+            "value": float(i),
+        }
+        for i in range(10)
+    ]
+    # redelivery: ids 3..6 again, slightly later but inside the horizon
+    redelivered = [
+        {**r, "ts": r["ts"] + pd.Timedelta(seconds=30)}
+        for r in first
+        if 3 <= r["event_id"] <= 6
+    ]
+
+    def _dump(frame: pd.DataFrame, name: str) -> None:
+        frame = frame.astype({"ts": "datetime64[us]"})
+        frame["ts"] = frame["ts"].dt.tz_localize("UTC")
+        frame.to_parquet(src / name)
+
+    _dump(pd.DataFrame(first), "a.parquet")
+    _dump(pd.DataFrame(redelivered), "b.parquet")
+
+    batch_df = spark.read.parquet(str(src))
+    stream_df = spark.readStream.schema(batch_df.schema).parquet(str(src))
+
+    q = (
+        dedup_within_watermark(stream_df, watermark="1 hour")
+        .select("event_id")
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        r.event_id for r in spark.sql("SELECT * FROM dedup_out").collect()
+    )
+    want = sorted(
+        r.event_id
+        for r in dedup_within_watermark(batch_df).select("event_id").collect()
+    )
+    assert got == want == list(range(10))

@@ -127,3 +127,63 @@ def attributed_conversions(
         & (F.col("cause_ts") >= F.col("effect_ts") - F.expr(f"INTERVAL {within}")),
         "inner",
     ).select("user_id", "effect_id", "effect_ts", "cause_id", "cause_ts")
+
+
+def user_sessions(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = DEFAULT_WATERMARK,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Event-time sessionization via ``session_window``: per-user
+    sessions that close after ``gap`` of inactivity, with event count
+    and value total per session.
+
+    This is the native-streaming face of the batch sessionization in
+    operators/timeline.py (LAG-gap islands): in a stream, Spark merges
+    adjacent windows into growing sessions and finalizes one once the
+    watermark passes session_end + gap — state per (user, open
+    session), bounded by the watermark, emitted exactly once in append
+    mode. Runs identically on a batch DataFrame (the parity oracle).
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("win"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint")
+            ).alias("total_value_micros"),
+        )
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value_micros",
+        )
+    )
+
+
+def dedup_within_watermark(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("event_id",),
+    watermark: str = DEFAULT_WATERMARK,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """At-least-once → effectively-once: drop redelivered rows by key
+    with state BOUNDED by the watermark (``dropDuplicatesWithinWatermark``)
+    — the ST2/ST4 idempotent-redelivery semantic for event streams,
+    where plain ``dropDuplicates`` on a stream would keep every key
+    ever seen (state grows without bound; a non-plan at 100 TB).
+
+    The watermark is the redelivery horizon: duplicates arriving
+    within it are suppressed, state for older keys is evicted. On a
+    batch DataFrame the same helper is plain ``dropDuplicates`` — the
+    parity oracle (batch input has no redelivery horizon).
+    """
+    if events.isStreaming:
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            list(keys)
+        )
+    return events.dropDuplicates(list(keys))
