@@ -74,6 +74,7 @@ EXTENDED = [
     "events_approx_value_percentiles",
     "emb_quantize_int8",
     "emb_hard_negatives",
+    "doc_dup_rates_by_source",
 ]
 
 

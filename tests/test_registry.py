@@ -1,0 +1,47 @@
+"""Registration-order budget guard.
+
+The driver's correctness gate hash-checks the FIRST 50 registered
+queries only, so load_all()'s import order is a verification budget,
+not a style choice. This test pins the current allocation — any
+refactor that shuffles imports (or adds a module-level import that
+transitively registers a family early, the bug this guards against)
+fails here instead of silently costing driver-oracle rows.
+"""
+
+from __future__ import annotations
+
+from the_hive_spark import registry
+
+registry.load_all()
+
+# This round's top-50 budget (see registry.load_all docstring):
+# 24 timeline events_* + 17 text_analysis doc_* + 7 hive parity
+# + emb_knn_topk + emb_near_dup_pairs.
+EXPECTED_TOP50_TAIL = [
+    "hive_search_topk",
+    "hive_chat_citations",
+    "hive_chat_answer",
+    "hive_audit_recent",
+    "hive_events_by_doc",
+    "hive_stats",
+    "hive_clients_online",
+    "emb_knn_topk",
+    "emb_near_dup_pairs",
+]
+
+
+def test_top50_budget():
+    names = list(registry.QUERIES)
+    assert len(names) >= 50
+    top50 = names[:50]
+    assert top50[-9:] == EXPECTED_TOP50_TAIL, top50[-9:]
+    assert all(n.startswith("events_") for n in top50[:24]), top50[:24]
+    assert all(n.startswith("doc_") for n in top50[24:41]), top50[24:41]
+
+
+def test_every_query_has_callable_and_unique_name():
+    assert len(registry.QUERIES) == len(set(registry.QUERIES))
+    for name, fn in registry.QUERIES.items():
+        assert callable(fn), name
+    # oracle keys must be registered queries
+    assert set(registry.ORACLES) <= set(registry.QUERIES)

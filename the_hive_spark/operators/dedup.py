@@ -1117,3 +1117,42 @@ def doc_corpus_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_dedup_corpus(spark, sf_dir).join(passing, "doc_id").select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+@query(
+    "doc_dup_rates_by_source",
+    oracle=_DUP_CLUSTERS_CTE
+    + """
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN c.cluster_id != c.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dups,
+       CAST(FLOOR(1000000.0 * SUM(CASE WHEN c.cluster_id != c.doc_id THEN 1 ELSE 0 END)
+                  / COUNT(*) + 0.5) AS BIGINT) AS dup_ppm
+FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+GROUP BY d.source
+""",
+)
+def doc_dup_rates_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication rate per source — the curation report that tells
+    you WHICH feed is polluting the corpus: per source, total docs,
+    docs that are non-canonical duplicates (exact or ≥0.4-Jaccard
+    near-dup; canonical = the cluster's min doc_id), and the rate in
+    ppm. Reuses the full doc_dup_clusters pipeline, then one broadcast
+    join to the source dimension column and a tiny per-source
+    aggregation — nothing new shuffles at corpus scale.
+    """
+    clusters = doc_dup_clusters(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    is_dup = (F.col("cluster_id") != F.col("doc_id")).cast("long")
+    return (
+        clusters.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(is_dup).cast("bigint").alias("n_dups"),
+            F.floor(
+                1000000.0 * F.sum(is_dup) / F.count(F.lit(1)) + F.lit(0.5)
+            ).cast("bigint").alias("dup_ppm"),
+        )
+    )
