@@ -75,6 +75,7 @@ EXTENDED = [
     "emb_quantize_int8",
     "emb_hard_negatives",
     "doc_dup_rates_by_source",
+    "events_debounced",
 ]
 
 

@@ -15,8 +15,8 @@ from the_hive_spark import registry
 registry.load_all()
 
 # This round's top-50 budget (see registry.load_all docstring):
-# 24 timeline events_* + 17 text_analysis doc_* + 7 hive parity
-# + emb_knn_topk + emb_near_dup_pairs.
+# 25 timeline events_* + 17 text_analysis doc_* + 7 hive parity
+# + emb_knn_topk.
 EXPECTED_TOP50_TAIL = [
     "hive_search_topk",
     "hive_chat_citations",
@@ -26,7 +26,6 @@ EXPECTED_TOP50_TAIL = [
     "hive_stats",
     "hive_clients_online",
     "emb_knn_topk",
-    "emb_near_dup_pairs",
 ]
 
 
@@ -34,9 +33,9 @@ def test_top50_budget():
     names = list(registry.QUERIES)
     assert len(names) >= 50
     top50 = names[:50]
-    assert top50[-9:] == EXPECTED_TOP50_TAIL, top50[-9:]
-    assert all(n.startswith("events_") for n in top50[:24]), top50[:24]
-    assert all(n.startswith("doc_") for n in top50[24:41]), top50[24:41]
+    assert top50[-8:] == EXPECTED_TOP50_TAIL, top50[-8:]
+    assert all(n.startswith("events_") for n in top50[:25]), top50[:25]
+    assert all(n.startswith("doc_") for n in top50[25:42]), top50[25:42]
 
 
 def test_every_query_has_callable_and_unique_name():

@@ -1037,3 +1037,87 @@ def events_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("us").cast("bigint").alias("end_us"),
         (F.max("us") - F.min("us")).cast("bigint").alias("duration_us"),
     )
+
+
+DEBOUNCE_GAP_US = 600_000_000  # 10 min of quiescence closes a burst
+
+
+@query(
+    "events_debounced",
+    oracle=f"""
+WITH g AS (
+  SELECT user_id, event_type, event_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+         epoch_us(CAST(ts AS TIMESTAMP))
+           - LAG(epoch_us(CAST(ts AS TIMESTAMP)))
+               OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+           AS gap_us,
+         LEAD(epoch_us(CAST(ts AS TIMESTAMP)))
+           OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+           - epoch_us(CAST(ts AS TIMESTAMP)) AS next_gap_us,
+         ts
+  FROM events
+), b AS (
+  SELECT *,
+         SUM(CASE WHEN gap_us IS NULL OR gap_us > {DEBOUNCE_GAP_US} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS burst_no
+  FROM g
+), c AS (
+  SELECT *,
+         COUNT(*) OVER (PARTITION BY user_id, event_type, burst_no) AS burst_len
+  FROM b
+)
+SELECT user_id, event_type, event_id, CAST(ts_us AS BIGINT) AS ts_us,
+       CAST(burst_len AS BIGINT) AS burst_len
+FROM c
+WHERE next_gap_us IS NULL OR next_gap_us > {DEBOUNCE_GAP_US}
+""",
+)
+def events_debounced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce as a batch operator (S2 parity,
+    internal/drone/watcher/debouncer.go:28-49: a per-key timer resets
+    on every event and fires once the key goes quiet): per (user,
+    event_type), emit ONLY the last event of each burst — the
+    quiescence point — plus how many raw events the burst collapsed.
+
+    All three derivations (LAG gap → island ids via running sum of
+    burst-starts → per-island count) share the (user, event_type) key:
+    hash partitioning on that key satisfies the third window's
+    (user, event_type, burst_no) clustering by the subset rule, so the
+    whole operator is ONE shuffle and two sorted passes — no islands
+    self-join, no second exchange.
+    """
+    key_w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    ev = table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    gap = us - F.lag(us).over(key_w)
+    annotated = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        "ts",
+        us.alias("ts_us"),
+        (F.lead(us).over(key_w) - us).alias("next_gap_us"),
+        F.sum(
+            F.when(gap.isNull() | (gap > DEBOUNCE_GAP_US), 1).otherwise(0)
+        ).over(key_w).alias("burst_no"),
+    )
+    burst_len = F.count(F.lit(1)).over(
+        Window.partitionBy("user_id", "event_type", "burst_no")
+    )
+    return (
+        annotated.withColumn("burst_len", burst_len)
+        .filter(
+            F.col("next_gap_us").isNull()
+            | (F.col("next_gap_us") > DEBOUNCE_GAP_US)
+        )
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            F.col("ts_us").cast("bigint").alias("ts_us"),
+            F.col("burst_len").cast("bigint").alias("burst_len"),
+        )
+    )
