@@ -76,6 +76,7 @@ EXTENDED = [
     "emb_hard_negatives",
     "doc_dup_rates_by_source",
     "events_debounced",
+    "events_attributed_conversions",
 ]
 
 

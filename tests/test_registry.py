@@ -15,8 +15,8 @@ from the_hive_spark import registry
 registry.load_all()
 
 # This round's top-50 budget (see registry.load_all docstring):
-# 25 timeline events_* + 17 text_analysis doc_* + 7 hive parity
-# + emb_knn_topk.
+# 26 timeline events_* + 17 text_analysis doc_* + 7 hive parity.
+# (emb_knn_topk, driver-green in round 1, rotated out at slot 51.)
 EXPECTED_TOP50_TAIL = [
     "hive_search_topk",
     "hive_chat_citations",
@@ -25,7 +25,6 @@ EXPECTED_TOP50_TAIL = [
     "hive_events_by_doc",
     "hive_stats",
     "hive_clients_online",
-    "emb_knn_topk",
 ]
 
 
@@ -33,9 +32,10 @@ def test_top50_budget():
     names = list(registry.QUERIES)
     assert len(names) >= 50
     top50 = names[:50]
-    assert top50[-8:] == EXPECTED_TOP50_TAIL, top50[-8:]
-    assert all(n.startswith("events_") for n in top50[:25]), top50[:25]
-    assert all(n.startswith("doc_") for n in top50[25:42]), top50[25:42]
+    assert top50[-7:] == EXPECTED_TOP50_TAIL, top50[-7:]
+    assert names[50] == "emb_knn_topk"
+    assert all(n.startswith("events_") for n in top50[:26]), top50[:26]
+    assert all(n.startswith("doc_") for n in top50[26:43]), top50[26:43]
 
 
 def test_every_query_has_callable_and_unique_name():

@@ -1121,3 +1121,47 @@ def events_debounced(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("burst_len").cast("bigint").alias("burst_len"),
         )
     )
+
+
+@query(
+    "events_attributed_conversions",
+    oracle="""
+SELECT e.user_id, e.event_id AS effect_id,
+       CAST(epoch_us(CAST(e.ts AS TIMESTAMP)) AS BIGINT) AS effect_ts_us,
+       c.event_id AS cause_id,
+       CAST(epoch_us(CAST(c.ts AS TIMESTAMP)) AS BIGINT) AS cause_ts_us
+FROM events e
+JOIN events c
+  ON c.user_id = e.user_id
+ AND c.event_type = 'click'
+ AND e.event_type = 'purchase'
+ AND c.ts <= e.ts
+ AND c.ts >= e.ts - INTERVAL 1 HOUR
+""",
+)
+def events_attributed_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion attribution — every purchase paired with the same
+    user's clicks in the preceding hour. This is the BATCH FACE of the
+    watermarked stream-stream interval join in
+    streaming/windows.py::attributed_conversions, and it calls that
+    same helper (watermark is a no-op in batch), so the driver's
+    DuckDB oracle hash-checks the exact code the streaming tests run —
+    single source of truth across both execution modes.
+
+    Plan: the type filters prune each side at the scan, the equi-part
+    of the condition (user_id) drives a hash join, and the time bounds
+    evaluate as join residuals — at stream scale the same bounds are
+    what lets Spark evict state; at batch scale they bound the per-user
+    pair fan-out.
+    """
+    from the_hive_spark.streaming.windows import attributed_conversions
+
+    ev = table(spark, sf_dir, "events")
+    out = attributed_conversions(ev, within="1 hour")
+    return out.select(
+        "user_id",
+        "effect_id",
+        F.unix_micros("effect_ts").alias("effect_ts_us"),
+        "cause_id",
+        F.unix_micros("cause_ts").alias("cause_ts_us"),
+    )
