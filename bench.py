@@ -77,6 +77,7 @@ EXTENDED = [
     "doc_dup_rates_by_source",
     "events_debounced",
     "events_attributed_conversions",
+    "emb_semantic_dup_rates",
 ]
 
 

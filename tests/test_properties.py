@@ -238,3 +238,70 @@ def test_per_row_minhash_equals_explode_form(spark, texts):
         tuple(r) for r in _minhash_signatures_from(sh).select(*cols).collect()
     )
     assert per_row == agg
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),      # user
+            st.integers(min_value=0, max_value=5000),   # offset seconds ×10
+        ),
+        min_size=1,
+        max_size=60,
+        unique=True,
+    )
+)
+def test_debounce_invariants(spark, raw):
+    """events_debounced structural invariants against a pure-Python
+    burst model: one emitted row per burst, each emitted event is the
+    burst's last, and burst_len values partition the key's events."""
+    import pandas as pd
+
+    from the_hive_spark.operators.timeline import (
+        DEBOUNCE_GAP_US,
+        events_debounced,
+    )
+
+    base = pd.Timestamp("2024-01-01", tz="UTC")
+    rows = [
+        {
+            "event_id": i,
+            "ts": base + pd.Timedelta(seconds=10 * off),
+            "user_id": user,
+            "event_type": "view",
+            "value": 0.0,
+            "props": "{}",
+        }
+        for i, (user, off) in enumerate(raw)
+    ]
+    pdf = pd.DataFrame(rows).astype({"ts": "datetime64[us, UTC]"})
+
+    # python oracle: sort per user, split on gap > DEBOUNCE_GAP_US
+    expected = {}
+    for user, grp in pdf.groupby("user_id"):
+        grp = grp.sort_values(["ts", "event_id"])
+        bursts, cur = [], []
+        last_us = None
+        for _, r in grp.iterrows():
+            us = int(r.ts.value // 1000)
+            if last_us is not None and us - last_us > DEBOUNCE_GAP_US:
+                bursts.append(cur)
+                cur = []
+            cur.append((int(r.event_id), us))
+            last_us = us
+        bursts.append(cur)
+        for b in bursts:
+            eid, us = b[-1]
+            expected[eid] = (len(b), us)
+
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        pdf.to_parquet(os.path.join(d, "events.parquet"))
+        got = {
+            int(r.event_id): (int(r.burst_len), int(r.ts_us))
+            for r in events_debounced(spark, d).collect()
+        }
+    assert got == expected

@@ -801,3 +801,65 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("anchor_id", "anchor_label", "neg_id", "neg_label", "cos_ppm")
     )
+
+
+@query(
+    "emb_semantic_dup_rates",
+    oracle=f"""
+WITH qn AS (
+  SELECT vec_id, embedding,
+         CAST({_qdot_duck("embedding", "embedding")} AS BIGINT) AS nrm
+  FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         CAST(FLOOR(1000000.0 * {_qdot_duck("a.embedding", "b.embedding")}
+              / sqrt(CAST(a.nrm AS DOUBLE) * b.nrm) + 0.5) AS BIGINT) AS cos_ppm
+  FROM qn a JOIN qn b ON a.vec_id < b.vec_id
+  WHERE FLOOR(1000000.0 * {_qdot_duck("a.embedding", "b.embedding")}
+        / sqrt(CAST(a.nrm AS DOUBLE) * b.nrm) + 0.5) >= {{thr}}
+)
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(MAX(p.cos_ppm) AS BIGINT) AS max_cos_ppm
+FROM pairs p
+JOIN documents da ON da.doc_id = p.vec_a
+JOIN documents db ON db.doc_id = p.vec_b
+GROUP BY source_a, source_b
+""".format(thr=NEAR_DUP_PPM),
+)
+def emb_semantic_dup_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-duplication report by source: embedding near-dup pairs
+    (quantized cosine ≥ 0.95, found by the banded-LSH scale path)
+    mapped back to the documents' source feeds and counted per
+    unordered source pair — SemDeDup's curation readout: does feed X
+    paraphrase feed Y, or mostly itself?
+
+    Composition stays scale-shaped end-to-end: the pair stream comes
+    from the LSH band join (never all-pairs), the two source lookups
+    are id-keyed equi-joins against a two-column projection of the
+    corpus (AQE broadcasts at bench SF; co-partitioned hash join at
+    real scale), and the final aggregation is a handful of source
+    pairs. The oracle replays the exact brute-force pair set — equality
+    also re-proves the LSH path loses no ≥0.95 pair.
+    """
+    pairs = emb_near_dup_lsh(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    da = docs.select(
+        F.col("doc_id").alias("vec_a"), F.col("source").alias("sa")
+    )
+    db = docs.select(
+        F.col("doc_id").alias("vec_b"), F.col("source").alias("sb")
+    )
+    return (
+        pairs.join(da, "vec_a")
+        .join(db, "vec_b")
+        .groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.max("cos_ppm").cast("bigint").alias("max_cos_ppm"),
+        )
+    )
