@@ -29,7 +29,27 @@ EXPECTED_TOP50_TAIL = [
 
 
 def test_top50_budget():
-    names = list(registry.QUERIES)
+    # Must run in a FRESH interpreter: in the shared pytest process,
+    # earlier test modules import operator modules directly and
+    # pollute the global registration order. The driver imports
+    # __spark_entry__ fresh, which is what this asserts.
+    import json
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import json; from the_hive_spark import registry;"
+            " registry.load_all();"
+            " print(json.dumps(list(registry.QUERIES)))",
+        ],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    names = json.loads(out.stdout.strip().splitlines()[-1])
     assert len(names) >= 50
     top50 = names[:50]
     assert top50[-7:] == EXPECTED_TOP50_TAIL, top50[-7:]
