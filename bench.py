@@ -78,6 +78,7 @@ EXTENDED = [
     "events_debounced",
     "events_attributed_conversions",
     "emb_semantic_dup_rates",
+    "graph_kcore3",
 ]
 
 

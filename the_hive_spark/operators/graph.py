@@ -429,3 +429,89 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(e3, ["a", "c"])
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
     )
+
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 3
+
+_KCORE_EDGE_CTE = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), e AS (
+  SELECT part_a AS u, part_b AS v
+  FROM pairs GROUP BY part_a, part_b HAVING COUNT(*) >= 2
+), ue0 AS (
+  SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+)"""
+
+
+def _kcore_round_sql(i: int, k: int) -> str:
+    prev = f"ue{i - 1}"
+    return f"""
+, d{i} AS (SELECT u AS node, COUNT(*) AS d FROM {prev} GROUP BY u)
+, k{i} AS (SELECT node FROM d{i} WHERE d >= {k})
+, ue{i} AS (
+  SELECT p.u, p.v FROM {prev} p
+  JOIN k{i} a ON a.node = p.u
+  JOIN k{i} b ON b.node = p.v
+)"""
+
+
+@query(
+    "graph_kcore3",
+    oracle=_KCORE_EDGE_CTE
+    + "".join(_kcore_round_sql(i, _KCORE_K) for i in range(1, _KCORE_ROUNDS + 1))
+    + f"""
+SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS degree
+FROM ue{_KCORE_ROUNDS} GROUP BY u HAVING COUNT(*) >= {_KCORE_K}
+""",
+)
+def graph_kcore3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling ({_KCORE_ROUNDS} synchronous rounds toward the
+    {_KCORE_K}-core of the co-purchase graph): repeatedly drop nodes
+    of degree < k and their incident edges, keep survivors with their
+    degree after the last round — the dense-substructure extractor
+    (community cores, spam-cluster mining, graph sparsification).
+
+    Bounded unrolled iterations, like graph_pagerank3: each round is
+    one degree aggregation plus two semi-joins of the (cached, tiny
+    relative to the fact) edge list against the surviving node set —
+    the standard distributed peeling step, O(rounds) shuffles total,
+    no driver-side graph state. The oracle replays the identical
+    unrolled rounds as a CTE chain, so convergence-to-fixpoint
+    differences can't creep in.
+    """
+    from pyspark import StorageLevel
+
+    from the_hive_spark.operators.analytics import copurchase_pairs
+
+    li = table(spark, sf_dir, "lineitem")
+    e = (
+        copurchase_pairs(li)
+        .filter(F.col("n_orders") >= 2)
+        .select("part_a", "part_b")
+    )
+    ue = (
+        e.select(F.col("part_a").alias("u"), F.col("part_b").alias("v"))
+        .union(e.select(F.col("part_b").alias("u"), F.col("part_a").alias("v")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ue.count()
+    for _ in range(_KCORE_ROUNDS):
+        deg = ue.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") >= _KCORE_K).select(F.col("u").alias("node"))
+        ue = (
+            ue.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(
+                keep.withColumnRenamed("node", "v"), "v", "left_semi"
+            )
+        )
+    return (
+        ue.groupBy(F.col("u").alias("node"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+        .filter(F.col("degree") >= _KCORE_K)
+    )
