@@ -79,6 +79,7 @@ EXTENDED = [
     "events_attributed_conversions",
     "emb_semantic_dup_rates",
     "graph_kcore3",
+    "events_funnel_windowed",
 ]
 
 

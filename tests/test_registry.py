@@ -15,8 +15,10 @@ from the_hive_spark import registry
 registry.load_all()
 
 # This round's top-50 budget (see registry.load_all docstring):
-# 26 timeline events_* + 17 text_analysis doc_* + 7 hive parity.
-# (emb_knn_topk, driver-green in round 1, rotated out at slot 51.)
+# 27 timeline events_* + 17 text_analysis doc_* + 6 hive parity.
+# (hive_clients_online at 51, emb_knn_topk — driver-green in round 1 —
+# at 52; new oracled queries must register in LATE modules from here
+# so the gate stops churning.)
 EXPECTED_TOP50_TAIL = [
     "hive_search_topk",
     "hive_chat_citations",
@@ -24,7 +26,6 @@ EXPECTED_TOP50_TAIL = [
     "hive_audit_recent",
     "hive_events_by_doc",
     "hive_stats",
-    "hive_clients_online",
 ]
 
 
@@ -52,10 +53,11 @@ def test_top50_budget():
     names = json.loads(out.stdout.strip().splitlines()[-1])
     assert len(names) >= 50
     top50 = names[:50]
-    assert top50[-7:] == EXPECTED_TOP50_TAIL, top50[-7:]
-    assert names[50] == "emb_knn_topk"
-    assert all(n.startswith("events_") for n in top50[:26]), top50[:26]
-    assert all(n.startswith("doc_") for n in top50[26:43]), top50[26:43]
+    assert top50[-6:] == EXPECTED_TOP50_TAIL, top50[-6:]
+    assert names[50] == "hive_clients_online"
+    assert names[51] == "emb_knn_topk"
+    assert all(n.startswith("events_") for n in top50[:27]), top50[:27]
+    assert all(n.startswith("doc_") for n in top50[27:44]), top50[27:44]
 
 
 def test_every_query_has_callable_and_unique_name():

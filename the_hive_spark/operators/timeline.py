@@ -1165,3 +1165,111 @@ def events_attributed_conversions(spark: SparkSession, sf_dir: str) -> DataFrame
         "cause_id",
         F.unix_micros("cause_ts").alias("cause_ts_us"),
     )
+
+
+FUNNEL_WINDOW_US = 86_400_000_000  # chain must complete within 24 h of its view
+
+
+@query(
+    "events_funnel_windowed",
+    oracle=f"""
+WITH t AS (
+  SELECT user_id, event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+  FROM events
+), lv AS (
+  SELECT *,
+         MAX(CASE WHEN event_type = 'view' THEN ts_us END)
+           OVER (PARTITION BY user_id ORDER BY ts_us
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS latest_view_before
+  FROM t
+), bc AS (
+  SELECT *,
+         MAX(CASE WHEN event_type = 'click' THEN latest_view_before END)
+           OVER (PARTITION BY user_id ORDER BY ts_us
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS best_view_via_click
+  FROM lv
+), per_user AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase,
+         MAX(CASE WHEN event_type = 'purchase'
+                   AND best_view_via_click IS NOT NULL
+                   AND ts_us - best_view_via_click <= {FUNNEL_WINDOW_US}
+                  THEN 1 ELSE 0 END) AS converted
+  FROM bc GROUP BY user_id
+)
+SELECT CAST(SUM(has_purchase) AS BIGINT) AS n_purchasers,
+       CAST(SUM(converted) AS BIGINT) AS n_converted,
+       CAST(FLOOR(1000000.0 * SUM(converted) / greatest(SUM(has_purchase), 1) + 0.5)
+            AS BIGINT) AS conv_ppm
+FROM per_user
+""",
+)
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT windowed strict-order funnel (the windowFunnel semantic):
+    a user converts iff some view, a strictly later click, and a
+    strictly later purchase all occur with the purchase within 24 h of
+    THAT view — not the first-event approximation in events_funnel,
+    which misses chains that start at a later view.
+
+    Exact without any per-user sequence UDF: for each row, the latest
+    view STRICTLY before it is a running max over a value-based frame
+    (RANGE ... 1 PRECEDING on integer µs — strict by construction,
+    tie-safe); chaining a second running max over clicks of that
+    quantity gives, at every purchase, the latest view reachable
+    through an intermediate click — and maximizing the view timestamp
+    is optimal for the window test, so one comparison decides
+    conversion. One shuffle on user_id, two window passes over the
+    same sort, then a tiny two-level count — the shape that survives a
+    100 TB event log, where the naive exists-chain is a per-user O(n³)
+    join.
+    """
+    us = F.unix_micros("ts")
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", us.alias("ts_us")
+    )
+    strict = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    lv = ev.withColumn(
+        "latest_view_before",
+        F.max(
+            F.when(F.col("event_type") == "view", F.col("ts_us"))
+        ).over(strict),
+    )
+    bc = lv.withColumn(
+        "best_view_via_click",
+        F.max(
+            F.when(F.col("event_type") == "click", F.col("latest_view_before"))
+        ).over(strict),
+    )
+    per_user = bc.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("has_purchase"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & F.col("best_view_via_click").isNotNull()
+                & (
+                    F.col("ts_us") - F.col("best_view_via_click")
+                    <= FUNNEL_WINDOW_US
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("converted"),
+    )
+    return per_user.agg(
+        F.sum("has_purchase").cast("bigint").alias("n_purchasers"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+        F.floor(
+            1000000.0
+            * F.sum("converted")
+            / F.greatest(F.sum("has_purchase"), F.lit(1))
+            + F.lit(0.5)
+        ).cast("bigint").alias("conv_ppm"),
+    )

@@ -50,10 +50,11 @@ def load_all() -> None:
     Import order IS driver-verification order: the driver's correctness
     gate checks the first 50 registrations, so families that have never
     had a driver-oracle row register first. This round's top-50 budget:
-    timeline events_* (26) + text_analysis doc_* (17) + hive parity (7)
+    timeline events_* (27) + text_analysis doc_* (17) + hive parity (6)
     = 50 hash-checked rows (pinned by tests/test_registry.py); the
     analytics/dedup/graph/media/rules/similarity blocks (driver-green
-    in round 1) rotate back in next round.
+    in round 1) rotate back in next round. New oracled queries should
+    register in LATE modules so this gate allocation stays stable.
     """
     from the_hive_spark.operators import (  # noqa: F401
         timeline,
