@@ -80,6 +80,7 @@ EXTENDED = [
     "emb_semantic_dup_rates",
     "graph_kcore3",
     "events_funnel_windowed",
+    "doc_lang_mismatch",
 ]
 
 

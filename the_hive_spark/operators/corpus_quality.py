@@ -272,3 +272,54 @@ def events_approx_user_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         err_ppm.alias("abs_err_ppm"),
         (err_ppm <= 50000).alias("within_5pct"),
     ).orderBy("event_type")
+
+
+def _lang_mismatch_oracle() -> str:
+    from the_hive_spark.operators.text_analysis import _langid_oracle
+
+    return f"""
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN det.detected_lang = 'und' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_undetermined,
+       CAST(SUM(CASE WHEN det.detected_lang != 'und'
+                      AND det.detected_lang != d.lang THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_mismatch,
+       CAST(FLOOR(1000000.0 * SUM(CASE WHEN det.detected_lang != 'und'
+                      AND det.detected_lang != d.lang THEN 1 ELSE 0 END)
+                  / COUNT(*) + 0.5) AS BIGINT) AS mismatch_ppm
+FROM ({_langid_oracle()}) det
+JOIN documents d ON d.doc_id = det.doc_id
+GROUP BY d.source
+"""
+
+
+@query("doc_lang_mismatch", oracle=_lang_mismatch_oracle())
+def doc_lang_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-label audit per source: how often the n-gram language
+    detector confidently disagrees with the declared ``lang`` column
+    (plus the undetermined count) — the mislabeled-language report a
+    curation pipeline runs before per-language filtering, since a feed
+    with a high mismatch rate poisons every lang-conditional stage
+    downstream. Detection is the same zero-shuffle JVM expression as
+    doc_langid; the only shuffle is the tiny per-source aggregation.
+    """
+    from the_hive_spark.functions.langid import detect_language
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", detect_language("text").alias("det")
+    )
+    confident_mismatch = (
+        (F.col("det") != "und") & (F.col("det") != F.col("lang"))
+    ).cast("long")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((F.col("det") == "und").cast("long")).cast("bigint").alias(
+            "n_undetermined"
+        ),
+        F.sum(confident_mismatch).cast("bigint").alias("n_mismatch"),
+        F.floor(
+            1000000.0 * F.sum(confident_mismatch) / F.count(F.lit(1))
+            + F.lit(0.5)
+        ).cast("bigint").alias("mismatch_ppm"),
+    )
