@@ -81,6 +81,7 @@ EXTENDED = [
     "graph_kcore3",
     "events_funnel_windowed",
     "doc_lang_mismatch",
+    "doc_bpe_pair_counts",
 ]
 
 

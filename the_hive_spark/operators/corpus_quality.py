@@ -323,3 +323,55 @@ def doc_lang_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.5)
         ).cast("bigint").alias("mismatch_ppm"),
     )
+
+
+BPE_PAIR_TOPK = 20
+
+
+@query(
+    "doc_bpe_pair_counts",
+    oracle=f"""
+WITH pairs AS (
+  SELECT unnest(list_transform(range(1, length(text)),
+                i -> substring(text, i, 2))) AS pair
+  FROM documents WHERE length(text) >= 2
+)
+SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+FROM pairs GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT {BPE_PAIR_TOPK}
+""",
+)
+def doc_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide adjacent symbol-pair counts, top {BPE_PAIR_TOPK} —
+    one BPE merge iteration's candidate table, the inner loop of
+    training a tokenizer vocabulary over the corpus (each merge round
+    at scale IS this query over the re-segmented text).
+
+    Plan: in-row pair array (transform over sequence — no Python, no
+    self-join of the text against itself shifted by one), repartition
+    before the explode so the fan-out runs at cluster parallelism,
+    then one map-side-combined count and TakeOrdered for the top-k —
+    the (pair) key space is tiny (alphabet²), so the final shuffle
+    carries almost nothing.
+    """
+    n = spark.sparkContext.defaultParallelism
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.length("text") >= 2)
+        .repartition(n)
+    )
+    pairs = docs.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 1),"
+                " i -> substring(text, i, 2))"
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(BPE_PAIR_TOPK)
+    )
