@@ -37,26 +37,47 @@ def _tokens(text_col: str) -> str:
     return f"filter(split(lower({text_col}), '[^a-zA-Zäöüéèêàç]+'), t -> length(t) > 0)"
 
 
+def tokens_expr(text_col: str = "text") -> Column:
+    """The tokenizer as a standalone Column — materialize it ONCE into
+    a column and pass that column's name to the `_from_tokens` variants
+    below: inlining `_tokens` into every per-language expression makes
+    codegen run the regex split 5× per row (measured ~4× slower)."""
+    return F.expr(_tokens(text_col))
+
+
 def lang_hit_counts(text_col: str = "text") -> dict[str, Column]:
-    """Per-language stopword hit counts as JVM expressions."""
-    toks = _tokens(text_col)
+    """Per-language stopword hit counts as JVM expressions
+    (tokenization inlined — prefer lang_hit_counts_from_tokens over a
+    precomputed tokens column in anything row-count-heavy)."""
+    return lang_hit_counts_from_tokens(_tokens(text_col))
+
+
+def lang_hit_counts_from_tokens(toks_sql: str) -> dict[str, Column]:
+    """Per-language hit counts over an existing token-array expression
+    or column name."""
     out = {}
     for lang, words in STOPWORD_PROFILES.items():
         arr = ", ".join(f"'{w}'" for w in words)
         out[lang] = F.expr(
-            f"size(filter({toks}, t -> array_contains(array({arr}), t)))"
+            f"size(filter({toks_sql}, t -> array_contains(array({arr}), t)))"
         )
     return out
 
 
 def detect_language(text_col: str = "text") -> Column:
-    """Argmax language code ('und' below the confidence floor).
+    """Argmax language code over inline tokenization (compat form —
+    tokenizes once per language expression; see detect_language_from_tokens)."""
+    return detect_language_from_tokens(_tokens(text_col))
+
+
+def detect_language_from_tokens(toks_sql: str) -> Column:
+    """Argmax language code ('und' below the confidence floor) over an
+    existing token-array expression or column name.
 
     Ties break by language-code order (deterministic across engines).
     """
-    toks = _tokens(text_col)
-    n = F.greatest(F.expr(f"size({toks})"), F.lit(1))
-    hits = lang_hit_counts(text_col)
+    n = F.greatest(F.expr(f"size({toks_sql})"), F.lit(1))
+    hits = lang_hit_counts_from_tokens(toks_sql)
     best_lang = F.lit("und")
     best_ppm = F.lit(MIN_HITS_PPM - 1).cast("bigint")
     # forward alphabetical: the first language processed keeps ties

@@ -304,10 +304,20 @@ def doc_lang_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream. Detection is the same zero-shuffle JVM expression as
     doc_langid; the only shuffle is the tiny per-source aggregation.
     """
-    from the_hive_spark.functions.langid import detect_language
+    from the_hive_spark.functions.langid import (
+        detect_language_from_tokens,
+        tokens_expr,
+    )
 
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "source", detect_language("text").alias("det")
+    docs = (
+        table(spark, sf_dir, "documents")
+        .withColumn("__toks", tokens_expr("text"))
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            detect_language_from_tokens("__toks").alias("det"),
+        )
     )
     confident_mismatch = (
         (F.col("det") != "und") & (F.col("det") != F.col("lang"))

@@ -254,11 +254,17 @@ def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID (functions/langid.py): stopword-profile
     hit rates per language, argmax with an alphabetical tie-break and
     an 'und' confidence floor. Pure JVM expressions — a linear scan,
-    no shuffle, no Python."""
-    from the_hive_spark.functions.langid import detect_language
+    no shuffle, no Python; the tokenizer materializes into a column
+    once so the regex split runs once per row, not once per language."""
+    from the_hive_spark.functions.langid import (
+        detect_language_from_tokens,
+        tokens_expr,
+    )
 
     docs = table(spark, sf_dir, "documents")
-    return docs.select("doc_id", detect_language("text").alias("detected_lang"))
+    return docs.withColumn("__toks", tokens_expr("text")).select(
+        "doc_id", detect_language_from_tokens("__toks").alias("detected_lang")
+    )
 
 
 _QUALITY_PUNCT = r"[.,!?;:]"
