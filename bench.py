@@ -82,6 +82,7 @@ EXTENDED = [
     "events_funnel_windowed",
     "doc_lang_mismatch",
     "doc_bpe_pair_counts",
+    "media_shard_manifest",
 ]
 
 

@@ -333,3 +333,71 @@ def media_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.media_id").alias("media_b"),
         )
     )
+
+
+SHARD_TARGET_BYTES = 4096  # webdataset-style size-targeted shards
+
+
+@query(
+    "media_shard_manifest",
+    oracle=f"""
+WITH media AS (
+  SELECT doc_id AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         CAST(strlen(text) AS BIGINT) AS n_bytes
+  FROM documents
+), c AS (
+  SELECT media_id, kind, n_bytes,
+         COALESCE(SUM(n_bytes) OVER (PARTITION BY kind ORDER BY media_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+  FROM media
+)
+SELECT media_id, kind, n_bytes,
+       CAST(prev // {SHARD_TARGET_BYTES} AS BIGINT) AS shard_id
+FROM c
+""",
+)
+def media_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard manifest for the media corpus: pack blobs into
+    ~{SHARD_TARGET_BYTES}-byte shards per kind by exclusive running
+    byte count in media_id order — the webdataset/tar-shard layout
+    step that turns a billion loose blobs into sequential-read shards
+    for training-loader throughput.
+
+    The oracle's per-kind ``SUM() OVER (ORDER BY)`` is the
+    single-partition funnel Spark must not run at scale (3 kinds = 3
+    partitions would serialize the corpus). Instead ONE
+    distributed_prefix_sum over a kind-major composite order key
+    (kind_idx·2⁴⁰ + media_id — range-partitioned, per-partition
+    windows, O(partitions) offset collect) yields the global running
+    sum, and each kind's exclusive prefix is that minus the kind's
+    start offset (a min over the kind — 3 tiny groups). Fully
+    parallel, deterministic, rerun-stable.
+    """
+    from pyspark.sql import Window
+
+    from the_hive_spark.functions.ids import distributed_prefix_sum
+
+    media = documents_as_media(table(spark, sf_dir, "documents"))
+    t = media.select(
+        "media_id",
+        "kind",
+        F.length("content").cast("bigint").alias("n_bytes"),
+        (
+            (F.col("media_id") % 3) * F.lit(1 << 40) + F.col("media_id")
+        ).alias("_ord"),
+    )
+    p = distributed_prefix_sum(t, "_ord", "n_bytes", out_col="gprev")
+    return (
+        p.withColumn(
+            "kind_start", F.min("gprev").over(Window.partitionBy("kind"))
+        )
+        .select(
+            "media_id",
+            "kind",
+            "n_bytes",
+            F.expr(f"(gprev - kind_start) div {SHARD_TARGET_BYTES}")
+            .cast("bigint")
+            .alias("shard_id"),
+        )
+    )
