@@ -83,6 +83,7 @@ EXTENDED = [
     "doc_lang_mismatch",
     "doc_bpe_pair_counts",
     "media_shard_manifest",
+    "events_markov_transitions",
 ]
 
 

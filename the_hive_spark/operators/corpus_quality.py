@@ -385,3 +385,61 @@ def doc_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(BPE_PAIR_TOPK)
     )
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events
+), t AS (
+  SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY from_type, to_type
+), tot AS (
+  SELECT from_type, SUM(n) AS n_from FROM t GROUP BY from_type
+)
+SELECT t.from_type, t.to_type,
+       CAST(t.n AS BIGINT) AS n,
+       CAST(FLOOR(1000000.0 * t.n / tot.n_from + 0.5) AS BIGINT) AS p_ppm
+FROM t JOIN tot USING (from_type)
+""",
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: counts and probabilities (ppm) of each consecutive
+    event-type pair — the behavioral-model prior (next-action
+    prediction, anomaly scoring against expected transitions,
+    synthetic-sequence generation).
+
+    One shuffle on user_id for the LEAD window; the transition counts
+    map-side combine into a |types|² key space, and the row-conditional
+    probabilities divide by a broadcast-sized per-from total — nothing
+    downstream of the window touches corpus-scale data again.
+    """
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    t = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = t.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return (
+        t.join(F.broadcast(tot), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.floor(1000000.0 * F.col("n") / F.col("n_from") + F.lit(0.5))
+            .cast("bigint")
+            .alias("p_ppm"),
+        )
+    )
