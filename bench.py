@@ -84,6 +84,9 @@ EXTENDED = [
     "doc_bpe_pair_counts",
     "media_shard_manifest",
     "events_markov_transitions",
+    "doc_dup_gram_coverage",
+    "events_heavy_hitters",
+    "cust_fuzzy_match_pairs",
 ]
 
 

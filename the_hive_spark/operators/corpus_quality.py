@@ -443,3 +443,160 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("p_ppm"),
         )
     )
+
+
+COVER_N = 4  # words per gram, matching doc_decontaminate's shingles
+
+
+@query(
+    "doc_dup_gram_coverage",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS words
+  FROM documents WHERE length(text) > 0
+), g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(words) - {COVER_N - 2}),
+                i -> array_to_string(list_slice(words, i, i + {COVER_N - 1}), ' ')))) AS gram
+  FROM w WHERE len(words) >= {COVER_N}
+), df AS (
+  SELECT gram, COUNT(*) AS n_docs FROM g GROUP BY gram
+)
+SELECT g.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN df.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_grams,
+       CAST(FLOOR(1000000.0 * SUM(CASE WHEN df.n_docs >= 2 THEN 1 ELSE 0 END)
+                  / COUNT(*) + 0.5) AS BIGINT) AS dup_coverage_ppm,
+       (1000000.0 * SUM(CASE WHEN df.n_docs >= 2 THEN 1 ELSE 0 END) / COUNT(*)
+          < 500000) AS passes_dup_coverage
+FROM g JOIN df USING (gram)
+GROUP BY g.doc_id
+""",
+)
+def doc_dup_gram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-text coverage per doc: the fraction
+    of a document's distinct word {COVER_N}-grams that also occur in
+    at least one OTHER document (ppm), plus a <50% keep flag — the
+    ExactSubstr-style readout (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better", arXiv:2107.06499): MinHash
+    clustering catches whole-document near-dups, while this catches
+    documents assembled from text duplicated piecemeal across the
+    corpus (boilerplate, quotations, template farms).
+
+    Plan: in-row distinct gram arrays → repartitioned explode → one
+    (gram) document-frequency aggregation → join back on gram
+    (co-partitioned with the df agg — no extra exchange) → per-doc
+    count. Two corpus-stream shuffles total, both map-side combined;
+    no all-pairs comparison anywhere. A doc's gram counted in its OWN
+    occurrences only once (in-row array_distinct), so df ≥ 2 means
+    "appears in ≥2 distinct documents".
+    """
+    n = spark.sparkContext.defaultParallelism
+    base = (
+        table(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select("doc_id", F.expr(_WORDS).alias("words"))
+        .filter(F.size("words") >= COVER_N)
+        .repartition(n, "doc_id")
+    )
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, size(words) - {COVER_N - 1}),"
+                    f" i -> concat_ws(' ', slice(words, i, {COVER_N})))"
+                )
+            )
+        ).alias("gram"),
+    )
+    df = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs"))
+    shared = (F.col("n_docs") >= 2).cast("long")
+    cov = 1000000.0 * F.sum(shared) / F.count(F.lit(1))
+    return (
+        grams.join(df, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(shared).cast("bigint").alias("n_shared_grams"),
+            F.floor(cov + F.lit(0.5)).cast("bigint").alias("dup_coverage_ppm"),
+            (cov < 500000).alias("passes_dup_coverage"),
+        )
+    )
+
+
+HH_CAPACITY = 4096  # Misra-Gries counters per partition summary
+HH_K = 2048  # report items with frequency > n/HH_K (2× safety margin)
+
+
+@query(
+    "events_heavy_hitters",
+    oracle=f"""
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(FLOOR(1000000.0 * COUNT(*)
+                  / (SELECT COUNT(*) FROM events) + 0.5) AS BIGINT) AS share_ppm
+FROM events
+GROUP BY user_id
+HAVING COUNT(*) * {HH_K} > (SELECT COUNT(*) FROM events)
+""",
+)
+def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact φ-heavy hitters (φ = 1/{HH_K}) over event actors via the
+    two-phase sketch plan: per-partition Misra-Gries summaries with
+    {HH_CAPACITY} counters generate a candidate superset, then one
+    exact recount of candidates only — the hot-key detector (abuse
+    actors, runaway clients, cache-key design) that never shuffles the
+    full (user) key space.
+
+    Why two phases: a plain GROUP BY user_id shuffles every distinct
+    key; at 100 TB with billions of actors that is the whole job. The
+    MG summary is O(capacity) memory per partition regardless of
+    partition cardinality, and the merge guarantee (Agarwal et al.,
+    "Mergeable Summaries", PODS'12) ensures any item with global
+    frequency > n/capacity survives some partition's summary — so with
+    capacity = 2·HH_K the candidate set provably contains every
+    φ-frequent item, and the exact recount (a broadcast semi-join +
+    count over candidates only) makes the final answer EXACT, not
+    approximate. The oracle is the plain GROUP BY ... HAVING — parity
+    proves the pruning is lossless. Per-partition summaries build from
+    Arrow-batch value_counts merged under the MG compress (subtract
+    the (cap+1)-th count, drop non-positive) — no per-row Python.
+    """
+    import pandas as pd
+
+    ev = table(spark, sf_dir, "events")
+    total = ev.count()  # single-scalar job, like engine.py's stats
+
+    def mg_candidates(batches):
+        counts: pd.Series = None
+        for pdf in batches:
+            bc = pdf["user_id"].value_counts()
+            counts = bc if counts is None else counts.add(bc, fill_value=0)
+            if len(counts) > HH_CAPACITY:
+                # mergeable-summaries compress: subtract the
+                # (capacity+1)-th largest count, keep positives
+                t = counts.nlargest(HH_CAPACITY + 1).iloc[-1]
+                counts = counts[counts > t].sub(t)
+        if counts is None or counts.empty:
+            return
+        yield pd.DataFrame({"user_id": counts.index.to_numpy()})
+
+    cand = (
+        ev.select("user_id")
+        .mapInPandas(mg_candidates, "user_id long")
+        .distinct()
+    )
+    return (
+        ev.join(F.broadcast(cand), "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") * HH_K > total)
+        .select(
+            "user_id",
+            F.col("c").cast("bigint").alias("n_events"),
+            F.floor(1000000.0 * F.col("c") / F.lit(total) + F.lit(0.5))
+            .cast("bigint")
+            .alias("share_ppm"),
+        )
+    )

