@@ -33,6 +33,23 @@ def qdot_spark(a: str, b: str) -> str:
     )
 
 
+def qvec_spark(a: str) -> str:
+    """Spark SQL fragment: quantize a float array column to its int64
+    milli-unit image ONCE. Pair-scoring operators (batch kNN, hard-
+    negative mining) materialize this per side before the cross join,
+    so the per-pair expression is a plain integer zip-fold instead of
+    re-quantizing both vectors for every (row, query) combination —
+    same integers, ~3× less expression work in the |corpus|×|Q| stage."""
+    xq = Q_SPARK.format(x="x")
+    return f"transform({a}, x -> {xq})"
+
+
+def dot_spark(a: str, b: str) -> str:
+    """Spark SQL fragment: int64 dot product of two ALREADY-quantized
+    (bigint array) columns."""
+    return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+
+
 def qdot_duck(a: str, b: str) -> str:
     """DuckDB SQL fragment computing the identical int64 dot product."""
     ea = Q_DUCK.format(x=f"{a}[i]")

@@ -634,7 +634,11 @@ def _lsh_band_pairs(sig: DataFrame) -> DataFrame:
     Python packer). Persisting turns both sides into InMemoryTableScan
     — the signatures are computed exactly once. MEMORY_AND_DISK so an
     at-scale run spills instead of recomputing; the cached rows are
-    fixed-width (4 rows/doc), tiny relative to the corpus."""
+    fixed-width (4 rows/doc), tiny relative to the corpus. NOT
+    right-sized down (functions/partitioning.py): a band self-join's
+    output fans out well past its input, so collapsing the cached
+    partitions would serialize the join stage — measured 35% slower
+    at sf0.1 than keeping scan parallelism."""
     from pyspark import StorageLevel
 
     bands = band_signatures(sig).persist(StorageLevel.MEMORY_AND_DISK)
@@ -834,7 +838,10 @@ def doc_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     # persisted for the same reason as _lsh_band_pairs: the self-join
     # would otherwise run the whole tokenize→hash→majority-vote
-    # signature pipeline once per side
+    # signature pipeline once per side (and like there, NOT coalesced
+    # down — the chunk join's output fans out past its input, so the
+    # join stage needs the parallelism even when the signature table
+    # itself is small)
     from pyspark import StorageLevel
 
     banded = (

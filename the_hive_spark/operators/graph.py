@@ -329,34 +329,49 @@ def graph_pagerank3(spark: SparkSession, sf_dir: str) -> DataFrame:
     # set and the degree join from the raw scans (lineage recompute is
     # THE classic iterative-algorithm trap; on a cluster these would be
     # MEMORY_AND_DISK and checkpointed every few rounds).
+    #
+    # Build-phase economy: edges are cached pre-partitioned on the
+    # iteration join key (src), and BOTH out-degrees and the node set
+    # derive from that cache — deg's groupBy(src) is already
+    # co-partitioned (zero exchange, no second fact scan). The
+    # loop-invariant out-degree rides on the per-node rank state
+    # (nodes_deg) instead of being joined onto every edge: the edge
+    # cache stays 2 longs wide and the build drops a full edge-stream
+    # join+shuffle. nodes_deg is explicitly repartitioned on node_id —
+    # distinct() already hash-partitions, but AQE's size-based
+    # coalescing would freeze a partition count that no longer lines
+    # up with contrib's, forcing a re-shuffle every iteration.
+    edges = edges.repartition("src").persist()
+    edges.count()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outd"))
     nodes = (
         edges.select(F.col("src").alias("node_id"))
         .union(edges.select(F.col("dst").alias("node_id")))
         .distinct()
+    )
+    nodes_deg = (
+        nodes.repartition("node_id")
+        .join(deg.withColumnRenamed("src", "node_id"), "node_id", "left")
+        .select("node_id", F.coalesce("outd", F.lit(1)).alias("outd"))
         .cache()
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outd"))
-    # cached pre-partitioned on the iteration join key: the in-memory
-    # relation keeps hashpartitioning(src), so each iteration's
-    # edges⋈ranks join re-shuffles only the (much smaller) rank side
-    edges_deg = edges.join(deg, "src").repartition("src").cache()
-    nodes.count()
-    edges_deg.count()
+    nodes_deg.count()
 
-    ranks = nodes.withColumn("rank", F.lit(_PAGERANK_SCALE).cast("bigint"))
+    ranks = nodes_deg.withColumn("rank", F.lit(_PAGERANK_SCALE).cast("bigint"))
     for _ in range(3):
         contrib = (
-            edges_deg.join(
+            edges.join(
                 ranks.withColumnRenamed("node_id", "src"), "src"
             )
             .select("dst", F.expr("rank div outd").alias("contrib"))
             .groupBy("dst")
             .agg(F.sum("contrib").alias("in_mass"))
         )
-        ranks = nodes.join(
-            contrib, nodes["node_id"] == contrib["dst"], "left"
+        ranks = nodes_deg.join(
+            contrib, nodes_deg["node_id"] == contrib["dst"], "left"
         ).select(
             "node_id",
+            "outd",
             (
                 F.lit(150000)
                 + F.expr("85 * coalesce(in_mass, 0) div 100")

@@ -503,21 +503,35 @@ def emb_knn_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Parallelism is bounded by |Q| at this size; bulk serving at scale
     runs thousands of queries per batch, which spreads that same
     shuffle evenly (and hierarchical per-partition top-k before the
-    window would cut the shuffled rows to k·partitions·|Q|)."""
+    window would cut the shuffled rows to k·partitions·|Q|).
+
+    Both sides pre-quantize (qvec) and pre-compute self-norms before
+    the cross join, so the |corpus|×|Q| stage evaluates exactly one
+    integer zip-fold per pair — identical integers to quantizing
+    inline, a third of the expression evaluations."""
+    from the_hive_spark.functions.vectorops import dot_spark, qvec_spark
+
     emb = table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < BATCH_KNN_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    corpus = emb.select(
+        "vec_id", F.expr(qvec_spark("embedding")).alias("qe")
+    ).withColumn("nrm", F.expr(dot_spark("qe", "qe")))
+    q = (
+        emb.filter(F.col("vec_id") < BATCH_KNN_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.expr(qvec_spark("embedding")).alias("qa"),
+        )
+        .withColumn("qnrm", F.expr(dot_spark("qa", "qa")))
     )
     scored = (
-        emb.crossJoin(F.broadcast(q))
+        corpus.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",
             "vec_id",
             F.expr(
-                f"CAST(FLOOR(1000000.0 * {_qdot_spark('embedding', 'qv')}"
-                f" / sqrt(CAST({_qdot_spark('embedding', 'embedding')} AS DOUBLE)"
-                f" * {_qdot_spark('qv', 'qv')}) + 0.5) AS BIGINT)"
+                f"CAST(FLOOR(1000000.0 * {dot_spark('qe', 'qa')}"
+                " / sqrt(CAST(nrm AS DOUBLE) * qnrm) + 0.5) AS BIGINT)"
             ).alias("cos_ppm"),
         )
     )
@@ -771,17 +785,31 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     never shuffle. Mining against the full 100 TB corpus per batch is
     the production pattern (the harder the negative pool, the better),
     so the one-pass property is the whole game.
+
+    Like emb_knn_batch_topk, both sides pre-quantize and pre-compute
+    self-norms, so the |corpus|×|A| stage is one integer zip-fold per
+    pair — the same integers as inline quantization at a third of the
+    expression evaluations.
     """
     from pyspark.sql import Window
 
+    from the_hive_spark.functions.vectorops import dot_spark, qvec_spark
+
     emb = table(spark, sf_dir, "embeddings")
-    anchors = emb.filter(F.col("vec_id") % HARD_NEG_ANCHOR_MOD == 0).select(
-        F.col("vec_id").alias("anchor_id"),
-        F.col("label").alias("anchor_label"),
-        F.col("embedding").alias("qv"),
+    corpus = emb.select(
+        "vec_id", "label", F.expr(qvec_spark("embedding")).alias("qe")
+    ).withColumn("nrm", F.expr(dot_spark("qe", "qe")))
+    anchors = (
+        emb.filter(F.col("vec_id") % HARD_NEG_ANCHOR_MOD == 0)
+        .select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("label").alias("anchor_label"),
+            F.expr(qvec_spark("embedding")).alias("qa"),
+        )
+        .withColumn("qnrm", F.expr(dot_spark("qa", "qa")))
     )
     scored = (
-        emb.crossJoin(F.broadcast(anchors))
+        corpus.crossJoin(F.broadcast(anchors))
         .filter(F.col("label") != F.col("anchor_label"))
         .select(
             "anchor_id",
@@ -789,9 +817,8 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("neg_id"),
             F.col("label").alias("neg_label"),
             F.expr(
-                f"CAST(FLOOR(1000000.0 * {_qdot_spark('embedding', 'qv')}"
-                f" / sqrt(CAST({_qdot_spark('embedding', 'embedding')} AS DOUBLE)"
-                f" * {_qdot_spark('qv', 'qv')}) + 0.5) AS BIGINT)"
+                f"CAST(FLOOR(1000000.0 * {dot_spark('qe', 'qa')}"
+                " / sqrt(CAST(nrm AS DOUBLE) * qnrm) + 0.5) AS BIGINT)"
             ).alias("cos_ppm"),
         )
     )
