@@ -87,6 +87,7 @@ EXTENDED = [
     "doc_dup_gram_coverage",
     "events_heavy_hitters",
     "cust_fuzzy_match_pairs",
+    "emb_pq_eval",
 ]
 
 

@@ -1362,6 +1362,20 @@ def copurchase_pairs(li: DataFrame) -> DataFrame:
     )
 
 
+def copurchase_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-purchase pair counts through the materialization store: the
+    pair table is the shared base of the whole co-purchase graph
+    family (top-k pairs, triangle count, k-core) — one persisted build
+    per corpus snapshot, every consumer reads the cache."""
+    from the_hive_spark.functions.matstore import materialized
+
+    return materialized(
+        spark,
+        ("copurchase_pairs", sf_dir),
+        lambda: copurchase_pairs(table(spark, sf_dir, "lineitem")),
+    )
+
+
 @query(
     "q_copurchase_pairs",
     oracle=_COPURCHASE_PAIRS_SQL
@@ -1374,8 +1388,7 @@ def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`copurchase_pairs` — same result set, half the fact-table
     shuffles. TakeOrdered with a (count, part_a, part_b) total order
     keeps the LIMIT deterministic."""
-    li = table(spark, sf_dir, "lineitem")
-    return copurchase_pairs(li).orderBy(
+    return copurchase_pairs_cached(spark, sf_dir).orderBy(
         F.desc("n_orders"), F.asc("part_a"), F.asc("part_b")
     ).limit(25)
 

@@ -429,11 +429,10 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     three-way join runs at a task count matched to the measured edge
     count, not the fact scan's partitioning."""
     from the_hive_spark.functions.partitioning import persist_right_sized
-    from the_hive_spark.operators.analytics import copurchase_pairs
+    from the_hive_spark.operators.analytics import copurchase_pairs_cached
 
-    li = table(spark, sf_dir, "lineitem")
     e, _ = persist_right_sized(
-        copurchase_pairs(li)
+        copurchase_pairs_cached(spark, sf_dir)
         .filter(F.col("n_orders") >= 2)
         .select(F.col("part_a").alias("u"), F.col("part_b").alias("v"))
     )
@@ -510,11 +509,10 @@ def graph_kcore3(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster width from the same call).
     """
     from the_hive_spark.functions.partitioning import persist_right_sized
-    from the_hive_spark.operators.analytics import copurchase_pairs
+    from the_hive_spark.operators.analytics import copurchase_pairs_cached
 
-    li = table(spark, sf_dir, "lineitem")
     e = (
-        copurchase_pairs(li)
+        copurchase_pairs_cached(spark, sf_dir)
         .filter(F.col("n_orders") >= 2)
         .select("part_a", "part_b")
     )

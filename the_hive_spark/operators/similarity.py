@@ -890,3 +890,84 @@ def emb_semantic_dup_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cos_ppm").cast("bigint").alias("max_cos_ppm"),
         )
     )
+
+
+@query("emb_pq_eval")  # self-evaluation ⇒ no SQL oracle (rows-only
+# check): PQ codebooks are KMeans artifacts — engine-specific like the
+# IVF/LSH index structures, verified by recall + reconstruction floors
+# (tests/test_pq.py) instead of cross-engine value hashes.
+def emb_pq_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization index self-evaluation: recall@10 of
+    asymmetric-distance search over 8×4-bit PQ codes against the exact
+    scan (query vec 0), plus the mean reconstruction error of the codes
+    (ppm of mean vector norm) — the two gauges a pipeline watches when
+    it compresses a vector store 32× (functions/pq.py; IVF-PQ at scale:
+    coarse IVF partition pruning, then this ADC pass per probed list).
+
+    One row per gauge: (metric, k, n_hits, value_ppm) — seed-pinned
+    KMeans + first-index argmin ties make both rows run-stable.
+    """
+    import numpy as np
+
+    from the_hive_spark.functions.pq import (
+        PQ_K,
+        PQ_M,
+        pq_adc_rerank_topk,
+        pq_adc_topk,
+        pq_decode_matrix,
+        pq_encode,
+        pq_train,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    row = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0]
+    qv = [float(x) for x in row["embedding"]]
+    corpus = emb.filter(F.col("vec_id") != 0)
+
+    books = pq_train(corpus)
+    codes_df = pq_encode(corpus, books).persist()
+    exact = set(
+        r["vec_id"]
+        for r in cosine_topk(corpus, qv, k=KNN_K).select("vec_id").collect()
+    )
+    pq_ids = set(
+        r["vec_id"]
+        for r in pq_adc_topk(codes_df, books, qv, k=KNN_K)
+        .select("vec_id")
+        .collect()
+    )
+    rerank_ids = set(
+        r["vec_id"]
+        for r in pq_adc_rerank_topk(
+            codes_df, corpus, books, qv, k=KNN_K, shortlist=50
+        )
+        .select("vec_id")
+        .collect()
+    )
+
+    # reconstruction error, bounded sample: enough to gauge codebook
+    # quality, independent of corpus size (the full-corpus figure is a
+    # one-line mapInPandas aggregation at scale)
+    sample = codes_df.join(
+        corpus.select("vec_id", "embedding"), "vec_id"
+    ).limit(1000).collect()
+    codes = np.array([r["codes"] for r in sample], dtype=np.int64)
+    vecs = np.array([r["embedding"] for r in sample], dtype=np.float64)
+    recon = pq_decode_matrix(codes, books)
+    err_ppm = int(
+        1_000_000
+        * np.linalg.norm(recon - vecs, axis=1).mean()
+        / max(np.linalg.norm(vecs, axis=1).mean(), 1e-12)
+    )
+    codes_df.unpersist()
+
+    rows = [
+        ("pq_adc_recall", KNN_K, len(exact & pq_ids),
+         int(1_000_000 * len(exact & pq_ids) / KNN_K)),
+        ("pq_adc_rerank_recall", KNN_K, len(exact & rerank_ids),
+         int(1_000_000 * len(exact & rerank_ids) / KNN_K)),
+        (f"pq_recon_err_m{PQ_M}_k{PQ_K}", KNN_K, 0, err_ppm),
+    ]
+    return spark.createDataFrame(
+        rows, "metric string, k int, n_hits int, value_ppm int"
+    )
