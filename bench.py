@@ -88,6 +88,7 @@ EXTENDED = [
     "events_heavy_hitters",
     "cust_fuzzy_match_pairs",
     "emb_pq_eval",
+    "doc_curation_funnel",
 ]
 
 

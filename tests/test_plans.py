@@ -146,3 +146,28 @@ def test_lapsed_customers_anti_join_plan(spark):
     assert "LeftAnti" in plan
     assert "GreaterThanOrEqual(o_orderdate,1994-01-01" in plan
     assert "GreaterThanOrEqual(o_orderdate,1995-01-01" in plan
+
+
+def test_round2_ops_plan_health(spark):
+    """Machine-checked scale claims for the round-2 additions:
+    - dup-gram coverage: gram df agg and join-back share the gram
+      partitioning (≤2 corpus scans, no cartesian);
+    - heavy hitters: candidate set must BROADCAST into the recount
+      semi-join (the whole point is never shuffling the full key set);
+    - fuzzy match: block-key equi-join — no cartesian, no full-name
+      cross comparison;
+    - curation funnel: composes five gate operators without ever
+      cross-joining the corpus."""
+    s = plan_summary(QUERIES["doc_dup_gram_coverage"](spark, SF_DIR))
+    assert s["cartesian_products"] == 0
+    assert s["scans"] <= 2
+
+    plan = executed_plan(QUERIES["events_heavy_hitters"](spark, SF_DIR))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+    s = plan_summary(QUERIES["cust_fuzzy_match_pairs"](spark, SF_DIR))
+    assert s["cartesian_products"] == 0
+
+    s = plan_summary(QUERIES["doc_curation_funnel"](spark, SF_DIR))
+    assert s["cartesian_products"] == 0

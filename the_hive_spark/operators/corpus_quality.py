@@ -18,7 +18,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from the_hive_spark.registry import query
+from the_hive_spark.registry import ORACLES, query
 from the_hive_spark.tables import table
 
 # Whitespace word array, empties dropped (same tokenization as
@@ -599,4 +599,194 @@ def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("share_ppm"),
         )
+    )
+
+
+def _curation_funnel_oracle() -> str:
+    from the_hive_spark.operators.dedup import _DUP_CLUSTERS_CTE
+    from the_hive_spark.operators.text_analysis import _langid_oracle
+
+    rep_oracle = ORACLES["doc_repetition_ratio"]
+    return (
+        _DUP_CLUSTERS_CTE
+        + f"""
+, det AS (SELECT doc_id, detected_lang FROM ({_langid_oracle()}))
+, qm AS (
+  SELECT doc_id, length(text) AS n_chars,
+         len(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS n_tokens
+  FROM documents
+), q AS (
+  SELECT doc_id,
+         (n_chars >= 50 AND n_tokens >= 10
+          AND (n_chars - n_tokens + 1.0) / greatest(n_tokens, 1) BETWEEN 2 AND 12)
+           AS pq
+  FROM qm
+), rep AS (SELECT doc_id, passes_repetition FROM ({rep_oracle}))
+, f AS (
+  SELECT d.doc_id, md5(d.text) AS h, cl.cluster_id,
+         (length(d.text) > 0) AS s2,
+         (length(d.text) > 0 AND COALESCE(q.pq, FALSE)) AS s3,
+         (length(d.text) > 0 AND COALESCE(q.pq, FALSE)
+          AND COALESCE(rep.passes_repetition, FALSE)) AS s4,
+         (length(d.text) > 0 AND COALESCE(q.pq, FALSE)
+          AND COALESCE(rep.passes_repetition, FALSE)
+          AND COALESCE(det.detected_lang, 'und') != 'und'
+          AND det.detected_lang = d.lang) AS s5
+  FROM documents d
+  LEFT JOIN q ON q.doc_id = d.doc_id
+  LEFT JOIN rep ON rep.doc_id = d.doc_id
+  LEFT JOIN det ON det.doc_id = d.doc_id
+  JOIN clusters cl ON cl.doc_id = d.doc_id
+), e6 AS (
+  SELECT *, s5 AND doc_id = MIN(CASE WHEN s5 THEN doc_id END)
+                               OVER (PARTITION BY h) AS s6
+  FROM f
+), e7 AS (
+  SELECT *, s6 AND doc_id = MIN(CASE WHEN s6 THEN doc_id END)
+                               OVER (PARTITION BY cluster_id) AS s7
+  FROM e6
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+         CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+         CAST(SUM(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+         CAST(SUM(CASE WHEN s5 THEN 1 ELSE 0 END) AS BIGINT) AS c5,
+         CAST(SUM(CASE WHEN s6 THEN 1 ELSE 0 END) AS BIGINT) AS c6,
+         CAST(SUM(CASE WHEN s7 THEN 1 ELSE 0 END) AS BIGINT) AS c7
+  FROM e7
+)
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS stage_idx, 'all' AS stage, c1 AS n_docs, CAST(0 AS BIGINT) AS n_dropped FROM agg
+  UNION ALL SELECT 2, 'nonempty', c2, c1 - c2 FROM agg
+  UNION ALL SELECT 3, 'quality', c3, c2 - c3 FROM agg
+  UNION ALL SELECT 4, 'repetition', c4, c3 - c4 FROM agg
+  UNION ALL SELECT 5, 'lang_confident', c5, c4 - c5 FROM agg
+  UNION ALL SELECT 6, 'exact_canonical', c6, c5 - c6 FROM agg
+  UNION ALL SELECT 7, 'near_dup_canonical', c7, c6 - c7 FROM agg
+)
+"""
+    )
+
+
+@query("doc_curation_funnel", oracle=_curation_funnel_oracle())
+def doc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel: how many documents survive each
+    gate of the shipping pipeline — nonempty → quality (length/token
+    heuristics) → Gopher repetition → confident-language match →
+    exact-dedup canonical → near-dup canonical — with per-stage drop
+    counts. THE dashboard number for a corpus release: every curation
+    paper reports exactly this attrition table, and a stage suddenly
+    eating 40% of a feed is how pipeline regressions get caught.
+
+    Canonicalization is re-derived among survivors (a canonical doc
+    dropped by an earlier gate passes its crown to the lowest-id
+    surviving duplicate) — window MIN over the digest / cluster
+    partitions, both bounded by real duplicate multiplicity. Composes
+    the registered gate operators (quality, repetition, langid,
+    cluster labels via the materialization store) so every threshold
+    stays single-source-of-truth; the funnel itself adds two bounded
+    windows and one 7-row aggregate on top.
+    """
+    from pyspark.sql import Window
+
+    from the_hive_spark.functions.langid import (
+        detect_language_from_tokens,
+        tokens_expr,
+    )
+    from the_hive_spark.operators.dedup import doc_dup_clusters
+    from the_hive_spark.operators.text_analysis import doc_quality_score
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .withColumn("__toks", tokens_expr("text"))
+        .select(
+            "doc_id",
+            "lang",
+            F.md5("text").alias("h"),
+            (F.length("text") > 0).alias("s2"),
+            detect_language_from_tokens("__toks").alias("det"),
+        )
+    )
+    q = doc_quality_score(spark, sf_dir).select("doc_id", "passes_quality")
+    rep = doc_repetition_ratio(spark, sf_dir).select(
+        "doc_id", "passes_repetition"
+    )
+    clusters = doc_dup_clusters(spark, sf_dir)
+    f = (
+        docs.join(q, "doc_id", "left")
+        .join(rep, "doc_id", "left")
+        .join(clusters, "doc_id")
+        .select(
+            "doc_id",
+            "h",
+            "cluster_id",
+            "s2",
+            (F.col("s2") & F.coalesce("passes_quality", F.lit(False))).alias(
+                "s3"
+            ),
+            (
+                F.col("s2")
+                & F.coalesce("passes_quality", F.lit(False))
+                & F.coalesce("passes_repetition", F.lit(False))
+            ).alias("s4"),
+            (
+                F.col("s2")
+                & F.coalesce("passes_quality", F.lit(False))
+                & F.coalesce("passes_repetition", F.lit(False))
+                & (F.col("det") != "und")
+                & (F.col("det") == F.col("lang"))
+            ).alias("s5"),
+        )
+    )
+    wh = Window.partitionBy("h")
+    f = f.withColumn(
+        "s6",
+        F.col("s5")
+        & (
+            F.col("doc_id")
+            == F.min(F.when(F.col("s5"), F.col("doc_id"))).over(wh)
+        ),
+    )
+    wc = Window.partitionBy("cluster_id")
+    f = f.withColumn(
+        "s7",
+        F.col("s6")
+        & (
+            F.col("doc_id")
+            == F.min(F.when(F.col("s6"), F.col("doc_id"))).over(wc)
+        ),
+    )
+    b = lambda c: F.sum(F.col(c).cast("long"))  # noqa: E731
+    agg = f.agg(
+        F.count(F.lit(1)).alias("c1"),
+        b("s2").alias("c2"),
+        b("s3").alias("c3"),
+        b("s4").alias("c4"),
+        b("s5").alias("c5"),
+        b("s6").alias("c6"),
+        b("s7").alias("c7"),
+    )
+    stages = [
+        ("all", "c1", None),
+        ("nonempty", "c2", "c1"),
+        ("quality", "c3", "c2"),
+        ("repetition", "c4", "c3"),
+        ("lang_confident", "c5", "c4"),
+        ("exact_canonical", "c6", "c5"),
+        ("near_dup_canonical", "c7", "c6"),
+    ]
+    stack_args = []
+    for i, (name, cur, prev) in enumerate(stages, start=1):
+        dropped = "0L" if prev is None else f"{prev} - {cur}"
+        stack_args.append(f"{i}L, '{name}', {cur}, {dropped}")
+    return agg.select(
+        F.expr(
+            f"stack({len(stages)}, {', '.join(stack_args)})"
+            " AS (stage_idx, stage, n_docs, n_dropped)"
+        )
+    ).select(
+        F.col("stage_idx").cast("bigint"),
+        "stage",
+        F.col("n_docs").cast("bigint"),
+        F.col("n_dropped").cast("bigint"),
     )

@@ -791,6 +791,12 @@ def doc_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         % 100
     )
+    # persisted: each split's prefix sum filters this once — without
+    # the cache the THREE filters each re-run the dedup∩quality corpus
+    # derivation from the raw scans (one fixed-width row per shipped
+    # doc, MEMORY_AND_DISK at scale)
+    from pyspark import StorageLevel
+
     assigned = (
         corpus.join(docs, "doc_id")
         .withColumn(
@@ -799,6 +805,7 @@ def doc_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .when(bucket < 90, "val")
             .otherwise("test"),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     parts = [
         distributed_prefix_sum(
