@@ -89,6 +89,8 @@ EXTENDED = [
     "cust_fuzzy_match_pairs",
     "emb_pq_eval",
     "doc_curation_funnel",
+    "events_scd2_history",
+    "events_snapshot_diff",
 ]
 
 

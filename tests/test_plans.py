@@ -171,3 +171,16 @@ def test_round2_ops_plan_health(spark):
 
     s = plan_summary(QUERIES["doc_curation_funnel"](spark, SF_DIR))
     assert s["cartesian_products"] == 0
+
+    # SCD2: both windows share one user_id shuffle — never a self-join
+    s = plan_summary(QUERIES["events_scd2_history"](spark, SF_DIR))
+    assert s["exchanges"] == 1
+    assert s["scans"] == 1
+    assert s["cartesian_products"] == 0
+
+    # snapshot diff: cutoff predicates must reach both scans
+    plan = executed_plan(QUERIES["events_snapshot_diff"](spark, SF_DIR))
+    assert plan.count("PushedFilters: [IsNotNull(ts), LessThan(ts") == 2 or (
+        "LessThan(ts" in plan
+    )
+    assert "CartesianProduct" not in plan

@@ -1,0 +1,159 @@
+"""Warehouse temporal operators: SCD Type-2 history and snapshot diff.
+
+The reference keeps only current state (documents, api_keys rows are
+SCD Type-1: update-in-place — internal/database/documents.go upserts);
+a warehouse built on an append-only event stream needs the temporal
+complements every dimensional pipeline ships:
+
+- *SCD Type-2 history build*: turn the change stream into validity
+  intervals (state, valid_from, valid_to, is_current) — the Kimball
+  type-2 dimension derived with two windows, no self-join.
+- *Snapshot diff (CDC reconciliation)*: the state table as of T1 vs
+  as of T2, keyed diff — what an incremental pipeline replays/audits
+  when two loads disagree.
+
+Both are pure window/join compositions over the events table — one
+user_id shuffle each, integer-µs arithmetic so the DuckDB oracles
+hash-match exactly. At 100 TB both partition by the entity key, and
+the SCD2 output is exactly the layout you'd range-partition by
+(entity, valid_from) for time-travel lookups.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from the_hive_spark.registry import query
+from the_hive_spark.tables import table
+
+SCD2_OPEN_END_US = 9_223_372_036_854_775_807  # int64 max = still current
+
+SNAP_T1 = "2024-01-15"
+SNAP_T2 = "2024-01-25"
+
+
+@query(
+    "events_scd2_history",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, event_id, event_type AS state, ts,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_state
+  FROM events
+), changes AS (
+  SELECT user_id, event_id, state, epoch_us(CAST(ts AS TIMESTAMP)) AS vf
+  FROM seq WHERE prev_state IS NULL OR prev_state != state
+)
+SELECT user_id, state,
+       CAST(vf AS BIGINT) AS valid_from_us,
+       CAST(COALESCE(
+         LEAD(vf) OVER (PARTITION BY user_id ORDER BY vf, event_id),
+         {SCD2_OPEN_END_US}) AS BIGINT) AS valid_to_us,
+       (LEAD(vf) OVER (PARTITION BY user_id ORDER BY vf, event_id) IS NULL)
+         AS is_current
+FROM changes
+""",
+)
+def events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build from the event stream: collapse each
+    user's consecutive same-type events into validity intervals —
+    (state, valid_from, valid_to, is_current), open intervals carrying
+    the int64-max sentinel so BETWEEN lookups need no NULL handling.
+
+    Two windows on the same (user_id) partitioning — change-point
+    detection via LAG, interval close via LEAD — so the whole history
+    build is ONE shuffle of the stream and never a self-join. ties on
+    ts break by event_id on both engines, keeping zero-length
+    intervals (same-µs flips) deterministic.
+    """
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    seq = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.col("event_type").alias("state"),
+        F.unix_micros("ts").alias("vf"),
+        F.lag("event_type").over(w).alias("prev_state"),
+    )
+    changes = seq.filter(
+        F.col("prev_state").isNull() | (F.col("prev_state") != F.col("state"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy(F.asc("vf"), F.asc("event_id"))
+    nxt = F.lead("vf").over(w2)
+    return changes.select(
+        "user_id",
+        "state",
+        F.col("vf").cast("bigint").alias("valid_from_us"),
+        F.coalesce(nxt, F.lit(SCD2_OPEN_END_US)).cast("bigint").alias(
+            "valid_to_us"
+        ),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+def _snapshot_sql(cutoff: str) -> str:
+    return f"""
+  SELECT user_id, state FROM (
+    SELECT user_id, event_type AS state,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+             AS rn
+    FROM events WHERE ts < TIMESTAMP '{cutoff}'
+  ) WHERE rn = 1
+"""
+
+
+@query(
+    "events_snapshot_diff",
+    oracle=f"""
+WITH s1 AS ({_snapshot_sql(SNAP_T1)}), s2 AS ({_snapshot_sql(SNAP_T2)})
+SELECT s2.user_id,
+       s1.state AS old_state,
+       s2.state AS new_state,
+       CASE WHEN s1.user_id IS NULL THEN 'added' ELSE 'changed' END
+         AS change_type
+FROM s2 LEFT JOIN s1 ON s1.user_id = s2.user_id
+WHERE s1.user_id IS NULL OR s1.state != s2.state
+""",
+)
+def events_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC reconciliation: the per-user state table as of {SNAP_T1}
+    vs as of {SNAP_T2}, emitting the keyed diff (added / changed) an
+    incremental load would have to apply — the audit every CDC
+    pipeline runs when a snapshot and its incrementals disagree.
+
+    Both snapshots are newest-per-key windows (the last-touch
+    compaction shape) over cutoff-filtered scans — the cutoff
+    predicate pushes to the parquet scan — followed by ONE user_id
+    equi-join; append-only streams can't produce 'removed', so the
+    diff is a left join, not full outer.
+    """
+    def snapshot(cutoff: str) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        return (
+            table(spark, sf_dir, "events")
+            .filter(F.col("ts") < F.lit(cutoff).cast("timestamp"))
+            .select(
+                "user_id",
+                F.col("event_type").alias("state"),
+                F.row_number().over(w).alias("rn"),
+            )
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    s1 = snapshot(SNAP_T1).withColumnRenamed("state", "old_state")
+    s2 = snapshot(SNAP_T2).withColumnRenamed("state", "new_state")
+    j = s2.join(s1, "user_id", "left")
+    return j.filter(
+        F.col("old_state").isNull()
+        | (F.col("old_state") != F.col("new_state"))
+    ).select(
+        "user_id",
+        "old_state",
+        "new_state",
+        F.when(F.col("old_state").isNull(), "added")
+        .otherwise("changed")
+        .alias("change_type"),
+    )

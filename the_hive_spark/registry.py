@@ -70,4 +70,5 @@ def load_all() -> None:
         rules,
         corpus_quality,
         entity_resolution,
+        warehouse,
     )
