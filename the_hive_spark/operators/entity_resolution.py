@@ -9,19 +9,31 @@ them cannot be an all-pairs edit-distance scan. The standard shape
 followed by exact verification inside each block.
 
 Here the matcher finds equal-length name pairs at Hamming distance ≤ 1
-(single-character typos / OCR substitutions) with the pigeonhole
-blocking scheme: split each name into two halves — a pair differing in
-at most one position must agree EXACTLY on at least one half, so two
-equi-joins on (length, side, half) produce a candidate superset with
-zero false negatives, and `levenshtein` verifies. This is the same
-pigeonhole-banding family as the SimHash hamming pairs in
-operators/dedup.py, applied to dimension-table strings.
+(single-character typos / OCR substitutions) with masked-position
+blocking, the Hamming image of FastSS's deletion neighborhoods
+(Bocek et al., "Fast Similarity Search in Large Dictionaries", 2007):
+for every position i, emit the name with character i replaced by a
+sentinel — two equal-length names at distance ≤ 1 share the masked
+form at the differing position (identical names share all of them).
 
-Scale: the block join is a plain equi-join on bounded keys (half-name
-strings), never all-pairs; block sizes bound the candidate fan-out the
-way LSH band buckets do. The DuckDB oracle uses a *different* exact
-algorithm (per-position masked keys) so parity is evidence the
-blocking loses nothing, not a replay of the same plan.
+Why masking and not the half-split pigeonhole used for SimHash chunks
+(operators/dedup.py): pigeonhole block keys carry only HALF the
+string's entropy, so low-entropy regions (a shared "Customer#000…"
+prefix — or any fixed schema prefix in real feeds) collapse into one
+giant block and the candidate join goes quadratic — measured 689 s at
+sf0.1. A masked key carries ALL of the string except one character,
+which makes the scheme *output-optimal*: two rows share a block key
+only if they are already a genuine distance-≤1 match, so the join
+emits true pairs (×len duplicates for identical names, deduped) and
+nothing else. The key stream is len(name) rows per name — the same
+fan-out class as shingling, repartitioned before the explode.
+
+Scale: the block join is a plain equi-join on (len, position, masked
+string); block size equals true-match multiplicity, so there is no
+hot-key pathology to salt — skew in this join IS the answer set.
+The DuckDB oracle runs the same masked-key generation (it is the
+standard algorithm) and the `levenshtein` verification makes any
+blocking bug a visible hash mismatch rather than a silent recall loss.
 """
 
 from __future__ import annotations
@@ -32,10 +44,8 @@ from pyspark.sql import DataFrame, SparkSession
 from the_hive_spark.registry import query
 from the_hive_spark.tables import table
 
-# Oracle-side candidate generation: replace each character position
-# with a sentinel (\x01 never occurs in the data); two equal-length
-# strings at Hamming distance ≤1 share a masked form at the differing
-# position (or at every position when identical).
+# \x01 never occurs in the data; masking with it can't create
+# accidental equalities with unmasked characters.
 _MASKED_ORACLE = """
 WITH m AS (
   SELECT c_custkey, c_name, i,
@@ -61,48 +71,42 @@ WHERE levenshtein(ca.c_name, cb.c_name) <= 1
 @query("cust_fuzzy_match_pairs", oracle=_MASKED_ORACLE)
 def cust_fuzzy_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer-name fuzzy self-match: equal-length pairs at edit
-    distance ≤ 1, found by half-name pigeonhole blocking + levenshtein
-    verification — the record-linkage candidate join.
+    distance ≤ 1, via masked-position blocking + levenshtein
+    verification — the record-linkage candidate join (see module
+    docstring for why masking beats half-split pigeonhole blocking).
 
-    Physical plan: one scan emits two (length, side, half-string)
-    block keys per row (in-row explode); the self-join on the block
-    key is a plain equi-join whose buckets are real name collisions,
-    verified by a JVM-side `levenshtein` before emitting. No
-    cartesian, no full-name cross comparison; at 100 TB block-key
-    skew (a half shared by millions of names) is handled the same way
-    as any hot join key — salting or AQE skew-join — without changing
-    the algorithm.
+    Physical plan: one scan fans out to len(name) masked block keys
+    per row (in-row transform + posexplode, repartitioned first); the
+    self-join on (len, i, masked) only ever pairs rows that already
+    match at distance ≤ 1; pair-level dedup + a JVM-side
+    `levenshtein` check produce the verified result. No cartesian, no
+    full-name cross comparison, no hot-key salting needed — block
+    cardinality equals answer multiplicity by construction.
     """
+    n = spark.sparkContext.defaultParallelism
     cust = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    # two halves per name: side 0 = first ⌈len/2⌉ chars, side 1 = rest
-    blocks = cust.select(
-        "c_custkey",
-        "c_name",
-        F.length("c_name").alias("len"),
-        F.explode(
-            F.array(
-                F.struct(
-                    F.lit(0).alias("side"),
-                    F.expr(
-                        "substring(c_name, 1, (length(c_name) + 1) div 2)"
-                    ).alias("half"),
-                ),
-                F.struct(
-                    F.lit(1).alias("side"),
-                    F.expr(
-                        "substring(c_name, (length(c_name) + 1) div 2 + 1)"
-                    ).alias("half"),
-                ),
-            )
-        ).alias("b"),
-    ).select("c_custkey", "c_name", "len", "b.side", "b.half")
-    a, b = blocks.alias("a"), blocks.alias("b")
+    masked = (
+        cust.repartition(n)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.length("c_name").alias("len"),
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(1, length(c_name)),"
+                    " i -> concat(substring(c_name, 1, i - 1), chr(1),"
+                    " substring(c_name, i + 1)))"
+                )
+            ).alias("i", "masked"),
+        )
+    )
+    a, b = masked.alias("a"), masked.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.len") == F.col("b.len"))
-            & (F.col("a.side") == F.col("b.side"))
-            & (F.col("a.half") == F.col("b.half"))
+            & (F.col("a.i") == F.col("b.i"))
+            & (F.col("a.masked") == F.col("b.masked"))
             & (F.col("a.c_custkey") < F.col("b.c_custkey")),
         )
         .select(
