@@ -91,6 +91,7 @@ EXTENDED = [
     "doc_curation_funnel",
     "events_scd2_history",
     "events_snapshot_diff",
+    "doc_winnow_fingerprints",
 ]
 
 

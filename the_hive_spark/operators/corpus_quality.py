@@ -790,3 +790,88 @@ def doc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_docs").cast("bigint"),
         F.col("n_dropped").cast("bigint"),
     )
+
+
+WINNOW_K = 8  # character k-gram width
+WINNOW_W = 4  # winnowing window (hashes per window)
+
+# Portable 31-polynomial rolling-hash image shared with doc_simhash:
+# fold acc -> (acc*31 + ascii) mod 1e9+7 over each k-gram.
+_WINNOW_HASHES_SPARK = (
+    f"transform(sequence(1, length(text) - {WINNOW_K - 1}),"
+    f" i -> aggregate(sequence(i, i + {WINNOW_K - 1}), 0L,"
+    " (acc, j) -> pmod(acc * 31 + ascii(substring(text, j, 1)), 1000000007)))"
+)
+_WINNOW_HASHES_DUCK = (
+    f"list_transform(range(1, length(text) - {WINNOW_K - 2}),"
+    " i -> list_reduce(list_prepend(CAST(0 AS BIGINT),"
+    f" list_transform(range(i, i + {WINNOW_K}),"
+    " j -> CAST(ascii(substring(text, j, 1)) AS BIGINT))),"
+    " (acc, c) -> (acc * 31 + c) % 1000000007))"
+)
+
+
+@query(
+    "doc_winnow_fingerprints",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, {_WINNOW_HASHES_DUCK} AS hs
+  FROM documents WHERE length(text) >= {WINNOW_K + WINNOW_W - 1}
+), sel AS (
+  SELECT doc_id, len(hs) AS n_grams,
+         list_sort(list_distinct(list_transform(
+           range(1, len(hs) - {WINNOW_W - 2}),
+           i -> list_min(list_slice(hs, i, i + {WINNOW_W - 1}))))) AS fp
+  FROM h
+)
+SELECT doc_id,
+       CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(len(fp) AS BIGINT) AS n_selected,
+       md5(array_to_string(list_transform(fp, x -> CAST(x AS VARCHAR)), ','))
+         AS fingerprint_md5
+FROM sel
+""",
+)
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD'03 — the MOSS algorithm): hash every {WINNOW_K}-char gram
+    with the portable rolling hash, then keep the minimum hash of each
+    {WINNOW_W}-hash window. The selected set is ~2/(w+1) of all grams
+    yet GUARANTEES any shared substring of length ≥ k + w − 1 shares a
+    selected fingerprint — the bounded-size signature that replaces
+    full n-gram sets for plagiarism / near-dup detection when storing
+    every shingle of 100 TB is off the table.
+
+    Entirely in-row expression work (hash array → window minima →
+    distinct → digest): a linear scan with ZERO shuffles, emitting one
+    fixed-size row per doc. Downstream, the fingerprint stream plugs
+    into the same df≥2 / band-join machinery as full shingles
+    (doc_dup_gram_coverage, doc_ngram_jaccard_pairs) at a (w+1)/2
+    storage reduction. The digest column asserts the exact selected
+    set cross-engine, not just its size.
+    """
+    docs = table(spark, sf_dir, "documents").filter(
+        F.length("text") >= WINNOW_K + WINNOW_W - 1
+    )
+    h = docs.select("doc_id", F.expr(_WINNOW_HASHES_SPARK).alias("hs"))
+    sel = h.select(
+        "doc_id",
+        F.size("hs").alias("n_grams"),
+        F.sort_array(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, size(hs) - {WINNOW_W - 1}),"
+                    f" i -> array_min(slice(hs, i, {WINNOW_W})))"
+                )
+            )
+        ).alias("fp"),
+    )
+    return sel.select(
+        "doc_id",
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.size("fp").cast("bigint").alias("n_selected"),
+        F.md5(
+            F.expr("array_join(transform(fp, x -> cast(x AS string)), ',')")
+        ).alias("fingerprint_md5"),
+    )
