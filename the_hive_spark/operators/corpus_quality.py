@@ -80,7 +80,20 @@ def doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-partitioned on doc_id — no broadcast of anything corpus-sized.
     Thresholds are the Gopher §A1.1 bands adapted to whitespace words
     (<0.70 dup-word, <0.20 top-word, <0.80 dup-bigram).
+
+    Materialized once per corpus snapshot (matstore): the repetition
+    gate is read by this report and the curation funnel.
     """
+    from the_hive_spark.functions.matstore import materialized
+
+    return materialized(
+        spark,
+        ("doc_repetition_ratio", sf_dir),
+        lambda: _repetition_ratio_build(spark, sf_dir),
+    )
+
+
+def _repetition_ratio_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One explicit doc_id repartition feeds the whole DAG: the word
     # explode runs at cluster parallelism (fan-out stage convention),
     # and hash-on-doc_id satisfies ClusteredDistribution for the
@@ -301,23 +314,20 @@ def doc_lang_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     (plus the undetermined count) — the mislabeled-language report a
     curation pipeline runs before per-language filtering, since a feed
     with a high mismatch rate poisons every lang-conditional stage
-    downstream. Detection is the same zero-shuffle JVM expression as
-    doc_langid; the only shuffle is the tiny per-source aggregation.
+    downstream. Reads the materialized doc_langid table (one doc_id
+    join against the source/lang projection) instead of re-running the
+    detector expression; the only corpus shuffle is that join, then a
+    tiny per-source aggregation.
     """
-    from the_hive_spark.functions.langid import (
-        detect_language_from_tokens,
-        tokens_expr,
-    )
+    from the_hive_spark.operators.text_analysis import doc_langid
 
+    det = doc_langid(spark, sf_dir).withColumnRenamed(
+        "detected_lang", "det"
+    )
     docs = (
         table(spark, sf_dir, "documents")
-        .withColumn("__toks", tokens_expr("text"))
-        .select(
-            "doc_id",
-            "lang",
-            "source",
-            detect_language_from_tokens("__toks").alias("det"),
-        )
+        .select("doc_id", "lang", "source")
+        .join(det, "doc_id")
     )
     confident_mismatch = (
         (F.col("det") != "und") & (F.col("det") != F.col("lang"))
@@ -689,31 +699,27 @@ def doc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    from the_hive_spark.functions.langid import (
-        detect_language_from_tokens,
-        tokens_expr,
-    )
     from the_hive_spark.operators.dedup import doc_dup_clusters
-    from the_hive_spark.operators.text_analysis import doc_quality_score
-
-    docs = (
-        table(spark, sf_dir, "documents")
-        .withColumn("__toks", tokens_expr("text"))
-        .select(
-            "doc_id",
-            "lang",
-            F.md5("text").alias("h"),
-            (F.length("text") > 0).alias("s2"),
-            detect_language_from_tokens("__toks").alias("det"),
-        )
+    from the_hive_spark.operators.text_analysis import (
+        doc_langid,
+        doc_quality_score,
     )
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.md5("text").alias("h"),
+        (F.length("text") > 0).alias("s2"),
+    )
+    det = doc_langid(spark, sf_dir).withColumnRenamed("detected_lang", "det")
     q = doc_quality_score(spark, sf_dir).select("doc_id", "passes_quality")
     rep = doc_repetition_ratio(spark, sf_dir).select(
         "doc_id", "passes_repetition"
     )
     clusters = doc_dup_clusters(spark, sf_dir)
     f = (
-        docs.join(q, "doc_id", "left")
+        docs.join(det, "doc_id")
+        .join(q, "doc_id", "left")
         .join(rep, "doc_id", "left")
         .join(clusters, "doc_id")
         .select(

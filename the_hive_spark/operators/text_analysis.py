@@ -255,7 +255,20 @@ def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit rates per language, argmax with an alphabetical tie-break and
     an 'und' confidence floor. Pure JVM expressions — a linear scan,
     no shuffle, no Python; the tokenizer materializes into a column
-    once so the regex split runs once per row, not once per language."""
+    once so the regex split runs once per row, not once per language.
+
+    Materialized once per corpus snapshot (functions/matstore.py):
+    detector output is a derived per-doc column that the language
+    audit and the curation funnel both read — a curation pipeline
+    stamps it onto the corpus once, not once per report."""
+    from the_hive_spark.functions.matstore import materialized
+
+    return materialized(
+        spark, ("doc_langid", sf_dir), lambda: _langid_build(spark, sf_dir)
+    )
+
+
+def _langid_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the_hive_spark.functions.langid import (
         detect_language_from_tokens,
         tokens_expr,
@@ -298,7 +311,20 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style quality heuristics per document: punctuation /
     alphabetic / stopword ratios, mean word length, and a composite
     pass flag (min length, min tokens, sane word-length band). All
-    JVM column expressions over one scan."""
+    JVM column expressions over one scan; materialized once per corpus
+    snapshot (matstore) — the quality gate feeds the filtered corpus,
+    the near-dedup keep-best ranking, the training manifest AND the
+    curation funnel, and is stamped once in a real pipeline."""
+    from the_hive_spark.functions.matstore import materialized
+
+    return materialized(
+        spark,
+        ("doc_quality_score", sf_dir),
+        lambda: _quality_score_build(spark, sf_dir),
+    )
+
+
+def _quality_score_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
     toks = F.expr("filter(split(text, ' '), t -> length(t) > 0)")
     stop_arr = "'the','a','and','of','to','in','is','that','it','for'"
