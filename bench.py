@@ -92,6 +92,7 @@ EXTENDED = [
     "events_scd2_history",
     "events_snapshot_diff",
     "doc_winnow_fingerprints",
+    "doc_drift_ks_by_source",
 ]
 
 

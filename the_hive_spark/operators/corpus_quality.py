@@ -881,3 +881,100 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("array_join(transform(fp, x -> cast(x AS string)), ',')")
         ).alias("fingerprint_md5"),
     )
+
+
+@query(
+    "doc_drift_ks_by_source",
+    oracle="""
+WITH d AS (
+  SELECT source, n_chars AS v FROM documents
+), tot AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s FROM d GROUP BY source
+), alltot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM d
+), grid AS (
+  SELECT DISTINCT v FROM d
+), pv AS (
+  SELECT source, v, COUNT(*) AS c FROM d GROUP BY source, v
+), av AS (
+  SELECT v, COUNT(*) AS c FROM d GROUP BY v
+), cuma AS (
+  SELECT v, SUM(c) OVER (ORDER BY v) AS cum_all FROM av
+), filled AS (
+  SELECT g.v, s.source, COALESCE(pv.c, 0) AS c
+  FROM grid g
+  CROSS JOIN (SELECT DISTINCT source FROM d) s
+  LEFT JOIN pv ON pv.source = s.source AND pv.v = g.v
+), cums AS (
+  SELECT source, v, SUM(c) OVER (PARTITION BY source ORDER BY v) AS cum_s
+  FROM filled
+)
+SELECT c.source, t.n_s,
+       CAST(FLOOR(1000000.0 * MAX(ABS(c.cum_s * a.n_all - ca.cum_all * t.n_s))
+                  / (t.n_s * ANY_VALUE(a.n_all)) + 0.5) AS BIGINT) AS ks_ppm
+FROM cums c
+JOIN cuma ca ON ca.v = c.v
+JOIN tot t ON t.source = c.source
+CROSS JOIN alltot a
+GROUP BY c.source, t.n_s
+""",
+)
+def doc_drift_ks_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: the exact two-sample Kolmogorov-
+    Smirnov statistic of each source's document-length distribution
+    against the whole corpus (ppm) — the alarm a curation pipeline
+    keeps on every feed, because a source whose length/quality
+    distribution shifts (scraper broke, boilerplate change, injection)
+    poisons mixture weights long before any single gate trips.
+
+    Exact and engine-stable: ECDFs compare as cross-multiplied integer
+    counts (|cum_s·n_all − cum_all·n_s|), no float CDFs. The value
+    grid is the corpus's distinct lengths — bounded here; at 100 TB
+    the same query runs on a fixed histogram grid (bin the value
+    column first), which bounds the window state and changes nothing
+    else in the plan. Shape: two map-side-combined counts, cumulative
+    windows over the (tiny) grid, one broadcast of the source list.
+    """
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").alias("v")
+    )
+    tot = d.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_s"))
+    n_all = d.count()  # single-scalar job
+    grid = d.select("v").distinct()
+    pv = d.groupBy("source", "v").agg(F.count(F.lit(1)).alias("c"))
+    av = d.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    cuma = av.select(
+        "v",
+        F.sum("c").over(Window.orderBy("v").rowsBetween(
+            Window.unboundedPreceding, 0
+        )).alias("cum_all"),
+    )
+    sources = d.select("source").distinct()
+    filled = (
+        grid.crossJoin(F.broadcast(sources))
+        .join(pv, ["source", "v"], "left")
+        .select("source", "v", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    cums = filled.select(
+        "source",
+        "v",
+        F.sum("c").over(
+            Window.partitionBy("source").orderBy("v").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ).alias("cum_s"),
+    )
+    j = cums.join(cuma, "v").join(F.broadcast(tot), "source")
+    diff = F.abs(
+        F.col("cum_s") * F.lit(n_all) - F.col("cum_all") * F.col("n_s")
+    )
+    return j.groupBy("source", "n_s").agg(
+        F.floor(
+            1000000.0 * F.max(diff) / (F.col("n_s") * F.lit(n_all))
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("ks_ppm")
+    )
