@@ -93,6 +93,7 @@ EXTENDED = [
     "events_snapshot_diff",
     "doc_winnow_fingerprints",
     "doc_drift_ks_by_source",
+    "doc_tfidf_topk",
 ]
 
 

@@ -978,3 +978,81 @@ def doc_drift_ks_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("ks_ppm")
     )
+
+
+TFIDF_TOPK = 5
+
+
+@query(
+    "doc_tfidf_topk",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS term
+  FROM documents WHERE length(text) > 0
+), tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM w GROUP BY doc_id, term
+), df AS (
+  SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM w GROUP BY term
+), n AS (
+  SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM w
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         CAST(FLOOR(1000.0 * tf.tf * n.n_docs / df.df + 0.5) AS BIGINT) AS tfidf_milli
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, tfidf_milli
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf_milli DESC, term) AS rn
+  FROM scored
+) WHERE rn <= {TFIDF_TOPK}
+""",
+)
+def doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TFIDF_TOPK} TF-IDF terms per document — the query-free
+    keyword extractor (tag suggestion, index pruning, topic drift
+    spot-checks) that complements the query-directed BM25 ranker.
+    Weight = tf · N/df in integer milli-units: a single per-row IEEE
+    division is bit-deterministic cross-engine (only multi-term float
+    SUMS are order-dependent), so the ranking hashes stably.
+
+    Plan: one (doc, term) explode feeds both the tf aggregation and
+    the document-frequency aggregation; df per term is corpus-bounded
+    (vocabulary-sized) and joins back on term; the per-doc top-k is a
+    doc_id-partitioned window — bounded state, no corpus-wide sort.
+    At 100 TB the df table is the only broadcast-sized artifact
+    (vocabulary, not corpus).
+    """
+    from pyspark.sql import Window
+
+    n = spark.sparkContext.defaultParallelism
+    w = (
+        table(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select("doc_id", F.explode(F.expr(_WORDS)).alias("term"))
+        .repartition(n, "doc_id")
+    )
+    tf = w.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    df = w.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df")
+    )
+    n_docs = w.select("doc_id").distinct().count()  # single-scalar job
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.floor(1000.0 * F.col("tf") * F.lit(n_docs) / F.col("df") + F.lit(0.5))
+        .cast("bigint")
+        .alias("tfidf_milli"),
+    )
+    win = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf_milli"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= TFIDF_TOPK)
+        .select("doc_id", "term", "tf", "df", "tfidf_milli")
+    )
