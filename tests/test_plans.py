@@ -124,13 +124,16 @@ def test_corpus_quality_plan_health(spark):
     top-word aggregation and its doc_id join back — never a cartesian,
     never a third scan of the corpus. Sketch cardinality: one scan,
     map-side partial HLL."""
-    # assert on the BUILD plan: the registry query returns the
-    # matstore-cached table, whose printed plan embeds the cached
-    # relation rather than the structural pipeline under test
+    # assert on the BUILD plan with the materialization store empty:
+    # the registry query returns the matstore-cached table, and cached
+    # relations left by earlier tests substitute into fresh plans,
+    # changing the printed structure under test
+    from the_hive_spark.functions import matstore
     from the_hive_spark.operators.corpus_quality import (
         _repetition_ratio_build,
     )
 
+    matstore.clear()
     s = plan_summary(_repetition_ratio_build(spark, SF_DIR))
     assert s["cartesian_products"] == 0
     assert s["scans"] <= 2, "words/bigram stats must reuse ≤2 corpus scans"
