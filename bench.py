@@ -94,6 +94,7 @@ EXTENDED = [
     "doc_winnow_fingerprints",
     "doc_drift_ks_by_source",
     "doc_tfidf_topk",
+    "emb_dedup_exact",
 ]
 
 

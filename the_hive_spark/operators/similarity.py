@@ -971,3 +971,57 @@ def emb_pq_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "metric string, k int, n_hits int, value_ppm int"
     )
+
+
+@query(
+    "emb_dedup_exact",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id,
+         md5(array_to_string(list_transform(embedding,
+             x -> CAST({_Q_DUCK.format(x="x")} AS VARCHAR)), ',')) AS vh
+  FROM embeddings
+), grp AS (
+  SELECT vh, MIN(vec_id) AS canonical_id, COUNT(*) AS n_copies
+  FROM q GROUP BY vh
+)
+SELECT q.vec_id, grp.canonical_id, CAST(grp.n_copies AS BIGINT) AS n_copies,
+       (q.vec_id = grp.canonical_id) AS is_canonical
+FROM q JOIN grp USING (vh)
+""",
+)
+def emb_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact vector dedup: group embeddings by the digest of their
+    quantized (milli-unit) form, keep the lowest id as canonical —
+    the cheap pre-pass every vector store runs before ANN indexing,
+    because re-embedded copies of identical text produce bit-identical
+    vectors and every duplicate wastes index memory and skews top-k
+    results toward clones.
+
+    Quantized-digest grouping rather than raw-float grouping so the
+    key is engine-stable AND robust to float formatting; one
+    fixed-width hash shuffle (the digest), never the vectors — the
+    same single-shuffle shape as doc_dedup_exact, independent of
+    dimension at the exchange.
+    """
+    from the_hive_spark.functions.vectorops import qvec_spark
+
+    q = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.md5(
+            F.expr(
+                f"array_join(transform({qvec_spark('embedding')},"
+                " x -> cast(x AS string)), ',')"
+            )
+        ).alias("vh"),
+    )
+    grp = q.groupBy("vh").agg(
+        F.min("vec_id").alias("canonical_id"),
+        F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+    )
+    return q.join(grp, "vh").select(
+        "vec_id",
+        "canonical_id",
+        "n_copies",
+        (F.col("vec_id") == F.col("canonical_id")).alias("is_canonical"),
+    )
