@@ -95,6 +95,9 @@ EXTENDED = [
     "doc_drift_ks_by_source",
     "doc_tfidf_topk",
     "emb_dedup_exact",
+    "events_cusum_changepoint",
+    "doc_lm_bigram_score",
+    "q_benford_price_audit",
 ]
 
 

@@ -1433,3 +1433,85 @@ def q_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.join(
         lapsed, cust["c_custkey"] == lapsed["o_custkey"]
     ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+# Benford's-law expected first-digit shares in ppm: log10(1 + 1/d),
+# hardcoded as integer constants so neither engine evaluates a log.
+_BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910,
+    5: 79181, 6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+_BENFORD_CASE_SQL = (
+    "CASE digit "
+    + " ".join(f"WHEN {d} THEN {p}" for d, p in _BENFORD_PPM.items())
+    + " END"
+)
+
+
+@query(
+    "q_benford_price_audit",
+    oracle=f"""
+WITH d AS (
+  SELECT CAST(substring(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+              AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice >= 1
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d
+), obs AS (
+  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_orders FROM d GROUP BY digit
+)
+SELECT obs.digit, obs.n_orders,
+       CAST(FLOOR(1000000.0 * obs.n_orders / ANY_VALUE(tot.n) + 0.5) AS BIGINT)
+         AS obs_ppm,
+       CAST({_BENFORD_CASE_SQL} AS BIGINT) AS exp_ppm,
+       CAST(ABS(CAST(FLOOR(1000000.0 * obs.n_orders / ANY_VALUE(tot.n) + 0.5) AS BIGINT)
+                - {_BENFORD_CASE_SQL}) AS BIGINT) AS dev_ppm
+FROM obs CROSS JOIN tot
+GROUP BY obs.digit, obs.n_orders
+""",
+)
+def q_benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order totals: observed first-digit share
+    per digit vs the log10(1+1/d) expectation (hardcoded integer ppm —
+    no engine evaluates a logarithm), with the absolute deviation.
+    The data-quality / fraud screen a warehouse runs on monetary
+    columns: synthetic, capped, or hand-entered amounts bend the
+    first-digit curve long before totals look wrong. (TPC-H's uniform
+    price generator fails Benford by construction — large deviations
+    on this data are the demonstration, not a bug.)
+
+    One scan → 9-key map-side-combined count; everything after the
+    aggregation operates on nine rows.
+    """
+    d = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") >= 1)
+        .select(
+            F.substring(
+                F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+            )
+            .cast("bigint")
+            .alias("digit")
+        )
+    )
+    total = d.count()  # single-scalar job
+    exp_col = F.element_at(
+        F.map_from_arrays(
+            F.array(*[F.lit(k) for k in _BENFORD_PPM]),
+            F.array(*[F.lit(v) for v in _BENFORD_PPM.values()]),
+        ),
+        F.col("digit"),
+    ).cast("bigint")
+    obs = d.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+    obs_ppm = F.floor(
+        1000000.0 * F.col("n_orders") / F.lit(total) + F.lit(0.5)
+    ).cast("bigint")
+    return obs.select(
+        "digit",
+        "n_orders",
+        obs_ppm.alias("obs_ppm"),
+        exp_col.alias("exp_ppm"),
+        F.abs(obs_ppm - exp_col).cast("bigint").alias("dev_ppm"),
+    )

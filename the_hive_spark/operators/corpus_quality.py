@@ -857,8 +857,16 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     storage reduction. The digest column asserts the exact selected
     set cross-engine, not just its size.
     """
-    docs = table(spark, sf_dir, "documents").filter(
-        F.length("text") >= WINNOW_K + WINNOW_W - 1
+    # repartition before the hash expression (fan-out stage
+    # convention): the per-gram rolling-hash fold is the CPU cost of
+    # this query, and the input arrives as however few splits the file
+    # layout gives — one row group here would otherwise serialize the
+    # whole scan onto a single task (measured 16 s -> ~1 s at sf0.1)
+    n = spark.sparkContext.defaultParallelism
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.length("text") >= WINNOW_K + WINNOW_W - 1)
+        .repartition(n)
     )
     h = docs.select("doc_id", F.expr(_WINNOW_HASHES_SPARK).alias("hs"))
     sel = h.select(
@@ -1055,4 +1063,151 @@ def doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(win))
         .filter(F.col("rn") <= TFIDF_TOPK)
         .select("doc_id", "term", "tf", "df", "tfidf_milli")
+    )
+
+
+@query(
+    "events_cusum_changepoint",
+    oracle="""
+WITH daily AS (
+  SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_errors
+  FROM events GROUP BY day
+), tot AS (
+  SELECT SUM(n_events) AS t, SUM(n_errors) AS e FROM daily
+), c AS (
+  SELECT day, n_events, n_errors,
+         CAST(SUM(n_errors * (SELECT t FROM tot) - n_events * (SELECT e FROM tot))
+              OVER (ORDER BY day) AS BIGINT) AS cusum_num
+  FROM daily
+), mx AS (
+  SELECT MIN(day) AS cp_day FROM c
+  WHERE ABS(cusum_num) = (SELECT MAX(ABS(cusum_num)) FROM c)
+)
+SELECT c.day, c.n_events, c.n_errors, c.cusum_num,
+       (c.day = (SELECT cp_day FROM mx)) AS is_changepoint
+FROM c
+""",
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on the daily error rate: cumulative
+    sum of each day's deviation from the period's overall error
+    fraction (cross-multiplied integers — err_d·T − tot_d·E — so no
+    float rate ever enters the cumulative), with the |CUSUM|-maximizing
+    day flagged as THE changepoint. Complements events_anomaly_daily:
+    that flags pointwise outliers, this locates the regime shift
+    (deploy that started failing, feed that silently degraded) even
+    when no single day is individually extreme.
+
+    Plan: one map-side-combined daily aggregation; the cumulative
+    window and argmax run over the day grid (~30 rows here, bounded by
+    the calendar at any corpus size) — the classic reduce-then-analyze
+    shape where the heavy pass is the first aggregation.
+    """
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum((F.col("event_type") == "error").cast("long"))
+        .cast("bigint")
+        .alias("n_errors"),
+    )
+    tot = daily.agg(
+        F.sum("n_events").alias("t"), F.sum("n_errors").alias("e")
+    ).collect()[0]
+    t_all, e_all = int(tot["t"]), int(tot["e"])
+    c = daily.withColumn(
+        "cusum_num",
+        F.sum(
+            F.col("n_errors") * F.lit(t_all) - F.col("n_events") * F.lit(e_all)
+        ).over(
+            Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    cp = (
+        c.select(F.abs("cusum_num").alias("a"), "day")
+        .orderBy(F.desc("a"), F.asc("day"))
+        .limit(1)
+        .collect()[0]["day"]
+    )
+    return c.select(
+        "day",
+        "n_events",
+        "n_errors",
+        "cusum_num",
+        (F.col("day") == F.lit(cp)).alias("is_changepoint"),
+    )
+
+
+LM_LOW_PPM = 200  # flag docs whose mean bigram frequency is below this
+
+
+@query(
+    "doc_lm_bigram_score",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS words
+  FROM documents WHERE length(text) > 0
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(words)),
+                i -> words[i] || ' ' || words[i + 1])) AS bigram
+  FROM base WHERE len(words) >= 2
+), df AS (
+  SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY bigram
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM bg
+)
+SELECT bg.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(FLOOR(1000000.0 * SUM(df.c)
+                  / (COUNT(*) * ANY_VALUE(tot.n_total)) + 0.5) AS BIGINT)
+         AS lm_score_ppm,
+       (1000000.0 * SUM(df.c) / (COUNT(*) * ANY_VALUE(tot.n_total))
+          < {LM_LOW_PPM}) AS flagged_unnatural
+FROM bg JOIN df USING (bigram) CROSS JOIN tot
+GROUP BY bg.doc_id
+""",
+)
+def doc_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM fluency score per document: the mean corpus-relative
+    frequency of the doc's word bigrams (ppm) — the integer-exact
+    stand-in for the LM-perplexity quality filter (CCNet / Wenzek et
+    al., arXiv:1911.00359, which ranks docs by KenLM perplexity):
+    text whose bigrams are rare *in its own corpus* reads as
+    unnatural — shuffled words, spam keyword lists, OCR noise — and
+    gets flagged.
+
+    Plan: in-row bigram arrays → one (bigram) count aggregation (the
+    LM "training" pass — vocabulary², broadcastable) → join back on
+    bigram, per-doc mean as SUM(count)/(n·total) with a single final
+    IEEE division (bit-stable cross-engine). Two corpus-stream
+    shuffles, both map-side combined — the same shape as TF-IDF, over
+    bigram probabilities instead of term weights.
+    """
+    n = spark.sparkContext.defaultParallelism
+    base = (
+        table(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select("doc_id", F.expr(_WORDS).alias("words"))
+        .filter(F.size("words") >= 2)
+        .repartition(n, "doc_id")
+    )
+    bg = base.select(
+        "doc_id", F.explode(F.expr(_BIGRAMS)).alias("bigram")
+    )
+    df = bg.groupBy("bigram").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    n_total = bg.count()  # single-scalar job
+    score = 1000000.0 * F.sum("c") / (F.count(F.lit(1)) * F.lit(n_total))
+    return (
+        bg.join(df, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.floor(score + F.lit(0.5)).cast("bigint").alias("lm_score_ppm"),
+            (score < LM_LOW_PPM).alias("flagged_unnatural"),
+        )
     )
