@@ -204,8 +204,17 @@ WHERE length(text) >= 8
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style document fingerprint: min digest over 8-gram
-    windows (single linear scan per doc, no shuffle)."""
-    docs = table(spark, sf_dir, "documents").filter(F.length("text") >= 8)
+    windows (single linear scan per doc). Repartitioned before the
+    per-gram md5 fold — the fan-out-stage convention — so the CPU cost
+    runs at cluster parallelism rather than the file layout's split
+    count (a single-row-group input otherwise serializes the whole
+    digest pass onto one task)."""
+    n = spark.sparkContext.defaultParallelism
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.length("text") >= 8)
+        .repartition(n)
+    )
     return docs.select(
         "doc_id",
         F.expr(
@@ -274,7 +283,11 @@ def _langid_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokens_expr,
     )
 
-    docs = table(spark, sf_dir, "documents")
+    # repartition before the detector expressions (fan-out convention):
+    # the regex tokenize + per-language membership scans are the cost,
+    # and must not run at the file layout's split count
+    n = spark.sparkContext.defaultParallelism
+    docs = table(spark, sf_dir, "documents").repartition(n)
     return docs.withColumn("__toks", tokens_expr("text")).select(
         "doc_id", detect_language_from_tokens("__toks").alias("detected_lang")
     )
@@ -389,8 +402,15 @@ def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish token counting: the pre-tokenizer split (letter runs /
     digit runs / single symbols) that upper-bounds real BPE token
     counts — the budgeting number a training pipeline tracks per doc.
-    Pure regexp_extract_all; one scan, no Python."""
-    docs = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    Pure regexp_extract_all; no Python. Repartitioned first so the
+    three regex passes run at cluster parallelism, not the file
+    layout's split count (fan-out-stage convention)."""
+    n = spark.sparkContext.defaultParallelism
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .repartition(n)
+    )
     toks = F.expr(f"regexp_extract_all(text, '{_BPE_RE}', 0)")
     return docs.select(
         "doc_id",
