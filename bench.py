@@ -98,6 +98,8 @@ EXTENDED = [
     "events_cusum_changepoint",
     "doc_lm_bigram_score",
     "q_benford_price_audit",
+    "events_p95_exceedance",
+    "emb_ivfpq_recall",
 ]
 
 

@@ -99,3 +99,12 @@ def test_registry_eval_rows(spark):
     )
     recon = rows["pq_recon_err_m8_k16"]
     assert 0 < recon["value_ppm"] < 850_000
+
+
+def test_ivfpq_recall_floor(spark):
+    from the_hive_spark.operators.similarity import emb_ivfpq_recall
+
+    row = emb_ivfpq_recall(spark, SF_DIR).collect()[0]
+    assert row["recall_ppm"] >= 300_000
+    # the index must actually prune: 3 of 16 lists ⇒ well under half
+    assert row["scanned_ppm"] < 500_000

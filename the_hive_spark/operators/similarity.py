@@ -1025,3 +1025,82 @@ def emb_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_copies",
         (F.col("vec_id") == F.col("canonical_id")).alias("is_canonical"),
     )
+
+
+@query("emb_ivfpq_recall")  # rows-only: IVF + PQ artifacts are
+# KMeans-derived, engine-specific like the other index structures;
+# verified by deterministic recall/scan-fraction rows + test floors.
+def emb_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ end-to-end: the billion-scale ANN architecture composed
+    from its two registered halves — coarse IVF clustering prunes the
+    corpus to the 3 nearest inverted lists (partition pruning at
+    cluster layout), PQ asymmetric-distance scoring ranks ONLY those
+    lists' compressed codes, a 50-deep shortlist re-ranks at full
+    precision. Reports recall@10 against the exact scan plus the
+    fraction of the corpus actually scanned — the two numbers that
+    justify the index (recall retained vs work avoided).
+
+    Seed-pinned KMeans (IVF + PQ codebooks) and first-index argmin
+    ties keep every row run-stable.
+    """
+    from the_hive_spark.functions.lsh import ivf_build
+    from the_hive_spark.functions.pq import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    import numpy as np
+
+    emb = table(spark, sf_dir, "embeddings")
+    row = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0]
+    qv = [float(x) for x in row["embedding"]]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    n_corpus = corpus.count()
+
+    exact = set(
+        r["vec_id"]
+        for r in cosine_topk(corpus, qv, k=KNN_K).select("vec_id").collect()
+    )
+
+    assigned, centroids = ivf_build(corpus, n_clusters=16)
+    q = np.asarray(qv, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    sims = []
+    for i, c in enumerate(centroids):
+        cv = np.asarray(c, dtype=np.float64)
+        nrm = np.linalg.norm(cv)
+        sims.append((float(cv @ qn / nrm) if nrm else -1.0, i))
+    probe = [i for _, i in sorted(sims, reverse=True)[:3]]
+
+    lists = assigned.filter(F.col("_cluster").isin(probe)).select(
+        "vec_id", "embedding"
+    ).persist()
+    n_scanned = lists.count()
+
+    books = pq_train(corpus)
+    codes = pq_encode(lists, books)
+    short = pq_adc_topk(codes, books, qv, k=50).select("vec_id")
+    got = set(
+        r["vec_id"]
+        for r in cosine_topk(
+            lists.join(F.broadcast(short), "vec_id", "left_semi"), qv, k=KNN_K
+        )
+        .select("vec_id")
+        .collect()
+    )
+    lists.unpersist()
+
+    rows = [
+        (
+            "ivfpq_adc_rerank_recall",
+            KNN_K,
+            len(exact & got),
+            int(1_000_000 * len(exact & got) / KNN_K),
+            int(1_000_000 * n_scanned / max(n_corpus, 1)),
+        )
+    ]
+    return spark.createDataFrame(
+        rows,
+        "metric string, k int, n_hits int, recall_ppm int, scanned_ppm int",
+    )

@@ -157,3 +157,85 @@ def events_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("changed")
         .alias("change_type"),
     )
+
+
+@query(
+    "events_p95_exceedance",
+    oracle="""
+WITH ranked AS (
+  SELECT event_type,
+         CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS value_micros,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT),
+                                     event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+), thr AS (
+  SELECT event_type,
+         CAST(MAX(CASE WHEN rn = (95 * n + 99) // 100 THEN value_micros END)
+              AS BIGINT) AS p95_micros
+  FROM ranked GROUP BY event_type
+)
+SELECT e.event_type, e.user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_exceed,
+       CAST(MAX(CAST(FLOOR(e.value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+         AS max_value_micros,
+       ANY_VALUE(t.p95_micros) AS p95_micros
+FROM events e JOIN thr t ON t.event_type = e.event_type
+WHERE CAST(FLOOR(e.value * 1000000 + 0.5) AS BIGINT) > t.p95_micros
+GROUP BY e.event_type, e.user_id
+""",
+)
+def events_p95_exceedance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-threshold alerting: users whose events exceed their
+    event type's exact p95 value, with exceedance counts and the
+    per-type threshold — the standard two-pass alert shape (derive the
+    threshold from the data, then filter the stream against it) used
+    for spend caps, latency SLOs, and abuse flags.
+
+    Pass 1 computes the exact lower-nearest-rank p95 per type (same
+    integer-µs rank arithmetic as events_value_percentiles); the
+    resulting threshold table is |types| rows and BROADCASTS into
+    pass 2's scan-side filter — the fact stream never joins anything
+    its own size, and the final aggregate is map-side combined on
+    (type, user).
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        "user_id",
+        F.floor(F.col("value") * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("value_micros"),
+    )
+    w = Window.partitionBy("event_type").orderBy("value_micros", "event_id")
+    wn = Window.partitionBy("event_type")
+    thr = (
+        ev.select(
+            "event_type",
+            "value_micros",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("rn") == F.floor((95 * F.col("n") + 99) / F.lit(100)),
+                    F.col("value_micros"),
+                )
+            )
+            .cast("bigint")
+            .alias("p95_micros")
+        )
+    )
+    return (
+        ev.join(F.broadcast(thr), "event_type")
+        .filter(F.col("value_micros") > F.col("p95_micros"))
+        .groupBy("event_type", "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exceed"),
+            F.max("value_micros").cast("bigint").alias("max_value_micros"),
+            F.first("p95_micros").cast("bigint").alias("p95_micros"),
+        )
+    )
