@@ -100,6 +100,8 @@ EXTENDED = [
     "q_benford_price_audit",
     "events_p95_exceedance",
     "emb_ivfpq_recall",
+    "events_weekday_seasonality",
+    "emb_spectrum_diagnostics",
 ]
 
 

@@ -1104,3 +1104,76 @@ def emb_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "metric string, k int, n_hits int, recall_ppm int, scanned_ppm int",
     )
+
+
+SPECTRUM_TOPK = 8
+
+
+@query("emb_spectrum_diagnostics")  # rows-only: eigendecomposition is
+# numerical-library territory; rows are deterministic (fixed partition
+# merge order, symmetric eigh) and floored to micro-units.
+def emb_spectrum_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space health check: top-{SPECTRUM_TOPK} covariance
+    eigenvalue shares and the anisotropy ratio (λ₁/Σλ) — the collapse
+    detector a pipeline runs on every new embedding model or
+    fine-tune, because representations that concentrate variance in a
+    few directions (anisotropy → 1) lose retrieval contrast long
+    before top-k metrics visibly degrade (Ethayarajh, EMNLP 2019;
+    Mu & Viswanath, ICLR 2018 on all-but-the-top).
+
+    Distributed moment accumulation: one Arrow pass emits per-batch
+    (Σv, Σv·vᵀ, n) partials — O(d²) state per batch, independent of
+    corpus size — merged in a fixed order on the driver where the d×d
+    eigendecomposition (trivial at any corpus scale: cost depends on
+    dimension only) runs once.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = table(spark, sf_dir, "embeddings")
+    d = len(emb.select("embedding").first()[0])
+
+    def moments(batches):
+        s = np.zeros(d)
+        ss = np.zeros((d, d))
+        n = 0
+        for pdf in batches:
+            mat = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            if len(mat):
+                s += mat.sum(axis=0)
+                ss += mat.T @ mat
+                n += len(mat)
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "ss": [ss.reshape(-1).tolist()]}
+            )
+
+    parts = emb.select("embedding").mapInPandas(
+        moments, "n long, s array<double>, ss array<double>"
+    ).collect()
+    # fixed merge order (partition index order from collect) keeps the
+    # float accumulation — and therefore the rows — run-stable
+    n = sum(p["n"] for p in parts)
+    s = np.sum([np.array(p["s"]) for p in parts], axis=0)
+    ss = np.sum([np.array(p["ss"]).reshape(d, d) for p in parts], axis=0)
+    mean = s / n
+    cov = ss / n - np.outer(mean, mean)
+    evals = np.linalg.eigvalsh(cov)[::-1]  # descending
+    total = float(evals.sum())
+    rows = [
+        (
+            int(i + 1),
+            int(1_000_000 * float(evals[i]) / total + 0.5),
+        )
+        for i in range(SPECTRUM_TOPK)
+    ]
+    rows.append((0, int(1_000_000 * float(evals[0]) / total + 0.5)))
+    out = spark.createDataFrame(
+        rows, "component int, variance_share_ppm int"
+    ).withColumn(
+        "metric",
+        F.when(F.col("component") == 0, "anisotropy").otherwise("eigval_share"),
+    )
+    return out.select("metric", "component", "variance_share_ppm")

@@ -239,3 +239,61 @@ def events_p95_exceedance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("p95_micros").cast("bigint").alias("p95_micros"),
         )
     )
+
+
+@query(
+    "events_weekday_seasonality",
+    oracle="""
+WITH daily AS (
+  SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+         -- +1: DuckDB numbers Sunday as 0, Spark's dayofweek as 1
+         CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS BIGINT) AS dow,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY day, dow
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_all, CAST(COUNT(*) AS BIGINT) AS n_days
+  FROM daily
+)
+SELECT d.dow,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(d.n) AS BIGINT) AS n_events,
+       CAST(FLOOR(1000000.0 * SUM(d.n) * ANY_VALUE(t.n_days)
+                  / (COUNT(*) * ANY_VALUE(t.n_all)) + 0.5) AS BIGINT)
+         AS seasonal_index_ppm
+FROM daily d CROSS JOIN tot t
+GROUP BY d.dow
+""",
+)
+def events_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal index: each weekday's mean daily volume
+    relative to the overall mean daily volume (ppm; 1,000,000 = an
+    average day) — the deseasonalization factor table that turns raw
+    daily counts into trend-comparable series (capacity planning,
+    anomaly baselines, the divisor in front of any WoW comparison).
+
+    Index arithmetic is one cross-multiplied integer ratio —
+    mean_dow/mean_all = (Σn_dow · days_all)/(days_dow · n_all) — with
+    a single final IEEE division, so the table hashes stably. The
+    heavy pass is one map-side-combined daily aggregation; everything
+    after runs on the calendar grid.
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.dayofweek("ts").cast("bigint").alias("dow"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = daily.agg(
+        F.sum("n").alias("n_all"), F.count(F.lit(1)).alias("n_days")
+    ).collect()[0]
+    n_all, n_days_all = int(tot["n_all"]), int(tot["n_days"])
+    idx = (
+        1000000.0
+        * F.sum("n")
+        * F.lit(n_days_all)
+        / (F.count(F.lit(1)) * F.lit(n_all))
+    )
+    return daily.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.floor(idx + F.lit(0.5)).cast("bigint").alias("seasonal_index_ppm"),
+    )
