@@ -102,6 +102,8 @@ EXTENDED = [
     "emb_ivfpq_recall",
     "events_weekday_seasonality",
     "emb_spectrum_diagnostics",
+    "q_supply_concentration_hhi",
+    "q_customer_spend_gini",
 ]
 
 

@@ -1515,3 +1515,124 @@ def q_benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         exp_col.alias("exp_ppm"),
         F.abs(obs_ppm - exp_col).cast("bigint").alias("dev_ppm"),
     )
+
+
+@query(
+    "q_supply_concentration_hhi",
+    oracle="""
+WITH sq AS (
+  SELECT s.s_nationkey AS nationkey,
+         l.l_suppkey,
+         CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  GROUP BY nationkey, l.l_suppkey
+)
+SELECT n.n_name AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(SUM(q) AS BIGINT) AS total_qty,
+       CAST(FLOOR(1000000.0 * SUM(q * q) / (SUM(q) * SUM(q)) + 0.5) AS BIGINT)
+         AS hhi_ppm
+FROM sq JOIN nation n ON n.n_nationkey = sq.nationkey
+GROUP BY n.n_name
+""",
+)
+def q_supply_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-concentration audit: the Herfindahl-Hirschman index of
+    shipped quantity across suppliers, per nation (ppm; 1e6 = a single
+    supplier carries everything) — the market-concentration metric a
+    procurement/risk dashboard watches, since a nation whose supply
+    concentrates in one vendor is a single point of failure.
+
+    Integer-exact despite being a sum of squared shares: HHI =
+    Σq_s²/(Σq_s)² — both sums are exact int64 (quantities are
+    integral), squared and divided ONCE at the end. One fact shuffle
+    on (nation, supplier), a broadcast dim join, and a nation-level
+    rollup.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = table(spark, sf_dir, "nation")
+    sq = (
+        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("q"))
+    )
+    hhi = 1000000.0 * F.sum(F.col("q") * F.col("q")) / (F.sum("q") * F.sum("q"))
+    return (
+        sq.join(
+            F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey")
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+            F.sum("q").cast("bigint").alias("total_qty"),
+            F.floor(hhi + F.lit(0.5)).cast("bigint").alias("hhi_ppm"),
+        )
+    )
+
+
+@query(
+    "q_customer_spend_gini",
+    oracle="""
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT cents,
+         ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i,
+         COUNT(*) OVER () AS n,
+         SUM(cents) OVER () AS tot
+  FROM spend
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+       CAST(MAX(tot) AS BIGINT) AS total_cents,
+       CAST(FLOOR(1000000.0 * (2 * SUM(i * cents) - (MAX(n) + 1) * MAX(tot))
+                  / (MAX(n) * MAX(tot)) + 0.5) AS BIGINT) AS gini_ppm
+FROM ranked
+""",
+)
+def q_customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-spend inequality: the Gini coefficient of per-customer
+    order totals (ppm; 0 = equal, →1e6 = one whale) — the revenue-
+    concentration number behind "top 1% of customers drive X%" — via
+    the sorted-rank identity G = (2·Σᵢ i·xᵢ − (n+1)·Σx)/(n·Σx), which
+    needs ONE global sort-rank instead of the O(n²) pairwise |xᵢ−xⱼ|
+    definition. All sums are exact int64 cents; one final division.
+
+    The rank window is a global sort — fine for a per-customer rollup
+    (dimension-sized); at 100 TB the same identity runs on the
+    range-partitioned prefix-sum machinery (functions/ids.py) instead
+    of a single-partition window.
+    """
+    from pyspark.sql import Window
+
+    spend = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("cents")
+        )
+    )
+    w = Window.orderBy("cents", "o_custkey")
+    ranked = spend.select(
+        "cents", F.row_number().over(w).alias("i")
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("tot"),
+        F.sum(F.col("i") * F.col("cents")).alias("ixs"),
+    )
+    gini = (
+        1000000.0
+        * (2 * F.col("ixs") - (F.col("n") + 1) * F.col("tot"))
+        / (F.col("n") * F.col("tot"))
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.col("tot").cast("bigint").alias("total_cents"),
+        F.floor(gini + F.lit(0.5)).cast("bigint").alias("gini_ppm"),
+    )
