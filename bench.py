@@ -104,6 +104,8 @@ EXTENDED = [
     "emb_spectrum_diagnostics",
     "q_supply_concentration_hhi",
     "q_customer_spend_gini",
+    "events_user_lifecycle",
+    "q_basket_affinity_lift",
 ]
 
 

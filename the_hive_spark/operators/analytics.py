@@ -1636,3 +1636,77 @@ def q_customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tot").cast("bigint").alias("total_cents"),
         F.floor(gini + F.lit(0.5)).cast("bigint").alias("gini_ppm"),
     )
+
+
+@query(
+    "q_basket_affinity_lift",
+    oracle="""
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pc AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY part_a, part_b
+), item AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_i FROM op GROUP BY l_partkey
+), baskets AS (
+  SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_b FROM op
+)
+SELECT p.part_a, p.part_b, p.n_orders,
+       ia.n_i AS n_a, ib.n_i AS n_b_item,
+       CAST(FLOOR(1000.0 * p.n_orders * ANY_VALUE(baskets.n_b)
+                  / (ia.n_i * ib.n_i) + 0.5) AS BIGINT) AS lift_milli
+FROM pc p
+JOIN item ia ON ia.l_partkey = p.part_a
+JOIN item ib ON ib.l_partkey = p.part_b
+CROSS JOIN baskets
+WHERE p.n_orders >= 3
+GROUP BY p.part_a, p.part_b, p.n_orders, ia.n_i, ib.n_i
+""",
+)
+def q_basket_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule lift for co-purchased part pairs (support ≥ 3
+    orders): lift = P(a,b)/(P(a)·P(b)) = n_ab·N/(n_a·n_b) in integer
+    milli-units — the normalization that separates genuinely
+    associated items from pairs that co-occur merely because both are
+    popular, which raw co-purchase counts (q_copurchase_pairs) cannot.
+
+    Reuses the materialized co-purchase pair table; the per-item
+    basket counts are a one-pass distinct aggregation that BROADCASTS
+    (item-dimension-sized), and N is a single scalar. Cross-multiplied
+    integers, one final division per row.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    pairs = copurchase_pairs_cached(spark, sf_dir).filter(
+        F.col("n_orders") >= 3
+    )
+    item = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("n_i")
+    )
+    n_baskets = li.select("l_orderkey").distinct().count()  # scalar job
+    ia = item.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_i").alias("n_a")
+    )
+    ib = item.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_i").alias("n_b_item")
+    )
+    lift = (
+        1000.0
+        * F.col("n_orders")
+        * F.lit(n_baskets)
+        / (F.col("n_a") * F.col("n_b_item"))
+    )
+    return (
+        pairs.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_orders",
+            "n_a",
+            "n_b_item",
+            F.floor(lift + F.lit(0.5)).cast("bigint").alias("lift_milli"),
+        )
+    )

@@ -297,3 +297,56 @@ def events_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("bigint").alias("n_events"),
         F.floor(idx + F.lit(0.5)).cast("bigint").alias("seasonal_index_ppm"),
     )
+
+
+@query(
+    "events_user_lifecycle",
+    oracle="""
+WITH active AS (
+  SELECT DISTINCT user_id, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+         CAST(ts AS DATE) AS d
+  FROM events
+), seq AS (
+  SELECT user_id, day, d,
+         LAG(d) OVER (PARTITION BY user_id ORDER BY d) AS prev_d
+  FROM active
+), state AS (
+  SELECT day,
+         CASE WHEN prev_d IS NULL THEN 'new'
+              WHEN d - prev_d = 1 THEN 'retained'
+              ELSE 'resurrected' END AS state
+  FROM seq
+)
+SELECT day, state, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM state GROUP BY day, state
+""",
+)
+def events_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: every active (user, day) classified as NEW
+    (first day ever), RETAINED (also active the previous calendar
+    day), or RESURRECTED (returning after a gap) — the daily
+    decomposition behind every growth dashboard's "where did today's
+    actives come from" chart, and the input to churn math (churned(d)
+    = active(d−1) − retained(d)).
+
+    One distinct (user, day) pass, one LAG over each user's active-day
+    sequence, a (day, state) rollup — single user_id shuffle, grid-
+    sized output. Day arithmetic is calendar-exact on both engines
+    (date difference in days, no timestamp subtraction).
+    """
+    ev = table(spark, sf_dir, "events")
+    active = ev.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.col("ts").cast("date").alias("d"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    seq = active.withColumn("prev_d", F.lag("d").over(w))
+    state = F.when(F.col("prev_d").isNull(), "new").when(
+        F.datediff("d", "prev_d") == 1, "retained"
+    ).otherwise("resurrected")
+    return (
+        seq.select("day", state.alias("state"))
+        .groupBy("day", "state")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )
