@@ -106,6 +106,7 @@ EXTENDED = [
     "q_customer_spend_gini",
     "events_user_lifecycle",
     "q_basket_affinity_lift",
+    "events_unconverted_clicks",
 ]
 
 

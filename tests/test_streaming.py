@@ -608,3 +608,111 @@ def test_dedup_within_watermark_stream_equals_batch(spark, tmp_path):
         for r in dedup_within_watermark(batch_df).select("event_id").collect()
     )
     assert got == want == list(range(10))
+
+
+def test_stream_stream_left_outer_equals_batch(spark, tmp_path):
+    """Batch/stream parity for the LEFT OUTER interval join
+    (unconverted causes): unmatched rows may only be emitted after the
+    watermark proves no future match can arrive, and once it has, the
+    stream must agree exactly with the batch anti-join."""
+    import pandas as pd
+
+    from the_hive_spark.streaming.windows import unconverted_causes
+
+    src = tmp_path / "unconv"
+    src.mkdir()
+    base = pd.Timestamp("2024-03-01 00:00:00")
+    rows = []
+    for i in range(60):
+        rows.append({
+            "ts": base + pd.Timedelta(minutes=11 * i),
+            "user_id": i % 4,
+            "event_type": "click",
+            "event_id": 1000 + i,
+        })
+    for j in range(12):
+        rows.append({
+            "ts": base + pd.Timedelta(minutes=50 * j + 5),
+            "user_id": j % 4,
+            "event_type": "purchase",
+            "event_id": 2000 + j,
+        })
+
+    def _dump(frame: pd.DataFrame, name: str) -> None:
+        frame = frame.astype({"ts": "datetime64[us]"})
+        frame["ts"] = frame["ts"].dt.tz_localize("UTC")
+        frame.to_parquet(src / name)
+
+    _dump(pd.DataFrame(rows), "a.parquet")
+    # Sentinels must advance BOTH sides' watermarks: the event_type
+    # filters push below the watermark operators, so a row of a third
+    # type advances neither (global watermark = min of the two stalls
+    # at the last real purchase). A same-instant click+purchase pair
+    # converts against itself, leaving the unmatched set unpolluted on
+    # both the stream and the batch oracle.
+    _dump(
+        pd.DataFrame(
+            [
+                {
+                    "ts": base + pd.Timedelta(days=3),
+                    "user_id": 0,
+                    "event_type": "click",
+                    "event_id": 9998,
+                },
+                {
+                    "ts": base + pd.Timedelta(days=3),
+                    "user_id": 0,
+                    "event_type": "purchase",
+                    "event_id": 9999,
+                },
+            ]
+        ),
+        "z.parquet",
+    )
+
+    batch_df = spark.read.parquet(str(src))
+    # one file per micro-batch: outer-join null emission happens in the
+    # batch AFTER the watermark advances past a row's match horizon, so
+    # the sentinel file must land in its own batch (with everything in
+    # one batch there is no later batch to flush the unmatched rows)
+    stream_df = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+
+    # processingTime trigger, NOT availableNow: the final unmatched
+    # rows flush in a no-data micro-batch after the watermark-advancing
+    # batch, and availableNow terminates before running it
+    q = (
+        unconverted_causes(stream_df, within="30 minutes", watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("unconv_rows")
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    import time as _time
+
+    deadline = _time.time() + 90
+    last, stable = -1, 0
+    while _time.time() < deadline and stable < 4:
+        n = spark.sql("SELECT COUNT(*) c FROM unconv_rows").collect()[0]["c"]
+        stable = stable + 1 if n == last and n > 0 else 0
+        last = n
+        _time.sleep(1)
+    q.stop()
+    got = {
+        tuple(str(v) for v in r)
+        for r in spark.sql("SELECT * FROM unconv_rows").collect()
+    }
+    want = {
+        tuple(str(v) for v in r)
+        for r in unconverted_causes(
+            batch_df, within="30 minutes", watermark="10 minutes"
+        ).collect()
+    }
+    assert want, "batch oracle produced no unmatched causes — fixture broken"
+    assert got == want, (
+        f"stream≠batch: extra={got - want} missing={want - got}"
+    )

@@ -350,3 +350,38 @@ def events_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day", "state")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
     )
+
+
+@query(
+    "events_unconverted_clicks",
+    oracle="""
+SELECT c.user_id,
+       c.event_id AS cause_id,
+       CAST(epoch_us(CAST(c.ts AS TIMESTAMP)) AS BIGINT) AS cause_ts_us
+FROM events c
+WHERE c.event_type = 'click'
+  AND NOT EXISTS (
+    SELECT 1 FROM events e
+    WHERE e.event_type = 'purchase' AND e.user_id = c.user_id
+      AND e.ts >= c.ts
+      AND e.ts <= c.ts + INTERVAL 1 HOUR)
+""",
+)
+def events_unconverted_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch face of the stream-stream LEFT OUTER interval join
+    (streaming/windows.py::unconverted_causes): clicks with no
+    purchase from the same user in the following hour — the
+    abandoned-funnel feed. The driver-oracled face proves the exact
+    semantics the streaming form emits after its watermark closes;
+    batch/stream parity is pinned in tests/test_streaming.py. The
+    oracle states it as NOT EXISTS — the anti-join every engine lowers
+    the unmatched-left-side question to.
+    """
+    from the_hive_spark.streaming.windows import unconverted_causes
+
+    ev = table(spark, sf_dir, "events")
+    return unconverted_causes(ev).select(
+        "user_id",
+        "cause_id",
+        F.unix_micros("cause_ts").cast("bigint").alias("cause_ts_us"),
+    )

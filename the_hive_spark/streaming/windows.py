@@ -129,6 +129,57 @@ def attributed_conversions(
     ).select("user_id", "effect_id", "effect_ts", "cause_id", "cause_ts")
 
 
+def unconverted_causes(
+    events: DataFrame,
+    cause_type: str = "click",
+    effect_type: str = "purchase",
+    within: str = "1 hour",
+    watermark: str = DEFAULT_WATERMARK,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: ``cause_type`` events
+    that saw NO ``effect_type`` from the same user within ``within``
+    afterward — the abandoned-cart / failed-funnel feed, which is a
+    *harder* streaming problem than the inner join: an unmatched row
+    can only be emitted once the watermark proves no future match can
+    arrive, so null-padded results trail the watermark by design.
+
+    Same bounded-state construction as attributed_conversions (both
+    sides watermarked, join condition time-bounds the match window);
+    the outer-ness adds no state, only the deferred emission. Runs
+    identically on a batch DataFrame (the parity oracle), where it is
+    the classic NOT EXISTS anti-join.
+    """
+    causes = (
+        events.withWatermark(ts_col, watermark)
+        .filter(F.col("event_type") == cause_type)
+        .select(
+            F.col("user_id").alias("user_id"),
+            F.col(ts_col).alias("cause_ts"),
+            F.col("event_id").alias("cause_id"),
+        )
+    )
+    effects = (
+        events.withWatermark(ts_col, watermark)
+        .filter(F.col("event_type") == effect_type)
+        .select(
+            F.col("user_id").alias("effect_user"),
+            F.col(ts_col).alias("effect_ts"),
+            F.col("event_id").alias("effect_id"),
+        )
+    )
+    joined = causes.join(
+        effects,
+        (F.col("effect_user") == F.col("user_id"))
+        & (F.col("effect_ts") >= F.col("cause_ts"))
+        & (F.col("effect_ts") <= F.col("cause_ts") + F.expr(f"INTERVAL {within}")),
+        "left_outer",
+    )
+    return joined.filter(F.col("effect_id").isNull()).select(
+        "user_id", "cause_id", "cause_ts"
+    )
+
+
 def user_sessions(
     events: DataFrame,
     gap: str = "30 minutes",
