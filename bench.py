@@ -107,6 +107,8 @@ EXTENDED = [
     "events_user_lifecycle",
     "q_basket_affinity_lift",
     "events_unconverted_clicks",
+    "events_daily_trend_slope",
+    "events_rfm_segments",
 ]
 
 

@@ -385,3 +385,126 @@ def events_unconverted_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cause_id",
         F.unix_micros("cause_ts").cast("bigint").alias("cause_ts_us"),
     )
+
+
+@query(
+    "events_daily_trend_slope",
+    oracle="""
+WITH daily AS (
+  SELECT event_type,
+         CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS x,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY event_type, x
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(y) AS BIGINT) AS n_events,
+       CAST(FLOOR(1000.0 * (COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+                  / (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)) + 0.5) AS BIGINT)
+         AS slope_milli_per_day
+FROM daily
+GROUP BY event_type
+""",
+)
+def events_daily_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type volume trend: the ordinary-least-squares slope of
+    daily event counts over the day index (milli-events/day) — the
+    "is this metric growing or decaying, and how fast" number behind
+    every trend arrow, computed exactly: OLS slope =
+    (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²) where every sum is exact int64
+    and the single division happens once per type.
+
+    One map-side-combined daily aggregation (the corpus pass), then
+    four integer sums over the per-type day grid — the same
+    reduce-then-analyze shape as the CUSUM changepoint.
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("bigint")
+        .alias("x"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    n = F.count(F.lit(1))
+    slope = (
+        1000.0
+        * (n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y"))
+        / (n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x"))
+    )
+    return daily.groupBy("event_type").agg(
+        n.cast("bigint").alias("n_days"),
+        F.sum("y").cast("bigint").alias("n_events"),
+        F.floor(slope + F.lit(0.5)).cast("bigint").alias(
+            "slope_milli_per_day"
+        ),
+    )
+
+
+RFM_ASOF = "2024-02-01"
+
+
+@query(
+    "events_rfm_segments",
+    oracle=f"""
+WITH rfm AS (
+  SELECT user_id,
+         CAST(DATE '{RFM_ASOF}' - MAX(CAST(ts AS DATE)) AS BIGINT) AS recency_days,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+           AS monetary_micros
+  FROM events GROUP BY user_id
+)
+SELECT user_id, recency_days, frequency, monetary_micros,
+       CAST(NTILE(5) OVER (ORDER BY recency_days DESC, user_id) AS BIGINT) AS r_score,
+       CAST(NTILE(5) OVER (ORDER BY frequency, user_id) AS BIGINT) AS f_score,
+       CAST(NTILE(5) OVER (ORDER BY monetary_micros, user_id) AS BIGINT) AS m_score
+FROM rfm
+""",
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation as of {RFM_ASOF}: per user, recency (days
+    since last event), frequency (event count), monetary (value
+    total), each banded into quintiles — the CRM segmentation whose
+    (r, f, m) triple drives retention campaigns ("champions" = 555,
+    "at risk" = high m, low r). Higher score = better customer, so
+    recency ranks DESCENDING (most-recent last) while f/m rank
+    ascending; all three NTILEs carry a user_id tie-break for
+    engine-stable banding.
+
+    One corpus pass builds the per-user rollup; the NTILE windows run
+    over the user dimension (global sort — dimension-sized; the
+    at-scale form banded on percentile cutpoints from the GK sketch
+    instead of a global rank).
+    """
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    rfm = ev.groupBy("user_id").agg(
+        F.datediff(
+            F.lit(RFM_ASOF).cast("date"), F.max(F.col("ts").cast("date"))
+        )
+        .cast("bigint")
+        .alias("recency_days"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.sum(
+            F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint")
+        ).alias("monetary_micros"),
+    )
+    return rfm.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_micros",
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("recency_days"), F.asc("user_id")))
+        .cast("bigint")
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.asc("frequency"), F.asc("user_id")))
+        .cast("bigint")
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.asc("monetary_micros"), F.asc("user_id")))
+        .cast("bigint")
+        .alias("m_score"),
+    )
