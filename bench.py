@@ -109,6 +109,7 @@ EXTENDED = [
     "events_unconverted_clicks",
     "events_daily_trend_slope",
     "events_rfm_segments",
+    "q_referential_integrity_audit",
 ]
 
 

@@ -1710,3 +1710,91 @@ def q_basket_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(lift + F.lit(0.5)).cast("bigint").alias("lift_milli"),
         )
     )
+
+
+@query(
+    "q_referential_integrity_audit",
+    oracle="""
+SELECT * FROM (
+  SELECT 'lineitem.l_orderkey -> orders' AS fk,
+         CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_rows,
+         CAST((SELECT COUNT(*) FROM lineitem l
+               WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                 WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+           AS n_orphans
+  UNION ALL
+  SELECT 'lineitem.l_partkey -> part',
+         CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+         CAST((SELECT COUNT(*) FROM lineitem l
+               WHERE NOT EXISTS (SELECT 1 FROM part p
+                                 WHERE p.p_partkey = l.l_partkey)) AS BIGINT)
+  UNION ALL
+  SELECT 'lineitem.l_suppkey -> supplier',
+         CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+         CAST((SELECT COUNT(*) FROM lineitem l
+               WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                 WHERE s.s_suppkey = l.l_suppkey)) AS BIGINT)
+  UNION ALL
+  SELECT 'orders.o_custkey -> customer',
+         CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+         CAST((SELECT COUNT(*) FROM orders o
+               WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                 WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+  UNION ALL
+  SELECT 'customer.c_nationkey -> nation',
+         CAST((SELECT COUNT(*) FROM customer) AS BIGINT),
+         CAST((SELECT COUNT(*) FROM customer c
+               WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                 WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT)
+  UNION ALL
+  SELECT 'supplier.s_nationkey -> nation',
+         CAST((SELECT COUNT(*) FROM supplier) AS BIGINT),
+         CAST((SELECT COUNT(*) FROM supplier s
+               WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                 WHERE n.n_nationkey = s.s_nationkey)) AS BIGINT)
+)
+""",
+)
+def q_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan-row counts for every
+    foreign-key relationship in the schema — the load-validation gate
+    a warehouse runs after every ingest, because a broken FK silently
+    drops rows from every inner join downstream (the worst kind of
+    wrong: plausible totals, missing data).
+
+    Each check is a LEFT ANTI join counting fact rows whose key has no
+    dimension match: dimension sides broadcast, the big facts stream
+    through once per check with only the key column read
+    (column-pruned scans). The oracle states each as NOT EXISTS — the
+    form anti-joins lower from.
+    """
+    def orphans(fact: DataFrame, fk: str, dim: DataFrame, pk: str):
+        total = fact.count()
+        n = (
+            fact.select(F.col(fk))
+            .join(
+                F.broadcast(dim.select(F.col(pk).alias(fk))), fk, "left_anti"
+            )
+            .count()
+        )
+        return total, n
+
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    part = table(spark, sf_dir, "part")
+    supp = table(spark, sf_dir, "supplier")
+    nat = table(spark, sf_dir, "nation")
+    checks = [
+        ("lineitem.l_orderkey -> orders", li, "l_orderkey", orders, "o_orderkey"),
+        ("lineitem.l_partkey -> part", li, "l_partkey", part, "p_partkey"),
+        ("lineitem.l_suppkey -> supplier", li, "l_suppkey", supp, "s_suppkey"),
+        ("orders.o_custkey -> customer", orders, "o_custkey", cust, "c_custkey"),
+        ("customer.c_nationkey -> nation", cust, "c_nationkey", nat, "n_nationkey"),
+        ("supplier.s_nationkey -> nation", supp, "s_nationkey", nat, "n_nationkey"),
+    ]
+    rows = []
+    for name, fact, fk, dim, pk in checks:
+        total, n = orphans(fact, fk, dim, pk)
+        rows.append((name, total, n))
+    return spark.createDataFrame(rows, "fk string, n_rows bigint, n_orphans bigint")
