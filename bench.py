@@ -110,6 +110,7 @@ EXTENDED = [
     "events_daily_trend_slope",
     "events_rfm_segments",
     "q_referential_integrity_audit",
+    "dup_modality_agreement",
 ]
 
 

@@ -1211,3 +1211,86 @@ def doc_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             (score < LM_LOW_PPM).alias("flagged_unnatural"),
         )
     )
+
+
+def _modality_agreement_oracle() -> str:
+    text_sql = ORACLES["doc_ngram_jaccard_pairs"]
+    emb_sql = ORACLES["emb_near_dup_pairs"]
+    return f"""
+WITH tp AS (
+  SELECT doc_a, doc_b FROM ({text_sql}) t
+  WHERE EXISTS (SELECT 1 FROM embeddings e WHERE e.vec_id = t.doc_a)
+    AND EXISTS (SELECT 1 FROM embeddings e WHERE e.vec_id = t.doc_b)
+), ep AS (
+  SELECT vec_a AS doc_a, vec_b AS doc_b FROM ({emb_sql})
+), b AS (
+  SELECT doc_a, doc_b FROM tp INTERSECT SELECT doc_a, doc_b FROM ep
+)
+SELECT CAST((SELECT COUNT(*) FROM tp) AS BIGINT) AS n_text_pairs,
+       CAST((SELECT COUNT(*) FROM ep) AS BIGINT) AS n_emb_pairs,
+       CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS n_both,
+       CAST(FLOOR(1000000.0 * (SELECT COUNT(*) FROM b)
+                  / greatest((SELECT COUNT(*) FROM tp)
+                             + (SELECT COUNT(*) FROM ep)
+                             - (SELECT COUNT(*) FROM b), 1) + 0.5) AS BIGINT)
+         AS agreement_ppm
+"""
+
+
+@query("dup_modality_agreement", oracle=_modality_agreement_oracle())
+def dup_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modality dedup agreement: near-dup pairs found by exact
+    text 5-gram Jaccard (≥0.4) vs by embedding cosine (≥0.95), over
+    the embedded subset of the corpus — intersection, per-modality
+    counts, and the Jaccard of the two pair SETS (ppm). THE embedding-
+    space sanity check for a dedup stack: text-near-dups the embedder
+    does NOT place nearby mean the embedding space is too coarse for
+    semantic dedup; embedding-pairs with no text overlap are either
+    paraphrases (wanted) or embedding-collapse artifacts (a falling
+    agreement trend is the alarm, cf. emb_spectrum_diagnostics).
+
+    Both pair streams are the registered operators themselves (the
+    sub-quadratic text path, the guarded exact embedding baseline);
+    this query adds two semi-joins onto the embedded id set, one
+    pair-key intersection join, and a scalar rollup.
+    """
+    from the_hive_spark.operators.dedup import doc_ngram_jaccard_pairs
+    from the_hive_spark.operators.similarity import emb_near_dup_pairs
+
+    emb_ids = table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id")
+    )
+    tp = (
+        doc_ngram_jaccard_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .join(
+            F.broadcast(emb_ids.withColumnRenamed("id", "doc_a")),
+            "doc_a",
+            "left_semi",
+        )
+        .join(
+            F.broadcast(emb_ids.withColumnRenamed("id", "doc_b")),
+            "doc_b",
+            "left_semi",
+        )
+    )
+    ep = emb_near_dup_pairs(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    n_text = tp.count()
+    n_emb = ep.count()
+    n_both = tp.join(ep, ["doc_a", "doc_b"], "left_semi").count()
+    union = max(n_text + n_emb - n_both, 1)
+    rows = [
+        (
+            n_text,
+            n_emb,
+            n_both,
+            int(1_000_000 * n_both / union + 0.5),
+        )
+    ]
+    return spark.createDataFrame(
+        rows,
+        "n_text_pairs bigint, n_emb_pairs bigint, n_both bigint,"
+        " agreement_ppm bigint",
+    )
