@@ -111,6 +111,7 @@ EXTENDED = [
     "events_rfm_segments",
     "q_referential_integrity_audit",
     "dup_modality_agreement",
+    "events_type_audience_overlap",
 ]
 
 

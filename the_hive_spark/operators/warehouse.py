@@ -508,3 +508,78 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("m_score"),
     )
+
+
+@query(
+    "events_type_audience_overlap",
+    oracle="""
+WITH tu AS (
+  SELECT DISTINCT event_type, user_id FROM events
+), sz AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM tu GROUP BY event_type
+), pair AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM tu a JOIN tu b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY type_a, type_b
+)
+SELECT p.type_a, p.type_b, p.n_common,
+       sa.n_users AS n_a, sb.n_users AS n_b,
+       CAST(FLOOR(1000000.0 * p.n_common
+                  / (sa.n_users + sb.n_users - p.n_common) + 0.5) AS BIGINT)
+         AS overlap_ppm
+FROM pair p
+JOIN sz sa ON sa.event_type = p.type_a
+JOIN sz sb ON sb.event_type = p.type_b
+""",
+)
+def events_type_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: for every pair of event types, how
+    many users do BOTH, with the Jaccard of the two audiences (ppm) —
+    the segmentation readout behind "do purchasers also open errors",
+    feature-adoption overlap, and funnel design.
+
+    The distinct (type, user) projection collapses the fact stream to
+    at most |types|·|users| rows BEFORE any pairing; the self-join on
+    user_id fans out to C(|types per user|, 2) per user — bounded by
+    the (tiny, closed) type domain squared, never by event volume.
+    One fact shuffle for the distinct, one user-keyed join, a
+    |types|²-key rollup.
+    """
+    ev = table(spark, sf_dir, "events")
+    tu = ev.select("event_type", "user_id").distinct()
+    sz = tu.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    a, b = tu.alias("a"), tu.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    sa = sz.select(F.col("event_type").alias("type_a"), F.col("n_users").alias("n_a"))
+    sb = sz.select(F.col("event_type").alias("type_b"), F.col("n_users").alias("n_b"))
+    overlap = 1000000.0 * F.col("n_common") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    return (
+        pair.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.floor(overlap + F.lit(0.5)).cast("bigint").alias("overlap_ppm"),
+        )
+    )
