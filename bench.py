@@ -112,6 +112,8 @@ EXTENDED = [
     "q_referential_integrity_audit",
     "dup_modality_agreement",
     "events_type_audience_overlap",
+    "doc_length_outliers_mad",
+    "events_pareto_concentration",
 ]
 
 

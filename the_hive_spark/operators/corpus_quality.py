@@ -1294,3 +1294,80 @@ def dup_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_text_pairs bigint, n_emb_pairs bigint, n_both bigint,"
         " agreement_ppm bigint",
     )
+
+
+@query(
+    "doc_length_outliers_mad",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS x FROM documents
+), med AS (
+  SELECT x AS m FROM (
+    SELECT x, ROW_NUMBER() OVER (ORDER BY x, doc_id) AS rn, COUNT(*) OVER () AS n
+    FROM d
+  ) WHERE rn = (n + 1) // 2
+), dev AS (
+  SELECT d.doc_id, d.x, ABS(d.x - med.m) AS ad, med.m FROM d CROSS JOIN med
+), mad AS (
+  SELECT ad AS mad_v FROM (
+    SELECT ad, ROW_NUMBER() OVER (ORDER BY ad, doc_id) AS rn, COUNT(*) OVER () AS n
+    FROM dev
+  ) WHERE rn = (n + 1) // 2
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(ANY_VALUE(dev.m) AS BIGINT) AS median_chars,
+       CAST(ANY_VALUE(mad.mad_v) AS BIGINT) AS mad_chars,
+       CAST(SUM(CASE WHEN dev.ad > 3 * mad.mad_v THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM dev CROSS JOIN mad
+""",
+)
+def doc_length_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust length outliers: documents whose length deviates from
+    the corpus median by more than 3× the median absolute deviation —
+    the outlier gate that, unlike mean/stddev z-scores, is not itself
+    dragged by the outliers it is hunting (truncated dumps, concatenated
+    files, binary-in-text blobs). Entirely integer arithmetic: both
+    medians are exact lower-nearest-rank picks, the 3×MAD comparison
+    is integer, no float moment anywhere.
+
+    Two rank reductions (median of x, median of |x − med|) and one
+    broadcast-scalar filter pass — the reduce-then-filter shape; at
+    100 TB the medians come from the GK sketch with this exact path as
+    the verification rollup.
+    """
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("bigint").alias("x")
+    )
+
+    def lower_median(df: DataFrame, col: str) -> int:
+        w = Window.orderBy(F.asc(col), F.asc("doc_id"))
+        ranked = df.select(
+            col,
+            "doc_id",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(
+                Window.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ).alias("n"),
+        )
+        return int(
+            ranked.filter(
+                F.col("rn") == F.floor((F.col("n") + 1) / 2)
+            ).collect()[0][col]
+        )
+
+    m = lower_median(d, "x")
+    dev = d.withColumn("ad", F.abs(F.col("x") - F.lit(m)))
+    mad = lower_median(dev, "ad")
+    return dev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.lit(m).cast("bigint").alias("median_chars"),
+        F.lit(mad).cast("bigint").alias("mad_chars"),
+        F.sum((F.col("ad") > 3 * F.lit(mad)).cast("long"))
+        .cast("bigint")
+        .alias("n_outliers"),
+    )

@@ -583,3 +583,78 @@ def events_type_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(overlap + F.lit(0.5)).cast("bigint").alias("overlap_ppm"),
         )
     )
+
+
+PARETO_GRID = [1, 5, 10, 20, 50]  # top-X% marks
+
+
+@query(
+    "events_pareto_concentration",
+    oracle=f"""
+WITH per_user AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY user_id
+), ranked AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, user_id) AS rn,
+         COUNT(*) OVER () AS n, SUM(c) OVER () AS tot
+  FROM per_user
+), cum AS (
+  SELECT rn, n, tot, SUM(c) OVER (ORDER BY rn) AS cum_c FROM ranked
+)
+SELECT CAST(p.pct AS BIGINT) AS top_pct,
+       CAST(MAX(CASE WHEN cum.rn = greatest(p.pct * cum.n // 100, 1)
+                     THEN cum.cum_c END) AS BIGINT) AS n_events,
+       CAST(FLOOR(1000000.0 * MAX(CASE WHEN cum.rn = greatest(p.pct * cum.n // 100, 1)
+                     THEN cum.cum_c END) / ANY_VALUE(cum.tot) + 0.5) AS BIGINT)
+         AS share_ppm
+FROM cum CROSS JOIN (SELECT unnest([{", ".join(str(p) for p in PARETO_GRID)}]) AS pct) p
+GROUP BY p.pct
+""",
+)
+def events_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration curve: the share of all events produced by
+    the top 1/5/10/20/50% most-active users — the "80/20" readout
+    behind capacity planning, whale detection, and the sampling-bias
+    check before any per-user experiment.
+
+    One per-user rollup (the corpus pass), a descending rank +
+    cumulative sum over the user dimension, then five exact marks
+    picked at rank ⌊p·n/100⌋ — integer rank arithmetic on both
+    engines, one final share division per mark.
+    """
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w = Window.orderBy(F.desc("c"), F.asc("user_id"))
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = per_user.select(
+        "c",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("c").over(wall).alias("tot"),
+    ).withColumn(
+        "cum_c",
+        F.sum("c").over(
+            Window.orderBy("rn").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    marks = None
+    for pct in PARETO_GRID:
+        at = ranked.filter(
+            F.col("rn")
+            == F.greatest(
+                F.floor(F.lit(pct) * F.col("n") / 100), F.lit(1)
+            )
+        ).select(
+            F.lit(pct).cast("bigint").alias("top_pct"),
+            F.col("cum_c").cast("bigint").alias("n_events"),
+            F.floor(1000000.0 * F.col("cum_c") / F.col("tot") + F.lit(0.5))
+            .cast("bigint")
+            .alias("share_ppm"),
+        )
+        marks = at if marks is None else marks.unionByName(at)
+    return marks
