@@ -55,6 +55,13 @@ def load_all() -> None:
     analytics/dedup/graph/media/rules/similarity blocks (driver-green
     in round 1) rotate back in next round. New oracled queries should
     register in LATE modules so this gate allocation stays stable.
+
+    Round-3 rotation note: once this round's gate lands, the families
+    with NO driver-oracle row yet are the round-2 additions —
+    corpus_quality, entity_resolution, warehouse, the newer
+    similarity/analytics entries (PQ/IVF-PQ evals, HHI/Gini/Benford,
+    fuzzy match, SCD2/CDC, funnel, KS drift, TF-IDF …). Rotate those
+    to the front of the next budget, then the round-1-green blocks.
     """
     from the_hive_spark.operators import (  # noqa: F401
         timeline,
