@@ -114,6 +114,8 @@ EXTENDED = [
     "events_type_audience_overlap",
     "doc_length_outliers_mad",
     "events_pareto_concentration",
+    "events_burst_fano",
+    "doc_charset_profile",
 ]
 
 

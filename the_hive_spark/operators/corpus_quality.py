@@ -1371,3 +1371,50 @@ def doc_length_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_outliers"),
     )
+
+
+@query(
+    "doc_charset_profile",
+    oracle="""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(length(text) - length(regexp_replace(text, '[ -~]', '', 'g'))
+            AS BIGINT) AS n_printable_ascii,
+       CAST(length(regexp_replace(text, '[\\x00-\\x7F]', '', 'g')) AS BIGINT)
+         AS n_non_ascii,
+       (1000000.0 * length(regexp_replace(text, '[\\x00-\\x7F]', '', 'g'))
+          / length(text) < 100000) AS passes_charset
+FROM documents WHERE length(text) > 0
+""",
+)
+def doc_charset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-set audit per document: printable-ASCII and non-ASCII
+    counts plus a <10% non-ASCII keep flag — the mojibake / binary-in-
+    text / wrong-encoding detector that runs before any tokenizer,
+    since a feed whose bytes were decoded with the wrong charset
+    poisons every downstream text signal while looking superficially
+    like language.
+
+    Pure JVM regexp counting over one repartitioned scan (the same
+    heavy-expression convention as the BPE token stats); flags are
+    in-row, no shuffle beyond the fan-out repartition.
+    """
+    n = spark.sparkContext.defaultParallelism
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .repartition(n)
+    )
+    non_ascii = F.length(F.regexp_replace("text", "[\\x00-\\x7F]", ""))
+    printable = F.length("text") - F.length(
+        F.regexp_replace("text", "[ -~]", "")
+    )
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        printable.cast("bigint").alias("n_printable_ascii"),
+        non_ascii.cast("bigint").alias("n_non_ascii"),
+        (1000000.0 * non_ascii / F.length("text") < 100000).alias(
+            "passes_charset"
+        ),
+    )

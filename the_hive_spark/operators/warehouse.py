@@ -658,3 +658,49 @@ def events_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         marks = at if marks is None else marks.unionByName(at)
     return marks
+
+
+@query(
+    "events_burst_fano",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY event_type, day
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(x) AS BIGINT) AS n_events,
+       CAST(FLOOR(1000.0 * (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x))
+                  / (COUNT(*) * SUM(x)) + 0.5) AS BIGINT) AS fano_milli
+FROM daily GROUP BY event_type
+""",
+)
+def events_burst_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness per event type: the Fano factor (variance-to-mean
+    ratio, milli-units) of daily counts — the overdispersion detector
+    that separates Poisson-like background traffic (Fano ≈ 1000) from
+    bursty sources (retry storms, batch jobs, scraping waves) whose
+    variance far exceeds their mean even when totals look normal.
+
+    Exact integer statistics: Fano = var/mean =
+    (n·Σx² − (Σx)²)/(n·Σx) with all sums exact int64 and ONE final
+    division — no float moments accumulate. Same reduce-then-analyze
+    shape as the trend slope: one map-side-combined daily aggregation,
+    then four sums per type over the day grid.
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    n = F.count(F.lit(1))
+    fano = (
+        1000.0
+        * (n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x"))
+        / (n * F.sum("x"))
+    )
+    return daily.groupBy("event_type").agg(
+        n.cast("bigint").alias("n_days"),
+        F.sum("x").cast("bigint").alias("n_events"),
+        F.floor(fano + F.lit(0.5)).cast("bigint").alias("fano_milli"),
+    )
