@@ -473,6 +473,11 @@ WHERE FLOOR(1000000.0 * n_shared / (sa.n_sh + sb.n_sh - n_shared) + 0.5) >= {JAC
 def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by exact character-5-gram Jaccard ≥ 0.4.
 
+    The verified pair stream is itself a dedup-index artifact, so it
+    goes through the materialization store like the cluster labels —
+    dup_modality_agreement and any later reader join the stored pairs
+    instead of re-running the all-pairs verification.
+
     EXACT results at sub-quadratic cost via prefix filtering (Bayardo
     et al. WWW'07 "Scaling Up All Pairs Similarity Search"; Vernica et
     al. SIGMOD'10 for the MapReduce form): order each doc's shingles
@@ -496,6 +501,16 @@ def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs BLAS scoring. The prefix path below is the sparse/
     huge-vocabulary plan where prefix filtering actually prunes.
     """
+    from the_hive_spark.functions.matstore import materialized
+
+    return materialized(
+        spark,
+        ("ngram_jaccard_pairs", sf_dir, SHINGLE_W, JACCARD_THRESHOLD_PPM),
+        lambda: _ngram_jaccard_pairs_build(spark, sf_dir),
+    )
+
+
+def _ngram_jaccard_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     docs = table(spark, sf_dir, "documents").filter(
