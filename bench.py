@@ -116,6 +116,8 @@ EXTENDED = [
     "events_pareto_concentration",
     "events_burst_fano",
     "doc_charset_profile",
+    "doc_dup_gram_hotspots",
+    "emb_norm_outliers",
 ]
 
 

@@ -1418,3 +1418,67 @@ def doc_charset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "passes_charset"
         ),
     )
+
+
+HOTSPOT_TOPK = 20
+
+
+@query(
+    "doc_dup_gram_hotspots",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS words
+  FROM documents WHERE length(text) > 0
+), g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(words) - {COVER_N - 2}),
+                i -> array_to_string(list_slice(words, i, i + {COVER_N - 1}), ' ')))) AS gram
+  FROM w WHERE len(words) >= {COVER_N}
+)
+SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM g GROUP BY gram
+HAVING COUNT(*) >= 2
+ORDER BY n_docs DESC, gram
+LIMIT {HOTSPOT_TOPK}
+""",
+)
+def doc_dup_gram_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-text hotspots: the top-{HOTSPOT_TOPK} word
+    {COVER_N}-grams appearing in the most documents — the "WHAT is the
+    boilerplate" report that pairs with doc_dup_gram_coverage's
+    per-doc "how much": license headers, cookie banners, and template
+    chrome show up here verbatim, and the list feeds the strip-list a
+    curation pipeline applies before dedup so boilerplate doesn't
+    glue unrelated documents into one cluster.
+
+    Same two-stage shape as the coverage query (in-row distinct gram
+    arrays → repartitioned explode → map-side-combined df count) with
+    a TakeOrdered top-k instead of the join back — the gram key space
+    is the only thing shuffled.
+    """
+    n = spark.sparkContext.defaultParallelism
+    base = (
+        table(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select("doc_id", F.expr(_WORDS).alias("words"))
+        .filter(F.size("words") >= COVER_N)
+        .repartition(n, "doc_id")
+    )
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, size(words) - {COVER_N - 1}),"
+                    f" i -> concat_ws(' ', slice(words, i, {COVER_N})))"
+                )
+            )
+        ).alias("gram"),
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), F.asc("gram"))
+        .limit(HOTSPOT_TOPK)
+    )

@@ -1177,3 +1177,60 @@ def emb_spectrum_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("component") == 0, "anisotropy").otherwise("eigval_share"),
     )
     return out.select("metric", "component", "variance_share_ppm")
+
+
+NORM_BAND_PPM = 50_000  # flag vectors whose norm is >5% off unit
+
+
+@query(
+    "emb_norm_outliers",
+    oracle=f"""
+WITH n AS (
+  SELECT vec_id, label,
+         CAST({_qdot_duck("embedding", "embedding")} AS BIGINT) AS nrm_sq_micro
+  FROM embeddings
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(SUM(CASE WHEN ABS(CAST(FLOOR(sqrt(CAST(nrm_sq_micro AS DOUBLE) * 1000000)
+                                         + 0.5) AS BIGINT) - 1000000)
+                          > {NORM_BAND_PPM} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       CAST(MIN(CAST(FLOOR(sqrt(CAST(nrm_sq_micro AS DOUBLE) * 1000000) + 0.5)
+                AS BIGINT)) AS BIGINT) AS min_norm_micro,
+       CAST(MAX(CAST(FLOOR(sqrt(CAST(nrm_sq_micro AS DOUBLE) * 1000000) + 0.5)
+                AS BIGINT)) AS BIGINT) AS max_norm_micro
+FROM n
+""",
+)
+def emb_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-norm audit: how many vectors sit more than 5% off
+    unit norm, with the observed min/max norm (micro-units) — the
+    broken-embedding detector (zero vectors from failed API calls,
+    un-normalized batches from a mismatched model version) that runs
+    before any cosine machinery, since cosine silently "works" on bad
+    norms while dot-product ranking quietly breaks.
+
+    Norms come from the exact quantized self-dot (int64), with one
+    sqrt+floor per row — single scan, one summary row, no shuffle of
+    anything vector-sized.
+    """
+    from the_hive_spark.functions.vectorops import dot_spark, qvec_spark
+
+    n = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(qvec_spark("embedding")).alias("qe")
+    ).select(
+        "vec_id", F.expr(dot_spark("qe", "qe")).alias("nrm_sq_micro")
+    )
+    norm_micro = F.floor(
+        F.sqrt(F.col("nrm_sq_micro").cast("double") * 1000000) + F.lit(0.5)
+    ).cast("bigint")
+    return n.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.sum(
+            (F.abs(norm_micro - 1000000) > NORM_BAND_PPM).cast("long")
+        )
+        .cast("bigint")
+        .alias("n_outliers"),
+        F.min(norm_micro).cast("bigint").alias("min_norm_micro"),
+        F.max(norm_micro).cast("bigint").alias("max_norm_micro"),
+    )
