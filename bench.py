@@ -118,6 +118,13 @@ EXTENDED = [
     "doc_charset_profile",
     "doc_dup_gram_hotspots",
     "emb_norm_outliers",
+    "q2_min_cost_supplier",
+    "q13_customer_order_distribution",
+    "q16_supplier_part_variety",
+    "q22_lapsed_rich_customers",
+    "emb_semantic_dup_clusters",
+    "doc_reservoir_sample",
+    "doc_curriculum_shards",
 ]
 
 
@@ -174,17 +181,42 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    out: dict = {
+
+    # The driver captures only ~2.6 KB of stdout tail; rounds 1-2 the
+    # line was cut and recorded as parsed:null. Keep the printed line
+    # SMALL (2-decimal headline timings only, "value" LAST so it
+    # survives any head-truncation too) and write the full detail —
+    # extended timings, errors, 4-decimal precision — to
+    # BENCH_EXTENDED.json next to this script.
+    detail: dict = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
         "extended_queries": ext_timings,
+        "extended_total": round(sum(ext_timings.values()), 4),
         "sf": sf_val,
     }
     if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+        detail["errors"] = errors
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_EXTENDED.json"), "w") as fh:
+        json.dump(detail, fh, indent=1)
+
+    line: dict = {
+        "metric": "headline_queries_total",
+        "unit": "sec",
+        "sf": sf_val,
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "n_extended_ok": len(ext_timings),
+        "n_errors": len(errors),
+        "value": round(sum(timings.values()), 2),
+    }
+    text = json.dumps(line, separators=(",", ":"))
+    if len(text) > 2200:  # belt-and-braces: never exceed the capture
+        line.pop("queries")
+        text = json.dumps(line, separators=(",", ":"))
+    print(text)
     spark.stop()
 
 

@@ -77,6 +77,62 @@ def test_ingest_then_stats_and_timeline(engine):
     assert all(e["event_type"] == "ingest" for e in events)
 
 
+def test_watch_ingest_search_roundtrip_sf001(spark, tmp_path):
+    """ST1-ST4 at data scale (round-2 verdict ask): the full
+    watch → parse → ingest → search round-trip over the sf0.01
+    documents corpus (500 real docs, not the 6 fixture files).
+
+    - availableNow stream discovers and ingests every non-empty doc;
+    - a known chunk's exact content must retrieve its own document
+      top-1 (identical text ⇒ identical deterministic embedding ⇒
+      cosine 1);
+    - re-streaming the same tree from a fresh checkpoint is a no-op
+      (ST2 change detection / ST4 idempotent redelivery).
+    """
+    sf = os.environ.get("SPARK_GRAFT_PARITY_SF", "/root/testdata/sf0.01")
+    if not os.path.isdir(sf):
+        pytest.skip(f"no testdata at {sf}")
+    docs = (
+        spark.read.parquet(os.path.join(sf, "documents.parquet"))
+        .select("doc_id", "text")
+        .collect()
+    )
+    watch_dir = tmp_path / "watch"
+    watch_dir.mkdir()
+    expected = 0
+    for r in docs:
+        text = r["text"] or ""
+        (watch_dir / f"doc_{r['doc_id']}.txt").write_text(text)
+        if len(text.encode()) > 0:
+            expected += 1
+
+    eng = HiveEngine(spark, str(tmp_path / "wh"), embedding_dim=64)
+    q = watch(eng, str(watch_dir), str(tmp_path / "ckpt1"))
+    q.awaitTermination(300)
+
+    stats = eng.stats()
+    assert stats["total_documents"] == expected
+    assert stats["total_vectors"] == stats["total_chunks"] >= expected
+
+    # search round-trip: a chunk's own content is its best query
+    probe = (
+        eng.read_table("chunks")
+        .filter(F.col("chunk_index") == 0)
+        .orderBy("document_id")
+        .select("document_id", "content")
+        .first()
+    )
+    top = eng.search(probe["content"], top_k=1, audit=False).collect()
+    assert top and top[0]["document_id"] == probe["document_id"]
+
+    # fresh checkpoint ⇒ full redelivery ⇒ change detection no-ops
+    before = eng.read_table("chunks").count()
+    q2 = watch(eng, str(watch_dir), str(tmp_path / "ckpt2"))
+    q2.awaitTermination(300)
+    assert eng.read_table("chunks").count() == before
+    assert eng.stats()["total_documents"] == expected
+
+
 def test_tenant_purge_isolation(spark, tmp_path):
     """S16 + §1.3: purging one org leaves the other intact."""
     eng = HiveEngine(spark, str(tmp_path / "wh"), embedding_dim=16)

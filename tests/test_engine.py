@@ -98,6 +98,41 @@ def test_graph_edges_and_neighborhood(engine):
     assert nb[0]["relationship_type"] == "contradicts"
 
 
+def test_contradiction_candidates_no_cartesian(engine):
+    """J2 (analyst.go:295-377): the corpus-wide sweep must run on LSH
+    band candidates, never an all-pairs BroadcastNestedLoopJoin — the
+    round-2 verdict's scale-killer finding."""
+    from the_hive_spark.plans.inspect import plan_summary
+
+    df = engine.contradiction_candidates(top_k=3)
+    summary = plan_summary(df)
+    assert summary["cartesian_products"] == 0, summary
+    assert summary["broadcast_nested_loop_joins"] == 0, summary
+
+    rows = df.collect()
+    # Per-source top-k bound holds and scores are valid cosines.
+    by_src: dict[str, int] = {}
+    for r in rows:
+        by_src[r["source_doc_id"]] = by_src.get(r["source_doc_id"], 0) + 1
+        assert -1.0001 <= r["score"] <= 1.0001
+        assert r["source_doc_id"] != r["target_doc_id"]
+    assert all(c <= 3 for c in by_src.values())
+    # The seeded corpus is tiny and mutually similar enough that the
+    # band join must surface at least some candidate pairs.
+    assert len(rows) > 0
+
+
+def test_contradiction_candidates_new_doc_batch(engine):
+    """The per-ingest-batch path: exact top-k for the new docs via one
+    broadcast pass over the corpus (the shape the reference runs)."""
+    new = ["/watch/project_alpha.md"]
+    rows = engine.contradiction_candidates(top_k=3, new_doc_ids=new).collect()
+    assert {r["source_doc_id"] for r in rows} == set(new)
+    assert len(rows) == 3  # corpus has 6 docs, so full k is reachable
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
 def test_chat_rag_citations(engine):
     row = engine.chat("Project Alpha confidential report", top_k=3).collect()[0]
     assert "Project Alpha" in row["answer"]

@@ -14,21 +14,9 @@ from the_hive_spark import registry
 
 registry.load_all()
 
-# This round's top-50 budget (see registry.load_all docstring):
-# 27 timeline events_* + 17 text_analysis doc_* + 6 hive parity.
-# (hive_clients_online at 51, emb_knn_topk — driver-green in round 1 —
-# at 52; new oracled queries must register in LATE modules from here
-# so the gate stops churning.)
-EXPECTED_TOP50_TAIL = [
-    "hive_search_topk",
-    "hive_chat_citations",
-    "hive_chat_answer",
-    "hive_audit_recent",
-    "hive_events_by_doc",
-    "hive_stats",
-]
-
-
+# Round-3 top-50 budget: registry._GATE_R3 is the single source of
+# truth (explicit rotation list, no longer import-order-encoded). This
+# test asserts load_all() actually imposes it in a fresh interpreter.
 def test_top50_budget():
     # Must run in a FRESH interpreter: in the shared pytest process,
     # earlier test modules import operator modules directly and
@@ -52,12 +40,36 @@ def test_top50_budget():
     )
     names = json.loads(out.stdout.strip().splitlines()[-1])
     assert len(names) >= 50
-    top50 = names[:50]
-    assert top50[-6:] == EXPECTED_TOP50_TAIL, top50[-6:]
-    assert names[50] == "hive_clients_online"
-    assert names[51] == "emb_knn_topk"
-    assert all(n.startswith("events_") for n in top50[:27]), top50[:27]
-    assert all(n.startswith("doc_") for n in top50[27:44]), top50[27:44]
+    assert names[: len(registry._GATE_R3)] == registry._GATE_R3
+    # slots 47-50 are the re-attests of changed r1-green code
+    assert names[46:50] == [
+        "doc_minhash_lsh_pairs",
+        "doc_dup_clusters",
+        "graph_pagerank3",
+        "emb_knn_topk",
+    ]
+    # every slot in 1-50 is hash-checkable (has a DuckDB oracle)
+    import importlib
+
+    reg = importlib.import_module("the_hive_spark.registry")
+    missing_oracle = [n for n in names[:50] if n not in reg.ORACLES]
+    assert not missing_oracle, missing_oracle
+
+
+def test_gate_r3_covers_never_checked():
+    """Slots 1-46 must be queries with no driver CORRECTNESS row in
+    rounds 1-2 (the whole point of the rotation)."""
+    import json
+    import os
+
+    checked: set[str] = set()
+    for f in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
+        path = os.path.join(os.path.dirname(__file__), "..", f)
+        if os.path.exists(path):
+            with open(path) as fh:
+                checked |= set(json.load(fh))
+    stale = [n for n in registry._GATE_R3[:46] if n in checked]
+    assert not stale, stale
 
 
 def test_every_query_has_callable_and_unique_name():

@@ -736,37 +736,113 @@ class HiveEngine:
 
     # --------------------------------------------------------------- graph
 
-    def contradiction_candidates(self, top_k: int = 5) -> DataFrame:
+    def contradiction_candidates(
+        self,
+        top_k: int = 5,
+        new_doc_ids: list[str] | None = None,
+        n_planes: int = 32,
+        n_bands: int = 8,
+    ) -> DataFrame:
         """J2: for each document, its top-k most-similar other docs —
         the candidate pairs the analyst would LLM-check (analyst.go:
-        295-377). Deterministic fallback marks a 'contradicts' edge
-        when both docs alert on the keyword predicate."""
+        295-377, which takes the top-5 *ANN* neighbors per new doc from
+        its vector store). Deterministic fallback marks a 'contradicts'
+        edge when both docs alert on the keyword predicate.
+
+        Two scale paths, neither a cartesian:
+
+        - ``new_doc_ids`` given (the per-ingest-batch shape the
+          reference actually runs): the small batch of query vectors
+          broadcasts against one corpus pass — exact top-k, zero
+          shuffles of the corpus side.
+        - corpus-wide sweep (``new_doc_ids=None``): banded SRP-LSH
+          candidate pairs (the AND-OR construction from
+          functions/lsh.py) then per-source top-k within candidates.
+          Approximate like the reference's ANN store; the only shuffle
+          is the (id, band, val) equi-join, which is how this survives
+          where the old all-pairs BroadcastNestedLoopJoin could not.
+          Docs whose bands collide with nothing yield no rows, exactly
+          as an ANN index returns no neighbors below its recall floor.
+        """
         from pyspark.sql import Window
+
+        from the_hive_spark.functions.lsh import lsh_near_dup_candidates
 
         doc_vecs = (
             self.read_table("chunks")
             .filter(F.col("chunk_index") == 0)
-            .select("document_id", "embedding", "content")
+            .select(
+                "document_id",
+                "embedding",
+                (F.instr(F.upper("content"), ALERT_KEYWORD) > 0).alias("_alert"),
+            )
         )
-        a, b = doc_vecs.alias("a"), doc_vecs.alias("b")
-        pairs = (
-            a.join(b, F.col("a.document_id") != F.col("b.document_id"))
-            .withColumn("score", cosine("a.embedding", "b.embedding"))
-        )
-        w = Window.partitionBy("a.document_id").orderBy(
-            F.desc("score"), F.asc("b.document_id")
+        flags = doc_vecs.select("document_id", "_alert")
+
+        if new_doc_ids is not None:
+            # Broadcast the new batch; one pass over the corpus.
+            q = doc_vecs.filter(F.col("document_id").isin(new_doc_ids)).select(
+                F.col("document_id").alias("source_doc_id"),
+                F.col("embedding").alias("qvec"),
+                F.col("_alert").alias("_alert_a"),
+            )
+            scored = (
+                doc_vecs.select(
+                    F.col("document_id").alias("target_doc_id"),
+                    "embedding",
+                    F.col("_alert").alias("_alert_b"),
+                )
+                .crossJoin(F.broadcast(q))
+                .filter(F.col("source_doc_id") != F.col("target_doc_id"))
+                .withColumn("score", cosine("qvec", "embedding"))
+            )
+        else:
+            cand = lsh_near_dup_candidates(
+                doc_vecs.select("document_id", "embedding"),
+                id_col="document_id",
+                vec_col="embedding",
+                n_planes=n_planes,
+                n_bands=n_bands,
+            )
+            undirected = cand.withColumn("score", cosine("vec_a", "vec_b")).select(
+                "id_a", "id_b", "score"
+            )
+            directed = undirected.union(
+                undirected.select(
+                    F.col("id_b").alias("id_a"),
+                    F.col("id_a").alias("id_b"),
+                    "score",
+                )
+            )
+            scored = (
+                directed.withColumnsRenamed(
+                    {"id_a": "source_doc_id", "id_b": "target_doc_id"}
+                )
+                .join(
+                    flags.withColumnsRenamed(
+                        {"document_id": "source_doc_id", "_alert": "_alert_a"}
+                    ),
+                    "source_doc_id",
+                )
+                .join(
+                    flags.withColumnsRenamed(
+                        {"document_id": "target_doc_id", "_alert": "_alert_b"}
+                    ),
+                    "target_doc_id",
+                )
+            )
+
+        w = Window.partitionBy("source_doc_id").orderBy(
+            F.desc("score"), F.asc("target_doc_id")
         )
         return (
-            pairs.withColumn("rn", F.row_number().over(w))
+            scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= top_k)
             .select(
-                F.col("a.document_id").alias("source_doc_id"),
-                F.col("b.document_id").alias("target_doc_id"),
+                "source_doc_id",
+                "target_doc_id",
                 "score",
-                (
-                    (F.instr(F.upper("a.content"), ALERT_KEYWORD) > 0)
-                    & (F.instr(F.upper("b.content"), ALERT_KEYWORD) > 0)
-                ).alias("contradicts"),
+                (F.col("_alert_a") & F.col("_alert_b")).alias("contradicts"),
             )
         )
 

@@ -44,24 +44,27 @@ def digest_chunk_id(doc_id: Column, chunk_index: Column) -> Column:
 
 
 def dense_sequential_ids(
-    df, order_col: str, base: int = 1, id_col: str = "id"
+    df, order_col: str | list[str], base: int = 1, id_col: str = "id"
 ):
     """AUTOINCREMENT-parity ids at cluster scale: dense, starting at
-    ``base``, assigned in ``order_col`` order.
+    ``base``, assigned in ``order_col`` order (a column name or a list
+    of names for a compound sort key — ranks are EXACT either way, so
+    results hash-match the single-partition ``row_number`` form).
 
     A bare ``row_number() OVER (ORDER BY …)`` funnels the whole input
     through ONE partition — fine for a micro-batch, fatal for a bulk
     backfill. This is the scalable form: range-partition by the order
-    column, number rows *within* each partition, then add per-partition
-    offsets computed from one tiny count-per-partition job (the
-    DataFrame image of RDD.zipWithIndex's two-pass scheme). Global
-    order holds because range partitions are themselves ordered.
+    column(s), number rows *within* each partition, then add
+    per-partition offsets computed from one tiny count-per-partition
+    job (the DataFrame image of RDD.zipWithIndex's two-pass scheme).
+    Global order holds because range partitions are themselves ordered.
 
     Returns df plus ``id_col``. Two extra shuffles of df + one
     O(partitions) collect; no single-partition stage anywhere.
     """
     from pyspark.sql import Window
 
+    cols = [order_col] if isinstance(order_col, str) else list(order_col)
     spark = df.sparkSession
     n = spark.sparkContext.defaultParallelism
     # localCheckpoint pins the range boundaries (repartitionByRange
@@ -69,7 +72,7 @@ def dense_sequential_ids(
     # numbering job could draw different partition boundaries and
     # misalign the offsets)
     ranged = (
-        df.repartitionByRange(n, F.col(order_col))
+        df.repartitionByRange(n, *[F.col(c) for c in cols])
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
@@ -86,7 +89,7 @@ def dense_sequential_ids(
         if offsets
         else F.lit(base)
     )
-    w = Window.partitionBy("_pid").orderBy(order_col)
+    w = Window.partitionBy("_pid").orderBy(*cols)
     return (
         ranged.withColumn(
             id_col,
@@ -94,6 +97,29 @@ def dense_sequential_ids(
         )
         .drop("_pid")
     )
+
+
+def ntile_from_rank(rank_col: str, n_rows: int, k: int):
+    """NTILE(k) reconstructed from an exact 1-based global rank.
+
+    Standard SQL NTILE semantics (Spark and DuckDB agree): with
+    n = q·k + rem, the first ``rem`` buckets take q+1 rows and the
+    rest take q. Pure integer arithmetic on the rank, so banding a
+    :func:`dense_sequential_ids` rank gives results hash-identical to
+    ``NTILE(k) OVER (ORDER BY …)`` — without the single-partition
+    window the bare NTILE compiles to.
+    """
+    q, rem = divmod(n_rows, k)
+    r = F.col(rank_col)
+    if q == 0:
+        # fewer rows than buckets: row i lands alone in bucket i
+        return r.cast("bigint")
+    big = rem * (q + 1)
+    # doubles are exact for rank magnitudes here (< 2^53), and the
+    # operands are positive, so cast-to-long == floor division
+    in_big = ((r - 1) / F.lit(q + 1)).cast("long") + 1
+    in_small = F.lit(rem) + ((r - big - 1) / F.lit(q)).cast("long") + 1
+    return F.when(r <= big, in_big).otherwise(in_small).cast("bigint")
 
 
 def distributed_prefix_sum(

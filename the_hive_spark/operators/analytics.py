@@ -1294,20 +1294,28 @@ FROM tiled GROUP BY decile
 )
 def q_customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer lifetime-value deciles: per-customer spend, NTILE(10)
-    band assignment, per-band totals. NTILE runs over an unpartitioned
-    window — legitimate ONLY because it runs after the per-customer
-    rollup collapsed the fact table to |customers| rows; at true scale
-    the same banding is computed shuffle-free from the percent_rank of
-    a range-partitioned global sort, or approx percentile cut-points.
+    band assignment, per-band totals. The banding is the EXACT
+    distributed form: a range-partitioned global rank
+    (functions/ids.py::dense_sequential_ids — no single-partition
+    window) folded through integer NTILE arithmetic
+    (ids.ntile_from_rank), hash-identical to the oracle's NTILE.
     The (spend, custkey) tie-break makes tile assignment total-order
     deterministic so both engines tile identically."""
+    from the_hive_spark.functions.ids import (
+        dense_sequential_ids,
+        ntile_from_rank,
+    )
+
     orders = table(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(
         F.sum(cents(F.col("o_totalprice"))).alias("spend_cents")
     )
-    w = Window.orderBy("spend_cents", "o_custkey")
-    tiled = spend.select(
-        "spend_cents", F.ntile(10).over(w).alias("decile")
+    ranked = dense_sequential_ids(
+        spend, ["spend_cents", "o_custkey"], id_col="_rank"
+    )
+    n = ranked.count()  # checkpointed by dense_sequential_ids — cheap
+    tiled = ranked.select(
+        "spend_cents", ntile_from_rank("_rank", n, 10).alias("decile")
     )
     return tiled.groupBy("decile").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
@@ -1601,12 +1609,13 @@ def q_customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     needs ONE global sort-rank instead of the O(n²) pairwise |xᵢ−xⱼ|
     definition. All sums are exact int64 cents; one final division.
 
-    The rank window is a global sort — fine for a per-customer rollup
-    (dimension-sized); at 100 TB the same identity runs on the
-    range-partitioned prefix-sum machinery (functions/ids.py) instead
-    of a single-partition window.
+    The rank is the EXACT distributed form (functions/ids.py::
+    dense_sequential_ids — range-partition on (cents, custkey),
+    per-partition row_number, per-partition offsets): no
+    single-partition window anywhere, same total order as the
+    oracle's ROW_NUMBER, so hashes are unchanged.
     """
-    from pyspark.sql import Window
+    from the_hive_spark.functions.ids import dense_sequential_ids
 
     spend = (
         table(spark, sf_dir, "orders")
@@ -1617,20 +1626,27 @@ def q_customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cents")
         )
     )
-    w = Window.orderBy("cents", "o_custkey")
-    ranked = spend.select(
-        "cents", F.row_number().over(w).alias("i")
-    )
+    ranked = dense_sequential_ids(
+        spend, ["cents", "o_custkey"], id_col="i"
+    ).select("cents", "i")
+    # Σ(i·cents) accumulates in decimal(38,0): int64 silently wraps
+    # around sf≈10 while the DuckDB oracle promotes SUM to HUGEINT —
+    # decimal keeps both sides exact, and the ratio only drops to
+    # double after the exact integer numerator/denominator are formed
+    # (same value ⇒ same IEEE rounding on both engines).
     agg = ranked.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("cents").alias("tot"),
-        F.sum(F.col("i") * F.col("cents")).alias("ixs"),
+        F.sum(
+            F.col("i").cast("decimal(38,0)") * F.col("cents")
+        ).alias("ixs"),
     )
-    gini = (
-        1000000.0
-        * (2 * F.col("ixs") - (F.col("n") + 1) * F.col("tot"))
-        / (F.col("n") * F.col("tot"))
-    )
+    num = (
+        2 * F.col("ixs")
+        - (F.col("n") + 1).cast("decimal(38,0)") * F.col("tot")
+    ).cast("double")
+    den = (F.col("n").cast("decimal(38,0)") * F.col("tot")).cast("double")
+    gini = 1000000.0 * num / den
     return agg.select(
         F.col("n").cast("bigint").alias("n_customers"),
         F.col("tot").cast("bigint").alias("total_cents"),
@@ -1762,22 +1778,21 @@ def q_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     drops rows from every inner join downstream (the worst kind of
     wrong: plausible totals, missing data).
 
-    Each check is a LEFT ANTI join counting fact rows whose key has no
-    dimension match: dimension sides broadcast, the big facts stream
-    through once per check with only the key column read
-    (column-pruned scans). The oracle states each as NOT EXISTS — the
-    form anti-joins lower from.
+    ONE pass per fact table (the round-2 verdict's ask — the old form
+    ran 12 jobs and read lineitem six times): all of a fact's FK checks
+    ride a single scan as left joins against 1-column dimension key
+    sets with a presence flag, folded by one conditional aggregation
+    (total + per-FK orphan counts), then unpivoted with ``stack``. No
+    driver-side counts at all — the whole audit is one action.
+    Proper dimensions (part/supplier/nation) broadcast; the
+    fact-to-fact checks (lineitem→orders, orders→customer) are left
+    unhinted so AQE picks broadcast at test scale and a shuffle join
+    at the scale where those key sets stop fitting in memory. The
+    oracle states each check as NOT EXISTS — the form anti-joins (and
+    this flag-join) lower from; dimension keys are primary keys, so
+    the left joins cannot multiply fact rows.
     """
-    def orphans(fact: DataFrame, fk: str, dim: DataFrame, pk: str):
-        total = fact.count()
-        n = (
-            fact.select(F.col(fk))
-            .join(
-                F.broadcast(dim.select(F.col(pk).alias(fk))), fk, "left_anti"
-            )
-            .count()
-        )
-        return total, n
+    from functools import reduce
 
     li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders")
@@ -1785,16 +1800,280 @@ def q_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     part = table(spark, sf_dir, "part")
     supp = table(spark, sf_dir, "supplier")
     nat = table(spark, sf_dir, "nation")
-    checks = [
-        ("lineitem.l_orderkey -> orders", li, "l_orderkey", orders, "o_orderkey"),
-        ("lineitem.l_partkey -> part", li, "l_partkey", part, "p_partkey"),
-        ("lineitem.l_suppkey -> supplier", li, "l_suppkey", supp, "s_suppkey"),
-        ("orders.o_custkey -> customer", orders, "o_custkey", cust, "c_custkey"),
-        ("customer.c_nationkey -> nation", cust, "c_nationkey", nat, "n_nationkey"),
-        ("supplier.s_nationkey -> nation", supp, "s_nationkey", nat, "n_nationkey"),
+
+    # (fact, [(label, fk_col, dim, pk_col, broadcastable)])
+    audits = [
+        (
+            li,
+            [
+                ("lineitem.l_orderkey -> orders", "l_orderkey", orders,
+                 "o_orderkey", False),
+                ("lineitem.l_partkey -> part", "l_partkey", part,
+                 "p_partkey", True),
+                ("lineitem.l_suppkey -> supplier", "l_suppkey", supp,
+                 "s_suppkey", True),
+            ],
+        ),
+        (
+            orders,
+            [("orders.o_custkey -> customer", "o_custkey", cust,
+              "c_custkey", False)],
+        ),
+        (
+            cust,
+            [("customer.c_nationkey -> nation", "c_nationkey", nat,
+              "n_nationkey", True)],
+        ),
+        (
+            supp,
+            [("supplier.s_nationkey -> nation", "s_nationkey", nat,
+              "n_nationkey", True)],
+        ),
     ]
-    rows = []
-    for name, fact, fk, dim, pk in checks:
-        total, n = orphans(fact, fk, dim, pk)
-        rows.append((name, total, n))
-    return spark.createDataFrame(rows, "fk string, n_rows bigint, n_orphans bigint")
+
+    parts: list[DataFrame] = []
+    for fact, fks in audits:
+        df = fact.select(*[fk for _, fk, _, _, _ in fks])
+        aggs = [F.count(F.lit(1)).cast("bigint").alias("_n")]
+        for i, (_, fk, dim, pk, bcast) in enumerate(fks):
+            keys = dim.select(F.col(pk).alias(fk), F.lit(1).alias(f"_ok{i}"))
+            df = df.join(F.broadcast(keys) if bcast else keys, fk, "left")
+            aggs.append(
+                F.sum(F.when(F.col(f"_ok{i}").isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"_orph{i}")
+            )
+        row = df.agg(*aggs)
+        stack_args = ", ".join(
+            f"'{label}', _orph{i}" for i, (label, *_) in enumerate(fks)
+        )
+        parts.append(
+            row.select(
+                F.expr(
+                    f"stack({len(fks)}, {stack_args}) AS (fk, n_orphans)"
+                ),
+                F.col("_n").alias("n_rows"),
+            ).select("fk", "n_rows", "n_orphans")
+        )
+    return reduce(DataFrame.unionAll, parts)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H completion (round 3): the classic query shapes the module still
+# lacked, adapted to this schema (no partsupp table and a reduced
+# column set -- the supply-side queries derive (part, supplier) facts
+# from lineitem). Same determinism contract as the rest of the module:
+# exact integer cents/ppm, explicit tie-breaks wherever a LIMIT appears.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(MIN(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS min_cents
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), best AS (
+  SELECT l_partkey, CAST(MIN(min_cents) AS BIGINT) AS best_cents
+  FROM cost GROUP BY l_partkey
+)
+SELECT p.p_partkey, p.p_brand, s.s_suppkey, s.s_name, n.n_name AS nation,
+       b.best_cents
+FROM part p
+JOIN best b ON b.l_partkey = p.p_partkey
+JOIN cost c ON c.l_partkey = p.p_partkey AND c.min_cents = b.best_cents
+JOIN supplier s ON s.s_suppkey = c.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_size = 15 AND p.p_type = 'STANDARD'
+ORDER BY b.best_cents, p.p_partkey, s.s_suppkey
+LIMIT 100
+""",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (adapted — no partsupp): for each size-15 STANDARD
+    part, the supplier(s) with the cheapest observed sale, decorated
+    with supplier + nation. The classic correlated-MIN shape: group
+    to per-(part, supplier) minima, reduce to per-part best, join the
+    best back to recover the argmin rows — the decorrelation every
+    engine rewrites Q2's scalar subquery into.
+
+    Scale shape: one fact shuffle builds `cost`; `best` is a second
+    agg of the (much smaller) cost table; the join-back is
+    cost ⋈ best on the part key; part/supplier/nation broadcast.
+    All cents arithmetic exact BIGINT; top-100 with full tie-break.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(cents(F.col("l_extendedprice"))).cast("bigint").alias("min_cents")
+    )
+    best = cost.groupBy("l_partkey").agg(
+        F.min("min_cents").cast("bigint").alias("best_cents")
+    )
+    p = (
+        table(spark, sf_dir, "part")
+        .filter((F.col("p_size") == 15) & (F.col("p_type") == "STANDARD"))
+        .select("p_partkey", "p_brand")
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    return (
+        cost.join(
+            best,
+            (cost["l_partkey"] == best["l_partkey"])
+            & (cost["min_cents"] == best["best_cents"]),
+        )
+        .drop(best["l_partkey"])
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("p_partkey", "p_brand", "s_suppkey", "s_name", "nation", "best_cents")
+        .orderBy("best_cents", "p_partkey", "s_suppkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q13_customer_order_distribution",
+    oracle="""
+WITH c_orders AS (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey
+)
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM c_orders GROUP BY c_count
+""",
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: the distribution of per-customer order counts
+    (excluding one priority class in place of the reference's comment
+    filter), INCLUDING zero-order customers — which is why the left
+    outer join cannot be replaced by a plain groupBy on orders.
+
+    Shape: filter pushed below the join, one key-partitioned outer
+    join, two cascaded rollups (custkey → count, count → histogram);
+    the second agg's input is |customers| rows and shrinks to the
+    count domain.
+    """
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "5-LOW")
+        .select("o_custkey", "o_orderkey")
+    )
+    c_orders = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return c_orders.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("bigint").alias("custdist")
+    )
+
+
+@query(
+    "q16_supplier_part_variety",
+    oracle="""
+WITH ps AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+)
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM ps JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+GROUP BY p_brand, p_type, p_size
+""",
+)
+def q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (adapted — the (part, supplier) relation derives from
+    lineitem instead of the absent partsupp): how many distinct
+    suppliers stock each qualifying (brand, type, size) bucket.
+
+    The DISTINCT projection collapses the fact to at most
+    |parts|×|suppliers-per-part| rows before the part filter
+    broadcasts in; COUNT(DISTINCT) then partial-aggregates on the
+    composite key.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    return (
+        ps.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("bigint").alias("p_size"))
+        .agg(F.count_distinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q22_lapsed_rich_customers",
+    oracle="""
+WITH pos AS (
+  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nationkey,
+         CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+  FROM customer WHERE c_acctbal > 0
+), stats AS (
+  SELECT CAST(SUM(bal_cents) AS HUGEINT) AS tot, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM pos
+)
+SELECT nationkey,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(bal_cents) AS BIGINT) AS total_acctbal_cents
+FROM pos CROSS JOIN stats
+WHERE bal_cents * cnt > tot
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+GROUP BY nationkey
+""",
+)
+def q22_lapsed_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (adapted — nation key stands in for the absent phone
+    prefix): above-average-balance customers with no recent orders,
+    rolled up by nation. The above-average predicate is EXACT integer
+    cross-multiplication (bal·n > Σbal — no float mean), the recency
+    test is an anti-join against the date-filtered orders (NOT EXISTS
+    lowering), and the 1-row stats broadcast.
+    """
+    pos = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .select(
+            "c_custkey",
+            F.col("c_nationkey").cast("bigint").alias("nationkey"),
+            cents(F.col("c_acctbal")).alias("bal_cents"),
+        )
+    )
+    stats = pos.agg(
+        F.sum(F.col("bal_cents").cast("decimal(38,0)")).alias("tot"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    recent = (
+        table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp")
+        )
+        .select("o_custkey")
+    )
+    return (
+        pos.crossJoin(F.broadcast(stats))
+        .filter(
+            F.col("bal_cents").cast("decimal(38,0)") * F.col("cnt")
+            > F.col("tot")
+        )
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            F.sum("bal_cents").cast("bigint").alias("total_acctbal_cents"),
+        )
+    )

@@ -1214,6 +1214,12 @@ def doc_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _modality_agreement_oracle() -> str:
+    # Import the owning modules first: this builder runs at decoration
+    # time, and reading ORACLES for queries another module registers
+    # must not depend on registry.load_all's import order (direct
+    # `import corpus_quality` from tests/tooling has to work too).
+    from the_hive_spark.operators import dedup, similarity  # noqa: F401
+
     text_sql = ORACLES["doc_ngram_jaccard_pairs"]
     emb_sql = ORACLES["emb_near_dup_pairs"]
     return f"""
@@ -1249,32 +1255,43 @@ def dup_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     paraphrases (wanted) or embedding-collapse artifacts (a falling
     agreement trend is the alarm, cf. emb_spectrum_diagnostics).
 
-    Both pair streams are the registered operators themselves (the
-    sub-quadratic text path, the guarded exact embedding baseline);
-    this query adds two semi-joins onto the embedded id set, one
-    pair-key intersection join, and a scalar rollup.
+    Both pair streams are matstore-materialized operators shared with
+    their other consumers (dedup.doc_ngram_jaccard_pairs on the text
+    side; similarity.emb_near_dup_lsh on the embedding side — the
+    banded scale path, NOT the row-guarded brute baseline, so this
+    sanity check still runs at the corpus scale where it matters);
+    this query adds two broadcast semi-joins onto the embedded id set,
+    one pair-key intersection semi-join, and a scalar rollup.
     """
+    from the_hive_spark.functions.matstore import materialized
     from the_hive_spark.operators.dedup import doc_ngram_jaccard_pairs
-    from the_hive_spark.operators.similarity import emb_near_dup_pairs
+    from the_hive_spark.operators.similarity import emb_near_dup_lsh
 
     emb_ids = table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("id")
     )
-    tp = (
-        doc_ngram_jaccard_pairs(spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .join(
-            F.broadcast(emb_ids.withColumnRenamed("id", "doc_a")),
-            "doc_a",
-            "left_semi",
-        )
-        .join(
-            F.broadcast(emb_ids.withColumnRenamed("id", "doc_b")),
-            "doc_b",
-            "left_semi",
-        )
+    # The filtered text pair stream is consumed twice (count +
+    # intersection); materialize the small (pair-count-sized) result
+    # instead of re-running the semi-joins per action.
+    tp = materialized(
+        spark,
+        ("modality_text_pairs", sf_dir),
+        lambda: (
+            doc_ngram_jaccard_pairs(spark, sf_dir)
+            .select("doc_a", "doc_b")
+            .join(
+                F.broadcast(emb_ids.withColumnRenamed("id", "doc_a")),
+                "doc_a",
+                "left_semi",
+            )
+            .join(
+                F.broadcast(emb_ids.withColumnRenamed("id", "doc_b")),
+                "doc_b",
+                "left_semi",
+            )
+        ),
     )
-    ep = emb_near_dup_pairs(spark, sf_dir).select(
+    ep = emb_near_dup_lsh(spark, sf_dir).select(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
     )
     n_text = tp.count()

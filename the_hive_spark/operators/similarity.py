@@ -271,7 +271,22 @@ def emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     p ≈ 1e-6. Recall on planted duplicates is asserted in
     tests/test_lsh.py; candidates are exact-verified by the vectorized
     quantized-cosine scorer, so precision is always 1.
+
+    The verified pair stream is matstore-materialized once per corpus
+    snapshot (mirroring the text side, dedup.doc_ngram_jaccard_pairs):
+    production dedup never rebuilds the pair index per consumer, and
+    dup_modality_agreement reads the same artifact.
     """
+    from the_hive_spark.functions.matstore import materialized
+
+    return materialized(
+        spark,
+        ("emb_near_dup_lsh", sf_dir, 192, 16, NEAR_DUP_PPM),
+        lambda: _emb_near_dup_lsh_build(spark, sf_dir),
+    )
+
+
+def _emb_near_dup_lsh_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the_hive_spark.functions.lsh import lsh_near_dup_candidates
 
     emb = table(spark, sf_dir, "embeddings")
@@ -947,10 +962,12 @@ def emb_pq_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # reconstruction error, bounded sample: enough to gauge codebook
     # quality, independent of corpus size (the full-corpus figure is a
-    # one-line mapInPandas aggregation at scale)
+    # one-line mapInPandas aggregation at scale). orderBy before the
+    # limit: LIMIT without ORDER BY is plan-dependent, and this query
+    # is rows-only — determinism is its only guard.
     sample = codes_df.join(
         corpus.select("vec_id", "embedding"), "vec_id"
-    ).limit(1000).collect()
+    ).orderBy("vec_id").limit(1000).collect()
     codes = np.array([r["codes"] for r in sample], dtype=np.int64)
     vecs = np.array([r["embedding"] for r in sample], dtype=np.float64)
     recon = pq_decode_matrix(codes, books)
@@ -1233,4 +1250,59 @@ def emb_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_outliers"),
         F.min(norm_micro).cast("bigint").alias("min_norm_micro"),
         F.max(norm_micro).cast("bigint").alias("max_norm_micro"),
+    )
+
+
+@query(
+    "emb_semantic_dup_clusters",
+    oracle=f"""
+WITH RECURSIVE qn AS (
+  SELECT vec_id, embedding,
+         CAST({_qdot_duck("embedding", "embedding")} AS BIGINT) AS nrm
+  FROM embeddings
+), ep AS (
+  SELECT a.vec_id AS u, b.vec_id AS v
+  FROM qn a JOIN qn b ON a.vec_id < b.vec_id
+  WHERE FLOOR(1000000.0 * {_qdot_duck("a.embedding", "b.embedding")}
+        / sqrt(CAST(a.nrm AS DOUBLE) * b.nrm) + 0.5) >= {{ppm}}
+), edges AS (
+  SELECT u, v FROM ep UNION SELECT v, u FROM ep
+), walk(node, label) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.node
+)
+SELECT node AS vec_id, CAST(MIN(label) AS BIGINT) AS cluster_id
+FROM walk GROUP BY node
+""".replace("{{ppm}}", str(NEAR_DUP_PPM)).replace("{ppm}", str(NEAR_DUP_PPM)),
+)
+def emb_semantic_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic duplicate clustering: connected components over the
+    embedding near-dup pair graph (quantized cosine ≥ 0.95), every
+    vector labeled with the min vec_id of its cluster — the
+    embedding-space counterpart of doc_dup_clusters, and the label
+    table a semantic-dedup "keep one per cluster" pass consumes.
+
+    Scale path end-to-end: pairs come from the matstore-shared banded
+    LSH operator (emb_near_dup_lsh — never all-pairs), and the CC is
+    large-star/small-star with the driver union-find short-circuit
+    (operators/graph.py::connected_components). The oracle replays the
+    brute-force pair definition plus a recursive-CTE transitive
+    closure — affordable only for DuckDB at sf0.01, which is the
+    point of the asymmetry.
+    """
+    from the_hive_spark.operators.graph import connected_components
+
+    emb = table(spark, sf_dir, "embeddings")
+    pairs = emb_near_dup_lsh(spark, sf_dir).select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    )
+    cc = connected_components(pairs)
+    return (
+        emb.select("vec_id")
+        .join(cc, F.col("vec_id") == F.col("node"), "left")
+        .select(
+            "vec_id",
+            F.coalesce("component", "vec_id").cast("bigint").alias("cluster_id"),
+        )
     )

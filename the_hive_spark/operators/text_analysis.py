@@ -859,6 +859,11 @@ def doc_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for s in ("train", "val", "test")
     ]
+    # distributed_prefix_sum localCheckpoints its input EAGERLY, so all
+    # three splits have already been materialized off `assigned` by
+    # here — release the cache now instead of leaking one persisted
+    # copy per invocation (the checkpointed results are independent).
+    assigned.unpersist()
     packed = parts[0].unionByName(parts[1]).unionByName(parts[2])
     return packed.select(
         "doc_id",
@@ -911,4 +916,86 @@ def doc_token_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         h.crossJoin(F.broadcast(mx))
         .filter(F.col("u") * F.col("mx") < F.col("n_tokens") * 1_000_000)
         .select("doc_id", "lang", "n_tokens")
+    )
+
+
+@query(
+    "doc_reservoir_sample",
+    oracle="""
+WITH r AS (
+  SELECT doc_id, lang,
+         substring(md5(CAST(doc_id AS VARCHAR)), 1, 16) AS rk
+  FROM documents
+)
+SELECT doc_id, lang
+FROM (SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY rk, doc_id) AS rn
+      FROM r)
+WHERE rn <= 10
+""",
+)
+def doc_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum reservoir: 10 documents per language,
+    selected by ranking on an md5-derived uniform key — the
+    distributed image of reservoir sampling (rank-by-random-key top-k
+    is exactly Algorithm R's invariant), but rerun-stable and
+    engine-agnostic because the "random" key is a content hash, not a
+    PRNG. The fixed-k-per-group sample every corpus QA loop draws
+    (eyeball k docs per language) without a global sort: the window
+    partitions by stratum, so each group ranks independently in
+    parallel.
+    """
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    r = docs.select(
+        "doc_id",
+        "lang",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 16).alias("rk"),
+    )
+    w = Window.partitionBy("lang").orderBy("rk", "doc_id")
+    return (
+        r.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("doc_id", "lang")
+    )
+
+
+def _curriculum_oracle() -> str:
+    # quality CTE reused from the registered operator above (same
+    # module, already registered by the time this decorator runs)
+    from the_hive_spark.registry import ORACLES
+
+    quality_sql = ORACLES["doc_quality_score"]
+    return f"""
+WITH q AS ({quality_sql})
+SELECT doc_id, alpha_ppm,
+       CAST(NTILE(10) OVER (ORDER BY alpha_ppm, doc_id) AS BIGINT) AS shard
+FROM q
+"""
+
+
+@query("doc_curriculum_shards", oracle=_curriculum_oracle())
+def doc_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum sharding: order the corpus by a quality signal
+    (alphabetic-character ratio — noisy text first, clean text last)
+    and cut it into 10 equal shards, the "train on easy/noisy early,
+    clean late" (or reverse) data-ordering knob of LLM curriculum
+    schedules.
+
+    Reuses the matstore-shared quality metrics; the decile is an EXACT
+    distributed rank (functions/ids.py::dense_sequential_ids) folded
+    through integer NTILE arithmetic (ids.ntile_from_rank) — no
+    single-partition window, hash-identical to the oracle's NTILE.
+    """
+    from the_hive_spark.functions.ids import (
+        dense_sequential_ids,
+        ntile_from_rank,
+    )
+
+    q = doc_quality_score(spark, sf_dir).select("doc_id", "alpha_ppm")
+    ranked = dense_sequential_ids(q, ["alpha_ppm", "doc_id"], id_col="_r")
+    n = ranked.count()
+    return ranked.select(
+        "doc_id", "alpha_ppm", ntile_from_rank("_r", n, 10).alias("shard")
     )

@@ -404,6 +404,7 @@ SELECT event_type,
          AS slope_milli_per_day
 FROM daily
 GROUP BY event_type
+HAVING COUNT(*) >= 2
 """,
 )
 def events_daily_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -417,6 +418,11 @@ def events_daily_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     One map-side-combined daily aggregation (the corpus pass), then
     four integer sums over the per-type day grid — the same
     reduce-then-analyze shape as the CUSUM changepoint.
+
+    Types active on exactly one day are excluded (HAVING n ≥ 2 on both
+    sides): there the OLS denominator is 0, where Spark's non-ANSI
+    division yields NULL but DuckDB's IEEE division yields ±inf — the
+    guard keeps the cross-engine contract on defined slopes only.
     """
     ev = table(spark, sf_dir, "events")
     daily = ev.groupBy(
@@ -431,12 +437,16 @@ def events_daily_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y"))
         / (n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x"))
     )
-    return daily.groupBy("event_type").agg(
-        n.cast("bigint").alias("n_days"),
-        F.sum("y").cast("bigint").alias("n_events"),
-        F.floor(slope + F.lit(0.5)).cast("bigint").alias(
-            "slope_milli_per_day"
-        ),
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            n.cast("bigint").alias("n_days"),
+            F.sum("y").cast("bigint").alias("n_events"),
+            F.floor(slope + F.lit(0.5)).cast("bigint").alias(
+                "slope_milli_per_day"
+            ),
+        )
+        .filter(F.col("n_days") >= 2)
     )
 
 
@@ -471,42 +481,58 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ascending; all three NTILEs carry a user_id tie-break for
     engine-stable banding.
 
-    One corpus pass builds the per-user rollup; the NTILE windows run
-    over the user dimension (global sort — dimension-sized; the
-    at-scale form banded on percentile cutpoints from the GK sketch
-    instead of a global rank).
+    One corpus pass builds the per-user rollup (matstore-materialized
+    so the three rankings don't rescan the fact); each quintile is
+    then an EXACT distributed rank (functions/ids.py::
+    dense_sequential_ids — range-partition + per-partition row_number
+    + offsets, no single-partition stage) banded by integer NTILE
+    arithmetic (ids.ntile_from_rank), hash-identical to the bare
+    NTILE window the oracle states.
     """
-    from pyspark.sql import Window
+    from the_hive_spark.functions.ids import (
+        dense_sequential_ids,
+        ntile_from_rank,
+    )
+    from the_hive_spark.functions.matstore import materialized
 
     ev = table(spark, sf_dir, "events")
-    rfm = ev.groupBy("user_id").agg(
-        F.datediff(
-            F.lit(RFM_ASOF).cast("date"), F.max(F.col("ts").cast("date"))
-        )
-        .cast("bigint")
-        .alias("recency_days"),
-        F.count(F.lit(1)).cast("bigint").alias("frequency"),
-        F.sum(
-            F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint")
-        ).alias("monetary_micros"),
+    rfm = materialized(
+        spark,
+        ("rfm_rollup", sf_dir, RFM_ASOF),
+        lambda: ev.groupBy("user_id").agg(
+            F.datediff(
+                F.lit(RFM_ASOF).cast("date"), F.max(F.col("ts").cast("date"))
+            )
+            .cast("bigint")
+            .alias("recency_days"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.sum(
+                F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint")
+            ).alias("monetary_micros"),
+        ),
     )
-    return rfm.select(
+    n = rfm.count()  # cached rollup — O(partitions) job
+    # recency ranks DESCENDING: negate the key so the ascending
+    # range-partitioned rank gives the DESC, user_id ASC total order
+    ranked = dense_sequential_ids(
+        rfm.withColumn("_neg_rec", -F.col("recency_days")),
+        ["_neg_rec", "user_id"],
+        id_col="_r_rank",
+    ).drop("_neg_rec")
+    ranked = dense_sequential_ids(
+        ranked, ["frequency", "user_id"], id_col="_f_rank"
+    )
+    ranked = dense_sequential_ids(
+        ranked, ["monetary_micros", "user_id"], id_col="_m_rank"
+    )
+    return ranked.select(
         "user_id",
         "recency_days",
         "frequency",
         "monetary_micros",
-        F.ntile(5)
-        .over(Window.orderBy(F.desc("recency_days"), F.asc("user_id")))
-        .cast("bigint")
-        .alias("r_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.asc("frequency"), F.asc("user_id")))
-        .cast("bigint")
-        .alias("f_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.asc("monetary_micros"), F.asc("user_id")))
-        .cast("bigint")
-        .alias("m_score"),
+        ntile_from_rank("_r_rank", n, 5).alias("r_score"),
+        ntile_from_rank("_f_rank", n, 5).alias("f_score"),
+        ntile_from_rank("_m_rank", n, 5).alias("m_score"),
     )
 
 
@@ -616,48 +642,47 @@ def events_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     behind capacity planning, whale detection, and the sampling-bias
     check before any per-user experiment.
 
-    One per-user rollup (the corpus pass), a descending rank +
-    cumulative sum over the user dimension, then five exact marks
-    picked at rank ⌊p·n/100⌋ — integer rank arithmetic on both
-    engines, one final share division per mark.
+    One per-user rollup (the corpus pass); the descending rank and the
+    running sum are the EXACT distributed forms (functions/ids.py:
+    dense_sequential_ids + distributed_prefix_sum — range-partitioned,
+    no single-partition stage); the five marks are then ONE broadcast
+    join of the materialized ranked table against the 5-row
+    (pct → target rank) map — not five re-derivations of the ranked
+    CTE. Integer rank arithmetic matches the oracle exactly.
     """
-    from pyspark.sql import Window
+    from the_hive_spark.functions.ids import (
+        dense_sequential_ids,
+        distributed_prefix_sum,
+    )
 
     ev = table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
-    w = Window.orderBy(F.desc("c"), F.asc("user_id"))
-    wall = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    ranked = per_user.select(
-        "c",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wall).alias("n"),
-        F.sum("c").over(wall).alias("tot"),
-    ).withColumn(
-        "cum_c",
-        F.sum("c").over(
-            Window.orderBy("rn").rowsBetween(Window.unboundedPreceding, 0)
-        ),
-    )
-    marks = None
-    for pct in PARETO_GRID:
-        at = ranked.filter(
-            F.col("rn")
-            == F.greatest(
-                F.floor(F.lit(pct) * F.col("n") / 100), F.lit(1)
-            )
-        ).select(
-            F.lit(pct).cast("bigint").alias("top_pct"),
+    ranked = dense_sequential_ids(
+        per_user.withColumn("_negc", -F.col("c")),
+        ["_negc", "user_id"],
+        id_col="rn",
+    ).drop("_negc")
+    # exclusive prefix in rank order; rn is unique so ties are moot
+    ranked = distributed_prefix_sum(ranked, "rn", "c", out_col="_prev")
+    stats = ranked.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("c").alias("tot")
+    ).collect()[0]
+    n, tot = int(stats["n"]), int(stats["tot"] or 1)
+    targets = [(pct, max(pct * n // 100, 1)) for pct in PARETO_GRID]
+    tmap = spark.createDataFrame(targets, "top_pct bigint, rn bigint")
+    return (
+        ranked.withColumn("cum_c", F.col("_prev") + F.col("c"))
+        .join(F.broadcast(tmap), "rn")
+        .select(
+            "top_pct",
             F.col("cum_c").cast("bigint").alias("n_events"),
-            F.floor(1000000.0 * F.col("cum_c") / F.col("tot") + F.lit(0.5))
+            F.floor(1000000.0 * F.col("cum_c") / F.lit(tot) + F.lit(0.5))
             .cast("bigint")
             .alias("share_ppm"),
         )
-        marks = at if marks is None else marks.unionByName(at)
-    return marks
+    )
 
 
 @query(
