@@ -125,6 +125,8 @@ EXTENDED = [
     "emb_semantic_dup_clusters",
     "doc_reservoir_sample",
     "doc_curriculum_shards",
+    "q_rolling_revenue_7d",
+    "emb_mmr_diverse_topk",
 ]
 
 

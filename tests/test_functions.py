@@ -165,6 +165,48 @@ def test_dense_sequential_ids(spark):
     assert ks == sorted(ks)
 
 
+def test_dense_sequential_ids_compound_order(spark):
+    """Multi-column order key: ranks follow the (k1, k2) total order
+    exactly, matching a single-partition ROW_NUMBER."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from the_hive_spark.functions.ids import dense_sequential_ids
+
+    df = spark.range(0, 3000).select(
+        (F.col("id") % 40).alias("k1"),
+        (F.col("id") * 17 % 3000).alias("k2"),
+    ).repartition(16)
+    got = dense_sequential_ids(df, ["k1", "k2"], id_col="r")
+    ref = df.withColumn("r_ref", F.row_number().over(Window.orderBy("k1", "k2")))
+    joined = got.join(ref, ["k1", "k2"]).collect()
+    assert len(joined) == 3000
+    for row in joined:
+        assert row["r"] == row["r_ref"], (row["k1"], row["k2"])
+
+
+def test_ntile_from_rank_matches_ntile(spark):
+    """Integer NTILE arithmetic over an exact rank must reproduce
+    F.ntile for every (n, k) shape incl. n < k, n % k != 0."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from the_hive_spark.functions.ids import ntile_from_rank
+
+    for n, k in [(1, 5), (4, 5), (5, 5), (7, 5), (100, 7), (3, 10)]:
+        df = spark.range(1, n + 1).select(F.col("id").alias("rank"))
+        got = df.select(
+            "rank", ntile_from_rank("rank", n, k).alias("t")
+        )
+        ref = df.select(
+            "rank", F.ntile(k).over(Window.orderBy("rank")).cast("bigint").alias("t_ref")
+        )
+        rows = got.join(ref, "rank").collect()
+        assert len(rows) == n
+        for r in rows:
+            assert r["t"] == r["t_ref"], (n, k, r["rank"], r["t"], r["t_ref"])
+
+
 def test_distributed_prefix_sum(spark):
     """Exclusive running sum matches the single-partition window form
     and never funnels through one partition (functions/ids.py)."""

@@ -2077,3 +2077,63 @@ def q22_lapsed_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("bal_cents").cast("bigint").alias("total_acctbal_cents"),
         )
     )
+
+
+@query(
+    "q_rolling_revenue_7d",
+    oracle="""
+WITH daily AS (
+  SELECT c_mktsegment AS segment,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS BIGINT) AS day_idx,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS day_cents
+  FROM orders JOIN customer ON c_custkey = o_custkey
+  GROUP BY segment, day_idx
+)
+SELECT segment, day_idx, day_cents,
+       CAST(SUM(day_cents) OVER (
+         PARTITION BY segment ORDER BY day_idx
+         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS rolling_7d_cents
+FROM daily
+""",
+)
+def q_rolling_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day revenue per market segment: the trailing-window
+    smoothing behind every revenue dashboard, expressed as a RANGE
+    window over an integer day index so gap days (no orders) still
+    bound the frame by VALUE, not by row count — a ROWS frame would
+    silently widen across gaps.
+
+    Scale shape: one fact rollup to (segment, day) — the corpus pass —
+    then the window runs PARTITIONED by segment over day-grid-sized
+    data: no single-partition stage, and each segment's frame scan is
+    linear in its days.
+    """
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    daily = (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+            )
+            .cast("bigint")
+            .alias("day_idx"),
+        )
+        .agg(F.sum(cents(F.col("o_totalprice"))).cast("bigint").alias("day_cents"))
+    )
+    w = (
+        Window.partitionBy("segment")
+        .orderBy("day_idx")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "segment",
+        "day_idx",
+        "day_cents",
+        F.sum("day_cents").over(w).cast("bigint").alias("rolling_7d_cents"),
+    )

@@ -1306,3 +1306,69 @@ def emb_semantic_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("component", "vec_id").cast("bigint").alias("cluster_id"),
         )
     )
+
+
+@query("emb_mmr_diverse_topk")  # greedy re-rank ⇒ no SQL oracle (rows-only)
+def emb_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware retrieval: Maximal Marginal Relevance (MMR,
+    Carbonell & Goldstein, SIGIR'98) over the exact top-50 shortlist
+    for query vec_id 0 — greedily picks the candidate maximizing
+    λ·sim(query) − (1−λ)·max sim(already picked), λ = 0.5. The
+    dedup-aware retrieval knob: a near-dup cluster contributes ONE
+    result instead of crowding out the rest of the k.
+
+    Scale shape: the corpus pass is the shortlist top-k (linear,
+    shuffle-free, TakeOrdered); the greedy re-rank is O(shortlist²·d)
+    on the DRIVER over 50 vectors — bounded by the shortlist constant,
+    never by corpus size. Deterministic (quantized int dot products,
+    vec_id tie-break), registered rows-only: greedy selection has no
+    SQL form; determinism + the subset/ordering invariants are pinned
+    in tests/test_similarity_mmr.py.
+    """
+    shortlist_k, out_k, lam_ppm = 50, KNN_K, 500_000
+
+    emb = table(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0]
+    qv = [float(x) for x in qrow["embedding"]]
+    short = (
+        cosine_topk(emb.filter(F.col("vec_id") != 0), qv, k=shortlist_k)
+        .select("vec_id", "label", "embedding")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in short], dtype=np.int64)
+    labels = [r["label"] for r in short]
+    M = _quantize_block(pd.Series([r["embedding"] for r in short]))
+    Q = _quantize_block(pd.Series([qv]))[0]
+
+    def _cos(A, b):
+        num = (A * b[None, :]).sum(axis=1).astype(np.float64)
+        den = np.sqrt(
+            (A * A).sum(axis=1).astype(np.float64) * float((b * b).sum())
+        )
+        return num / np.maximum(den, 1e-12)
+
+    rel = _cos(M, Q)  # sim(candidate, query)
+    lam = lam_ppm / 1e6
+    picked: list[int] = []
+    remaining = list(range(len(short)))
+    while remaining and len(picked) < out_k:
+        if picked:
+            P = M[picked]
+            red = np.stack([_cos(P, M[i]).max() for i in remaining])
+        else:
+            red = np.zeros(len(remaining))
+        scores = lam * rel[remaining] - (1 - lam) * red
+        # deterministic argmax: score desc, vec_id asc
+        order = sorted(
+            range(len(remaining)),
+            key=lambda j: (-scores[j], ids[remaining[j]]),
+        )
+        picked.append(remaining.pop(order[0]))
+
+    rows = [
+        (i + 1, int(ids[p]), labels[p], int(np.floor(1e6 * rel[p] + 0.5)))
+        for i, p in enumerate(picked)
+    ]
+    return spark.createDataFrame(
+        rows, "rank int, vec_id bigint, label string, rel_ppm bigint"
+    )
