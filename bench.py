@@ -127,6 +127,8 @@ EXTENDED = [
     "doc_curriculum_shards",
     "q_rolling_revenue_7d",
     "emb_mmr_diverse_topk",
+    "emb_kmeans_stats",
+    "doc_mix_weights",
 ]
 
 

@@ -194,3 +194,38 @@ def test_round2_ops_plan_health(spark):
         "LessThan(ts" in plan
     )
     assert "CartesianProduct" not in plan
+
+
+def test_round3_ops_plan_health(spark):
+    """Machine-checked scale claims for the round-3 additions and
+    rewrites:
+    - referential audit: each fact scanned ONCE (10 single-column
+      scans total: 1 lineitem + 2 orders + 2 customer + 2 supplier +
+      2 nation + 1 part), no cartesian;
+    - rolling revenue: the RANGE window is partitioned by segment —
+      no single-partition exchange anywhere;
+    - curriculum shards / RFM / deciles / gini: distributed rank, so
+      the only SinglePartition exchange allowed is a final scalar agg;
+    - TPC-H completions: broadcast dims, no cartesian."""
+    s = plan_summary(QUERIES["q_referential_integrity_audit"](spark, SF_DIR))
+    assert s["cartesian_products"] == 0
+    assert s["broadcast_nested_loop_joins"] == 0
+    assert s["scans"] == 10, s["scans"]
+
+    plan = executed_plan(QUERIES["q_rolling_revenue_7d"](spark, SF_DIR))
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+    for name in ("doc_curriculum_shards", "events_rfm_segments",
+                 "q_customer_value_deciles"):
+        plan = executed_plan(QUERIES[name](spark, SF_DIR))
+        # rank path: any Window must be partitioned by the range
+        # partition id, never unpartitioned (single partition)
+        for line in plan.splitlines():
+            if "windowspecdefinition" in line and "row_number" in line:
+                assert "_pid" in line, f"{name}: unpartitioned rank window"
+
+    for name in ("q2_min_cost_supplier", "q13_customer_order_distribution",
+                 "q16_supplier_part_variety", "q22_lapsed_rich_customers"):
+        s = plan_summary(QUERIES[name](spark, SF_DIR))
+        assert s["cartesian_products"] == 0, name

@@ -80,3 +80,20 @@ def test_mmr_diversifies_vs_plain_topk(spark, mmr_rows):
     mmr_sim = avg_pairwise([r["vec_id"] for r in mmr_rows])
     plain_sim = avg_pairwise([r["vec_id"] for r in plain])
     assert mmr_sim <= plain_sim + 1e-9
+
+
+def test_kmeans_stats_partitions_corpus(spark):
+    """emb_kmeans_stats: clusters partition the corpus, inertia is
+    non-negative, and the fixed seed makes reruns identical."""
+    from the_hive_spark.operators.similarity import emb_kmeans_stats
+    from the_hive_spark.tables import table
+
+    rows = emb_kmeans_stats(spark, SF).collect()
+    n_total = table(spark, SF, "embeddings").count()
+    assert sum(r["n_vecs"] for r in rows) == n_total
+    assert 1 <= len(rows) <= 8
+    assert all(r["inertia_micro"] >= 0 for r in rows)
+
+    again = emb_kmeans_stats(spark, SF).collect()
+    key = lambda rs: sorted((r["cluster"], r["n_vecs"], r["inertia_micro"]) for r in rs)
+    assert key(again) == key(rows)

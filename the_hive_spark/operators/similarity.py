@@ -1372,3 +1372,46 @@ def emb_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "rank int, vec_id bigint, label string, rel_ppm bigint"
     )
+
+
+@query("emb_kmeans_stats")  # iterative ML fit ⇒ no SQL oracle (rows-only)
+def emb_kmeans_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus clustering readout: k-means (k=8, fixed seed) over the
+    embedding column via Spark ML — per-cluster size and within-cluster
+    inertia (sum of squared distances to the centroid, micro-units) —
+    the corpus-structure diagnostic behind topic balance checks,
+    stratified-by-cluster sampling, and IVF cell-size tuning (the same
+    fit the IVF index builds on, functions/lsh.py::ivf_build).
+
+    Scale shape: Lloyd iterations are one broadcast of k·d centroids +
+    one map-side partial aggregation per round (Spark ML's
+    implementation); the per-cluster rollup here is one more pass.
+    Rows-only by design: an iterative float fit has no SQL form —
+    cluster-count, partition-of-corpus, and inertia-sanity invariants
+    are pinned in tests/test_similarity_mmr.py.
+    """
+    from the_hive_spark.functions.lsh import ivf_build
+
+    k = 8
+    emb = table(spark, sf_dir, "embeddings")
+    assigned, centroids = ivf_build(emb, n_clusters=k)
+    cent = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "cluster int, centroid array<double>",
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(embedding, centroid,"
+        " (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
+        " 0D, (acc, v) -> acc + v)"
+    )
+    return (
+        assigned.withColumnRenamed("_cluster", "cluster")
+        .join(F.broadcast(cent), "cluster")
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.floor(F.sum(d2) * 1e6 + F.lit(0.5)).cast("bigint").alias(
+                "inertia_micro"
+            ),
+        )
+    )

@@ -999,3 +999,62 @@ def doc_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select(
         "doc_id", "alpha_ppm", ntile_from_rank("_r", n, 10).alias("shard")
     )
+
+
+@query(
+    "doc_mix_weights",
+    oracle="""
+WITH lt AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(list_filter(string_split(text, ' '),
+                                  t -> length(t) > 0))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+), tot AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS t,
+         CAST(COUNT(*) AS BIGINT) AS n_langs
+  FROM lt
+)
+SELECT lang, n_docs, n_tokens,
+       CAST(FLOOR(1000000.0 * n_tokens / t + 0.5) AS BIGINT) AS share_ppm,
+       CAST(FLOOR(1000000.0 * t / (n_langs * n_tokens) + 0.5) AS BIGINT)
+         AS weight_ppm
+FROM lt CROSS JOIN tot
+""",
+)
+def doc_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix reweighting table: per-language token share and the
+    sampling weight that equalizes the mix (weight = target share /
+    actual share, with a uniform target across observed languages) —
+    the table a weighted sampler joins against to hit a prescribed
+    language (or domain) mixture in an LLM training run.
+
+    One corpus pass rolls tokens up per language; the totals are a
+    1-row broadcast; weights are exact integer arithmetic with one
+    final ppm division per language. Swap the uniform target for any
+    prescribed mix by joining a target table in place of 1/n_langs.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = F.expr("size(filter(split(text, ' '), t -> length(t) > 0))")
+    lt = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(toks).cast("bigint").alias("n_tokens"),
+    )
+    tot = lt.agg(
+        F.sum("n_tokens").cast("bigint").alias("t"),
+        F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+    )
+    return lt.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.floor(1000000.0 * F.col("n_tokens") / F.col("t") + F.lit(0.5))
+        .cast("bigint")
+        .alias("share_ppm"),
+        F.floor(
+            1000000.0 * F.col("t") / (F.col("n_langs") * F.col("n_tokens"))
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("weight_ppm"),
+    )
