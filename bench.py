@@ -129,6 +129,7 @@ EXTENDED = [
     "emb_mmr_diverse_topk",
     "emb_kmeans_stats",
     "doc_mix_weights",
+    "doc_hybrid_rrf_topk",
 ]
 
 

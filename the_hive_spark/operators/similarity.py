@@ -1415,3 +1415,98 @@ def emb_kmeans_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def _hybrid_rrf_oracle() -> str:
+    # lexical half reused from the registered BM25 operator
+    # (import-inside pattern: independent of load_all's module order)
+    from the_hive_spark.operators import text_analysis  # noqa: F401
+    from the_hive_spark.registry import ORACLES
+
+    bm25_sql = ORACLES["doc_bm25_topk"]
+    return f"""
+WITH lex AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+  FROM ({bm25_sql})
+), vec AS (
+  SELECT vec_id AS doc_id,
+         ROW_NUMBER() OVER (ORDER BY cos_ppm DESC, vec_id) AS r
+  FROM (
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           CAST(FLOOR(1000000.0 * {_qdot_duck("embedding", "qv")}
+                / sqrt(CAST({_qdot_duck("embedding", "embedding")} AS DOUBLE)
+                       * {_qdot_duck("qv", "qv")}) + 0.5) AS BIGINT) AS cos_ppm
+    FROM embeddings CROSS JOIN q
+    WHERE vec_id != 0
+    ORDER BY cos_ppm DESC, vec_id
+    LIMIT 15
+  )
+), u AS (
+  SELECT doc_id, r FROM lex UNION ALL SELECT doc_id, r FROM vec
+)
+SELECT doc_id, CAST(SUM(1000000 // (60 + r)) AS BIGINT) AS rrf_micro
+FROM u GROUP BY doc_id
+ORDER BY rrf_micro DESC, doc_id
+LIMIT 10
+"""
+
+
+@query("doc_hybrid_rrf_topk", oracle=_hybrid_rrf_oracle())
+def doc_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: Reciprocal Rank Fusion (RRF, Cormack et al.,
+    SIGIR'09) of the BM25 lexical top-15 and the cosine vector top-15 —
+    score = Σ 10⁶ // (60 + rank) over the lists a doc appears in,
+    final top-10. The standard fusion behind modern RAG stacks
+    (lexical recall + semantic recall, no score calibration needed
+    because only RANKS enter the sum), all integer arithmetic.
+
+    Scale shape: each half is its own top-k (BM25: explode + two
+    map-combined aggs + TakeOrdered; vector: linear scan +
+    TakeOrdered) — the fusion itself touches 2k rows, so the rank
+    windows and the final sort are bounded by k, never by corpus size.
+    """
+    from pyspark.sql import Window
+
+    from the_hive_spark.operators.text_analysis import doc_bm25_topk
+
+    lex = doc_bm25_topk(spark, sf_dir).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+        .alias("r"),
+    )
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    knn = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .withColumn(
+            "cos_ppm",
+            F.expr(
+                f"CAST(FLOOR(1000000.0 * {_qdot_spark('embedding', 'qv')}"
+                f" / sqrt(CAST({_qdot_spark('embedding', 'embedding')} AS DOUBLE)"
+                f" * {_qdot_spark('qv', 'qv')}) + 0.5) AS BIGINT)"
+            ),
+        )
+        .select("vec_id", "cos_ppm")
+        .orderBy(F.desc("cos_ppm"), F.asc("vec_id"))
+        .limit(15)
+    )
+    vec = knn.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("cos_ppm"), F.asc("vec_id")))
+        .alias("r"),
+    )
+    u = lex.unionByName(vec)
+    return (
+        u.groupBy("doc_id")
+        .agg(
+            F.sum(F.expr("1000000 div (60 + r)")).cast("bigint").alias(
+                "rrf_micro"
+            )
+        )
+        .orderBy(F.desc("rrf_micro"), F.asc("doc_id"))
+        .limit(10)
+    )
