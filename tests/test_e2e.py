@@ -114,14 +114,19 @@ def test_watch_ingest_search_roundtrip_sf001(spark, tmp_path):
     assert stats["total_documents"] == expected
     assert stats["total_vectors"] == stats["total_chunks"] >= expected
 
-    # search round-trip: a chunk's own content is its best query
+    # search round-trip: a chunk's own content is its best query.
+    # Probe a chunk whose CONTENT is unique in the corpus — duplicated
+    # text would tie at cosine 1.0 and the winner would be decided by
+    # chunk-id order, not by the probe's document.
+    chunks0 = eng.read_table("chunks").filter(F.col("chunk_index") == 0)
+    uniq = chunks0.groupBy("content").count().filter(F.col("count") == 1)
     probe = (
-        eng.read_table("chunks")
-        .filter(F.col("chunk_index") == 0)
+        chunks0.join(uniq.select("content"), "content", "left_semi")
         .orderBy("document_id")
         .select("document_id", "content")
         .first()
     )
+    assert probe is not None, "corpus has no unique chunk-0 content"
     top = eng.search(probe["content"], top_k=1, audit=False).collect()
     assert top and top[0]["document_id"] == probe["document_id"]
 

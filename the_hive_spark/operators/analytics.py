@@ -1836,7 +1836,13 @@ def q_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         df = fact.select(*[fk for _, fk, _, _, _ in fks])
         aggs = [F.count(F.lit(1)).cast("bigint").alias("_n")]
         for i, (_, fk, dim, pk, bcast) in enumerate(fks):
-            keys = dim.select(F.col(pk).alias(fk), F.lit(1).alias(f"_ok{i}"))
+            # distinct: the audit runs on DIRTY data by definition — a
+            # duplicated parent key must not multiply fact rows through
+            # the left join (NOT EXISTS, the oracle's form, is
+            # duplicate-safe; this makes the flag join match it)
+            keys = dim.select(F.col(pk).alias(fk)).distinct().withColumn(
+                f"_ok{i}", F.lit(1)
+            )
             df = df.join(F.broadcast(keys) if bcast else keys, fk, "left")
             aggs.append(
                 F.sum(F.when(F.col(f"_ok{i}").isNull(), 1).otherwise(0))
@@ -2114,8 +2120,12 @@ def q_rolling_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = table(spark, sf_dir, "orders")
     cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    # customer is left unhinted (same rationale as the referential
+    # audit's fact-to-fact checks): AQE broadcasts it at test scale and
+    # falls back to a shuffle join at the scale where the (custkey,
+    # segment) projection stops fitting in memory.
     daily = (
-        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(
             F.col("c_mktsegment").alias("segment"),
             F.datediff(

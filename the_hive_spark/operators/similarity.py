@@ -1404,15 +1404,18 @@ def emb_kmeans_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         " (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
         " 0D, (acc, v) -> acc + v)"
     )
+    # per-row quantization BEFORE the sum: a float sum is merge-order-
+    # dependent across partitions/runs; integer micro-units sum
+    # associatively, keeping this rows-only query rerun-stable (the
+    # module's determinism contract).
+    d2_micro = F.floor(d2 * 1e6 + F.lit(0.5)).cast("bigint")
     return (
         assigned.withColumnRenamed("_cluster", "cluster")
         .join(F.broadcast(cent), "cluster")
         .groupBy("cluster")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
-            F.floor(F.sum(d2) * 1e6 + F.lit(0.5)).cast("bigint").alias(
-                "inertia_micro"
-            ),
+            F.sum(d2_micro).cast("bigint").alias("inertia_micro"),
         )
     )
 

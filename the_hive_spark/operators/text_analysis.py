@@ -1010,6 +1010,8 @@ WITH lt AS (
          CAST(SUM(len(list_filter(string_split(text, ' '),
                                   t -> length(t) > 0))) AS BIGINT) AS n_tokens
   FROM documents GROUP BY lang
+  HAVING SUM(len(list_filter(string_split(text, ' '),
+                             t -> length(t) > 0))) > 0
 ), tot AS (
   SELECT CAST(SUM(n_tokens) AS BIGINT) AS t,
          CAST(COUNT(*) AS BIGINT) AS n_langs
@@ -1036,9 +1038,17 @@ def doc_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = table(spark, sf_dir, "documents")
     toks = F.expr("size(filter(split(text, ' '), t -> length(t) > 0))")
-    lt = docs.groupBy("lang").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum(toks).cast("bigint").alias("n_tokens"),
+    # HAVING n_tokens > 0 on BOTH sides: a stratum of empty/whitespace
+    # docs would otherwise hit 0-division, where Spark's non-ANSI
+    # division yields NULL but DuckDB yields inf (the trend-slope
+    # cross-engine edge case).
+    lt = (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(toks).cast("bigint").alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") > 0)
     )
     tot = lt.agg(
         F.sum("n_tokens").cast("bigint").alias("t"),
