@@ -130,6 +130,8 @@ EXTENDED = [
     "emb_kmeans_stats",
     "doc_mix_weights",
     "doc_hybrid_rrf_topk",
+    "events_daily_gapfill",
+    "q_cohort_ltv_matrix",
 ]
 
 

@@ -2147,3 +2147,60 @@ def q_rolling_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day_cents",
         F.sum("day_cents").over(w).cast("bigint").alias("rolling_7d_cents"),
     )
+
+
+@query(
+    "q_cohort_ltv_matrix",
+    oracle="""
+WITH o AS (
+  SELECT o_custkey,
+         CAST((YEAR(CAST(o_orderdate AS TIMESTAMP)) - 1995) * 12
+              + MONTH(CAST(o_orderdate AS TIMESTAMP)) - 1 AS BIGINT) AS m,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+), firsts AS (
+  SELECT o_custkey, CAST(MIN(m) AS BIGINT) AS cohort_m FROM o GROUP BY o_custkey
+)
+SELECT f.cohort_m,
+       CAST(o.m - f.cohort_m AS BIGINT) AS month_offset,
+       CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+       CAST(SUM(o.cents) AS BIGINT) AS revenue_cents
+FROM o JOIN firsts f ON f.o_custkey = o.o_custkey
+GROUP BY f.cohort_m, month_offset
+""",
+)
+def q_cohort_ltv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix: customers grouped by first-order
+    month, revenue and active-customer counts per months-since-
+    acquisition — THE retention-economics readout (each cohort row
+    read left-to-right is its revenue decay curve; columns compare
+    cohort quality over time).
+
+    Scale shape: one pass projects (custkey, month, cents); the
+    cohort assignment is a groupBy on the same key the join then
+    reuses — custkey-partitioned both sides, one shuffle of the
+    projection each, then a grid-sized rollup (months² cells).
+    """
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (
+            (F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1
+        )
+        .cast("bigint")
+        .alias("m"),
+        cents(F.col("o_totalprice")).alias("cents"),
+    )
+    firsts = o.groupBy("o_custkey").agg(
+        F.min("m").cast("bigint").alias("cohort_m")
+    )
+    return (
+        o.join(firsts, "o_custkey")
+        .groupBy(
+            "cohort_m",
+            (F.col("m") - F.col("cohort_m")).cast("bigint").alias("month_offset"),
+        )
+        .agg(
+            F.count_distinct("o_custkey").cast("bigint").alias("n_customers"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+    )

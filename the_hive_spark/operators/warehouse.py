@@ -729,3 +729,67 @@ def events_burst_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("x").cast("bigint").alias("n_events"),
         F.floor(fano + F.lit(0.5)).cast("bigint").alias("fano_milli"),
     )
+
+
+@query(
+    "events_daily_gapfill",
+    oracle="""
+WITH daily AS (
+  SELECT event_type,
+         CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day_idx,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, day_idx
+), bounds AS (
+  SELECT MIN(day_idx) AS lo, MAX(day_idx) AS hi FROM daily
+), types AS (
+  SELECT DISTINCT event_type FROM daily
+), spine AS (
+  SELECT event_type, unnest(range(lo, hi + 1)) AS day_idx
+  FROM types CROSS JOIN bounds
+)
+SELECT s.event_type, CAST(s.day_idx AS BIGINT) AS day_idx,
+       CAST(COALESCE(d.c, 0) AS BIGINT) AS n_events,
+       (d.c IS NULL) AS is_gap
+FROM spine s
+LEFT JOIN daily d ON d.event_type = s.event_type AND d.day_idx = s.day_idx
+""",
+)
+def events_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine gap filling: a dense (type × day) grid over the
+    observed date range with zero-filled missing days — the densify
+    step every time-series consumer (trend fits, anomaly scans,
+    charting) needs, because a day with NO rows is invisible to plain
+    GROUP BY and silently biases averages and slopes.
+
+    Scale shape: the fact collapses to the (type, day) rollup first —
+    the only corpus pass; the spine is generated (sequence + explode)
+    from a 1-row bounds broadcast times the tiny type dimension, so
+    the left join is grid-sized on both sides, partitioned by type.
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("bigint")
+        .alias("day_idx"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    bounds = daily.agg(
+        F.min("day_idx").alias("lo"), F.max("day_idx").alias("hi")
+    )
+    types = daily.select("event_type").distinct()
+    spine = (
+        types.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day_idx"),
+        )
+    )
+    return (
+        spine.join(daily, ["event_type", "day_idx"], "left")
+        .select(
+            "event_type",
+            F.col("day_idx").cast("bigint").alias("day_idx"),
+            F.coalesce("c", F.lit(0)).cast("bigint").alias("n_events"),
+            F.col("c").isNull().alias("is_gap"),
+        )
+    )
