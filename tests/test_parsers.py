@@ -121,3 +121,68 @@ def test_parse_file_udf_spark_path(spark):
     assert out["/in/report.docx"] == "Beta status: green"
     assert out["/in/mail.eml"].startswith("Subject: Hi")
     assert out["/in/broken.docx"] is None  # parse failure → null, not job failure
+
+
+# ---------------------------------------------------------------- JSONL
+
+
+def test_jsonl_corpus_roundtrip(spark, tmp_path):
+    """read_jsonl_corpus normalizes a JSONL dump into the documents
+    schema; write_jsonl_shards exports with a pinned shard count; the
+    roundtrip preserves content."""
+    import json
+
+    from the_hive_spark.sources.jsonl import (
+        read_jsonl_corpus,
+        write_jsonl_shards,
+    )
+
+    src = tmp_path / "dump.jsonl"
+    rows = [
+        {"text": "alpha document body", "lang": "en", "extra": 1},
+        {"text": "beta body", "lang": "de"},
+        {"text": ""},            # empty text: dropped (P12 guard)
+        {"lang": "fr"},          # missing text: dropped
+        {"text": "alpha document body", "lang": "en"},  # exact dup
+    ]
+    src.write_text("\n".join(json.dumps(r) for r in rows))
+
+    docs = read_jsonl_corpus(spark, str(src), lang_field="lang")
+    got = docs.collect()
+    assert len(got) == 3  # two valid uniques + one exact dup row
+    assert set(docs.columns) == {"doc_id", "text", "lang", "source", "n_chars"}
+    assert all(r["n_chars"] == len(r["text"]) for r in got)
+    # md5-derived ids: identical text ⇒ identical id (exact-dedup
+    # semantic at the boundary), distinct text ⇒ distinct id
+    ids = {}
+    for r in got:
+        ids.setdefault(r["text"], set()).add(r["doc_id"])
+    assert all(len(v) == 1 for v in ids.values())
+    assert len({next(iter(v)) for v in ids.values()}) == len(ids)
+
+    out = tmp_path / "shards"
+    write_jsonl_shards(docs, str(out), n_shards=2)
+    import glob
+
+    parts = glob.glob(str(out / "part-*"))
+    assert len(parts) == 2
+    back = spark.read.json(str(out))
+    assert back.count() == 3
+    assert {r["text"] for r in back.collect()} == {
+        "alpha document body", "beta body",
+    }
+
+
+def test_jsonl_explicit_id_field(spark, tmp_path):
+    import json
+
+    from the_hive_spark.sources.jsonl import read_jsonl_corpus
+
+    src = tmp_path / "d.jsonl"
+    src.write_text(
+        "\n".join(
+            json.dumps({"text": f"doc {i}", "my_id": i}) for i in range(5)
+        )
+    )
+    docs = read_jsonl_corpus(spark, str(src), id_field="my_id")
+    assert sorted(r["doc_id"] for r in docs.collect()) == [0, 1, 2, 3, 4]
