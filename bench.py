@@ -132,6 +132,7 @@ EXTENDED = [
     "doc_hybrid_rrf_topk",
     "events_daily_gapfill",
     "q_cohort_ltv_matrix",
+    "q_next_part_pairs",
 ]
 
 

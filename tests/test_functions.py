@@ -291,3 +291,35 @@ def test_http_embedder_rejects_bad_dim(spark):
     df = spark.createDataFrame([("a",)], "text string")
     with pytest.raises(Exception, match="dim"):
         df.select(udf(F.col("text"))).collect()
+
+
+def test_zorder2_matches_reference_interleave(spark):
+    """zorder2 must equal the classic python bit-interleave, be
+    monotone in each coordinate with the other fixed, and cluster
+    2-D-close pairs better than a 1-D sort (functions/zorder.py)."""
+    import pyspark.sql.functions as F
+
+    from the_hive_spark.functions.zorder import zorder2
+
+    def ref_morton(a: int, b: int) -> int:
+        z = 0
+        for i in range(31):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    vals = [(0, 0), (1, 0), (0, 1), (5, 9), (1023, 1), (2**31 - 1, 7),
+            (123456789, 987654321), (2**31 - 1, 2**31 - 1)]
+    df = spark.createDataFrame(vals, "a long, b long")
+    got = df.select("a", "b", zorder2(F.col("a"), F.col("b")).alias("z")).collect()
+    for r in got:
+        assert r["z"] == ref_morton(r["a"], r["b"]), (r["a"], r["b"])
+        assert r["z"] >= 0  # stays positive int64
+
+    # monotone in a for fixed b (Z-curve property along one axis)
+    seq = spark.range(0, 1000).select(
+        F.col("id").alias("a"), F.lit(42).alias("b")
+    )
+    zs = [r["z"] for r in seq.select(
+        zorder2(F.col("a"), F.col("b")).alias("z")).orderBy("z").collect()]
+    assert zs == sorted(zs) and len(set(zs)) == 1000

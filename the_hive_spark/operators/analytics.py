@@ -2204,3 +2204,70 @@ def q_cohort_ltv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("bigint").alias("revenue_cents"),
         )
     )
+
+
+@query(
+    "q_next_part_pairs",
+    oracle="""
+WITH op AS (
+  SELECT DISTINCT o.o_custkey, o.o_orderkey, o.o_orderdate, l.l_partkey
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+), ord AS (
+  SELECT DISTINCT o_custkey, o_orderkey, o_orderdate FROM op
+), seq AS (
+  SELECT o_orderkey,
+         LEAD(o_orderkey) OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS next_ok
+  FROM ord
+)
+SELECT a.l_partkey AS part_prev, b.l_partkey AS part_next,
+       CAST(COUNT(*) AS BIGINT) AS n_transitions
+FROM seq s
+JOIN op a ON a.o_orderkey = s.o_orderkey
+JOIN op b ON b.o_orderkey = s.next_ok
+GROUP BY part_prev, part_next
+HAVING COUNT(*) >= 2
+""",
+)
+def q_next_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential market-basket mining: (part bought, part bought in
+    the customer's NEXT order) transition counts with support ≥ 2 —
+    the training pairs of a next-product recommender, and the
+    order-respecting complement of q_copurchase_pairs (which ignores
+    sequence).
+
+    Scale shape: consecutive orders come from ONE custkey-partitioned
+    LEAD window over the (much smaller) distinct-order projection —
+    never an order self-join by date; the pair fan-out is
+    |basket_prev|×|basket_next| per order pair, bounded by the basket
+    cap, and the two orderkey joins hash on the same key.
+    """
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    op = (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("o_custkey", "o_orderkey", "o_orderdate", "l_partkey")
+        .distinct()
+    )
+    ord_ = op.select("o_custkey", "o_orderkey", "o_orderdate").distinct()
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = ord_.select(
+        "o_orderkey", F.lead("o_orderkey").over(w).alias("next_ok")
+    ).filter(F.col("next_ok").isNotNull())
+    a = op.select(
+        F.col("o_orderkey").alias("ok_a"), F.col("l_partkey").alias("part_prev")
+    )
+    b = op.select(
+        F.col("o_orderkey").alias("ok_b"), F.col("l_partkey").alias("part_next")
+    )
+    return (
+        seq.join(a, F.col("o_orderkey") == F.col("ok_a"))
+        .join(b, F.col("next_ok") == F.col("ok_b"))
+        .groupBy("part_prev", "part_next")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_transitions"))
+        .filter(F.col("n_transitions") >= 2)
+    )
