@@ -133,6 +133,7 @@ EXTENDED = [
     "events_daily_gapfill",
     "q_cohort_ltv_matrix",
     "q_next_part_pairs",
+    "doc_bpe_train",
 ]
 
 

@@ -1499,3 +1499,95 @@ def doc_dup_gram_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_docs"), F.asc("gram"))
         .limit(HOTSPOT_TOPK)
     )
+
+
+BPE_TRAIN_MERGES = 5
+
+
+@query("doc_bpe_train")  # iterative trainer ⇒ no SQL oracle (rows-only)
+def doc_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, the real iterative loop (Sennrich et
+    al., ACL'16): {BPE_TRAIN_MERGES} merge rounds over the corpus,
+    emitting (rank, left, right, merged, pair_count) — the merge
+    table a byte-pair tokenizer IS.
+
+    The scale design is the classic one: ONE corpus pass collapses the
+    text to the word-frequency table (vocab-sized — thousands of rows
+    against terabytes of text), and every merge round then runs
+    against that table only: adjacent-pair counts are an in-row
+    explode weighted by word count, the argmax is a driver-side
+    collect of one row, and the merge application is an Arrow-batched
+    pandas scan of the (tiny) word table. Ties break (count DESC,
+    left ASC, right ASC) so training is deterministic on any engine;
+    the merge list is pinned against a pure-Python reference in
+    tests/test_bpe_train.py.
+    """
+    import pandas as pd
+
+    from the_hive_spark.functions.matstore import materialized
+
+    n = spark.sparkContext.defaultParallelism
+    docs = table(spark, sf_dir, "documents")
+    words = materialized(
+        spark,
+        ("bpe_word_freq", sf_dir),
+        lambda: (
+            docs.repartition(n, "doc_id")
+            .select(F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
+            .filter(F.length("w") > 0)
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        ),
+    )
+
+    # symbol arrays start as characters; stay a DataFrame all the way
+    syms = words.select(F.split("w", "").alias("s"), "n")
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, BPE_TRAIN_MERGES + 1):
+        pairs = syms.select(
+            F.explode(
+                F.expr(
+                    "transform(slice(s, 1, size(s) - 1),"
+                    " (x, i) -> struct(x AS l, s[i + 1] AS r))"
+                )
+            ).alias("p"),
+            "n",
+        )
+        top = (
+            pairs.groupBy("p.l", "p.r")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
+        merges.append((rank, left, right, left + right, cnt))
+
+        def apply_merge(batches, _l=left, _r=right):
+            for pdf in batches:
+                out = []
+                for s in pdf["s"]:
+                    res, i = [], 0
+                    while i < len(s):
+                        if i + 1 < len(s) and s[i] == _l and s[i + 1] == _r:
+                            res.append(_l + _r)
+                            i += 2
+                        else:
+                            res.append(s[i])
+                            i += 1
+                    out.append(res)
+                yield pd.DataFrame({"s": out, "n": pdf["n"]})
+
+        # localCheckpoint: each round's re-segmentation becomes the
+        # next round's input; without it the lineage stacks a pandas
+        # stage per round and re-executes all prior rounds per action.
+        syms = syms.mapInPandas(
+            apply_merge, "s array<string>, n bigint"
+        ).localCheckpoint(eager=True)
+
+    return spark.createDataFrame(
+        merges,
+        "rank int, left string, right string, merged string, pair_count bigint",
+    )
