@@ -134,6 +134,7 @@ EXTENDED = [
     "q_cohort_ltv_matrix",
     "q_next_part_pairs",
     "doc_bpe_train",
+    "q_table_stats_profile",
 ]
 
 

@@ -2271,3 +2271,78 @@ def q_next_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_transitions"))
         .filter(F.col("n_transitions") >= 2)
     )
+
+
+# ANALYZE-profile column sets (events excluded: its TIMESTAMP(NANOS)
+# column is read through a µs conversion on the Spark side, so
+# distinct-counts would legitimately differ from DuckDB's nanos view)
+_STATS_TABLES: dict[str, list[str]] = {
+    "region": ["r_regionkey", "r_name"],
+    "nation": ["n_nationkey", "n_name", "n_regionkey"],
+    "supplier": ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    "customer": ["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                 "c_mktsegment"],
+    "part": ["p_partkey", "p_name", "p_brand", "p_type", "p_size"],
+    "orders": ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+               "o_orderpriority"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
+                 "l_linestatus"],
+    "documents": ["doc_id", "lang", "source", "n_chars"],
+}
+
+
+def _table_stats_oracle() -> str:
+    parts = []
+    for tbl, cols in _STATS_TABLES.items():
+        for col in cols:
+            parts.append(f"""
+SELECT '{tbl}' AS tbl, '{col}' AS col,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT {col}) AS BIGINT) AS ndv,
+       CAST(COUNT(*) - COUNT({col}) AS BIGINT) AS n_nulls
+FROM {tbl}""")
+    return "\nUNION ALL".join(parts)
+
+
+@query("q_table_stats_profile", oracle=_table_stats_oracle())
+def q_table_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE, the engine's own: exact per-column row counts,
+    distinct counts, and null counts for every profiled table — the
+    statistics table behind every broadcast-vs-shuffle, skew-salt, and
+    bucketing decision this engine makes by measurement (the CBO input
+    a catalog would persist).
+
+    Scale shape: ONE pass per table computes ALL of its columns'
+    metrics in a single aggregation (the oracle re-states it
+    per-column for clarity; Spark's expand handles the multi-distinct
+    in one job), then stacks to long format. At 100 TB you'd swap
+    exact ndv for approx_count_distinct per the doccomment — the plan
+    shape is identical.
+    """
+    from functools import reduce
+
+    outs: list[DataFrame] = []
+    for tbl, cols in _STATS_TABLES.items():
+        t = table(spark, sf_dir, tbl)
+        aggs = [F.count(F.lit(1)).cast("bigint").alias("_n")]
+        for c in cols:
+            aggs.append(F.count_distinct(F.col(c)).cast("bigint").alias(f"_ndv_{c}"))
+            aggs.append(
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"_nn_{c}")
+            )
+        row = t.agg(*aggs)
+        stack_args = ", ".join(
+            f"'{c}', _ndv_{c}, _nn_{c}" for c in cols
+        )
+        outs.append(
+            row.select(
+                F.lit(tbl).alias("tbl"),
+                F.expr(
+                    f"stack({len(cols)}, {stack_args}) AS (col, ndv, n_nulls)"
+                ),
+                F.col("_n").alias("n_rows"),
+            ).select("tbl", "col", "n_rows", "ndv", "n_nulls")
+        )
+    return reduce(DataFrame.unionAll, outs)
