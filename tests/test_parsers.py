@@ -186,3 +186,40 @@ def test_jsonl_explicit_id_field(spark, tmp_path):
     )
     docs = read_jsonl_corpus(spark, str(src), id_field="my_id")
     assert sorted(r["doc_id"] for r in docs.collect()) == [0, 1, 2, 3, 4]
+
+
+def test_jsonl_stream_equals_batch(spark, tmp_path):
+    """stream_jsonl_corpus(availableNow) must emit exactly the batch
+    reader's rows — parity by shared normalization."""
+    import json
+
+    from the_hive_spark.sources.jsonl import (
+        read_jsonl_corpus,
+        stream_jsonl_corpus,
+    )
+
+    src = tmp_path / "drop"
+    src.mkdir()
+    for shard in range(2):
+        (src / f"s{shard}.jsonl").write_text(
+            "\n".join(
+                json.dumps({"text": f"shard {shard} doc {i}", "lang": "en"})
+                for i in range(10)
+            )
+        )
+    batch = read_jsonl_corpus(spark, str(src), lang_field="lang")
+    stream = stream_jsonl_corpus(spark, str(src), lang_field="lang")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("jsonl_stream_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT * FROM jsonl_stream_test ORDER BY doc_id"
+    ).collect()
+    want = batch.orderBy("doc_id").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert len(got) == 20

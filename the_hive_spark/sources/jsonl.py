@@ -27,27 +27,24 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 
-def read_jsonl_corpus(
-    spark: SparkSession,
-    path: str,
-    text_field: str = "text",
-    id_field: str | None = None,
-    lang_field: str | None = None,
-    source: str = "jsonl",
-) -> DataFrame:
-    """Load a JSONL dump into the engine's documents schema.
-
-    Only the named fields are read (explicit schema ⇒ single pass, no
-    inference); rows with a missing/empty text field are dropped —
-    the P12 empty-input guard applied at the corpus boundary.
-    """
+def _jsonl_schema(
+    text_field: str, id_field: str | None, lang_field: str | None
+) -> str:
     fields = [f"{text_field} STRING"]
     if id_field:
         fields.append(f"{id_field} BIGINT")
     if lang_field:
         fields.append(f"{lang_field} STRING")
-    raw = spark.read.schema(", ".join(fields)).json(path)
+    return ", ".join(fields)
 
+
+def _normalize(
+    raw: DataFrame,
+    text_field: str,
+    id_field: str | None,
+    lang_field: str | None,
+    source: str,
+) -> DataFrame:
     text = F.col(text_field)
     if id_field:
         doc_id = F.col(id_field).cast("bigint")
@@ -65,6 +62,45 @@ def read_jsonl_corpus(
             F.length(text).cast("bigint").alias("n_chars"),
         )
     )
+
+
+def read_jsonl_corpus(
+    spark: SparkSession,
+    path: str,
+    text_field: str = "text",
+    id_field: str | None = None,
+    lang_field: str | None = None,
+    source: str = "jsonl",
+) -> DataFrame:
+    """Load a JSONL dump into the engine's documents schema.
+
+    Only the named fields are read (explicit schema ⇒ single pass, no
+    inference); rows with a missing/empty text field are dropped —
+    the P12 empty-input guard applied at the corpus boundary.
+    """
+    schema = _jsonl_schema(text_field, id_field, lang_field)
+    raw = spark.read.schema(schema).json(path)
+    return _normalize(raw, text_field, id_field, lang_field, source)
+
+
+def stream_jsonl_corpus(
+    spark: SparkSession,
+    path: str,
+    text_field: str = "text",
+    id_field: str | None = None,
+    lang_field: str | None = None,
+    source: str = "jsonl",
+) -> DataFrame:
+    """Streaming face of :func:`read_jsonl_corpus`: watch a directory
+    of JSONL dumps (the drop-zone pattern — producers land shard
+    files, the pipeline picks them up exactly-once via checkpointed
+    file tracking) and emit the same normalized documents schema.
+    Identical normalization ⇒ batch/stream parity by construction;
+    pair with ``trigger(availableNow=True)`` for backlog-then-follow.
+    """
+    schema = _jsonl_schema(text_field, id_field, lang_field)
+    raw = spark.readStream.schema(schema).json(path)
+    return _normalize(raw, text_field, id_field, lang_field, source)
 
 
 def write_jsonl_shards(
