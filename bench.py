@@ -135,6 +135,7 @@ EXTENDED = [
     "q_next_part_pairs",
     "doc_bpe_train",
     "q_table_stats_profile",
+    "events_drift_chi2_by_type",
 ]
 
 

@@ -793,3 +793,97 @@ def events_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c").isNull().alias("is_gap"),
         )
     )
+
+
+CHI2_SPLIT_TS = "2024-01-16 00:00:00"
+CHI2_BUCKET_MICROS = 50_000_000  # 50-unit value buckets
+CHI2_MAX_BUCKET = 9
+
+
+@query(
+    "events_drift_chi2_by_type",
+    oracle=f"""
+WITH e AS (
+  SELECT event_type,
+         CAST(ts AS TIMESTAMP) < TIMESTAMP '{CHI2_SPLIT_TS}' AS early,
+         least(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)
+               // {CHI2_BUCKET_MICROS}, {CHI2_MAX_BUCKET}) AS bucket
+  FROM events
+), cnt AS (
+  SELECT event_type, bucket,
+         CAST(SUM(CASE WHEN early THEN 1 ELSE 0 END) AS BIGINT) AS o1,
+         CAST(SUM(CASE WHEN early THEN 0 ELSE 1 END) AS BIGINT) AS o2
+  FROM e GROUP BY event_type, bucket
+), tot AS (
+  SELECT event_type,
+         CAST(SUM(o1) AS BIGINT) AS n1, CAST(SUM(o2) AS BIGINT) AS n2
+  FROM cnt GROUP BY event_type
+)
+SELECT c.event_type, t.n1, t.n2,
+       CAST(SUM(CAST(FLOOR(
+         (1000000.0 * CAST((c.o1 * t.n2 - c.o2 * t.n1) AS DOUBLE)
+                    * CAST((c.o1 * t.n2 - c.o2 * t.n1) AS DOUBLE))
+         / (CAST(t.n1 AS DOUBLE) * CAST(t.n2 AS DOUBLE)
+            * CAST((c.o1 + c.o2) AS DOUBLE))
+         + 0.5) AS BIGINT)) AS BIGINT) AS chi2_micro
+FROM cnt c JOIN tot t ON t.event_type = c.event_type
+WHERE t.n1 > 0 AND t.n2 > 0
+GROUP BY c.event_type, t.n1, t.n2
+""",
+)
+def events_drift_chi2_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor, chi-square flavor: per event type,
+    the two-sample χ² statistic between the value distributions of the
+    first and second half of the window (10 fixed-width value buckets)
+    — the categorical-bucket complement of the KS drift monitor
+    (doc_drift_ks_by_source), and the standard "did my feature
+    distribution shift" alarm of ML monitoring.
+
+    Determinism across engines without giving up the statistic: the
+    2×2 per-bucket term is algebraically collapsed to the all-integer
+    form D²/(n1·n2·(o1+o2)) with D = o1·n2 − o2·n1 (exact BIGINT),
+    leaving exactly THREE double ops per bucket (two multiplies, one
+    divide — engines agree bit-for-bit on identical IEEE op
+    sequences, where the textbook per-half (O−E)²/E chain drifted in
+    the last ulp); terms floor to integer micro-units PER BUCKET and
+    only integers are summed, so no order-dependent float
+    accumulation ever happens. One fact pass to the (type, bucket,
+    half) rollup; everything after is grid-sized. Types active in
+    only one half are excluded (expected counts 0, χ² undefined).
+    D stays inside the double's exact-integer range up to ~10⁷ rows
+    per (type, bucket) half — past that, rescale the bucket grid.
+    """
+    ev = table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        (F.col("ts") < F.lit(CHI2_SPLIT_TS).cast("timestamp")).alias("early"),
+        F.least(
+            F.expr(
+                f"CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)"
+                f" div {CHI2_BUCKET_MICROS}"
+            ),
+            F.lit(CHI2_MAX_BUCKET),
+        ).alias("bucket"),
+    )
+    cnt = e.groupBy("event_type", "bucket").agg(
+        F.sum(F.when(F.col("early"), 1).otherwise(0)).cast("bigint").alias("o1"),
+        F.sum(F.when(F.col("early"), 0).otherwise(1)).cast("bigint").alias("o2"),
+    )
+    tot = cnt.groupBy("event_type").agg(
+        F.sum("o1").cast("bigint").alias("n1"),
+        F.sum("o2").cast("bigint").alias("n2"),
+    )
+    term = F.expr(
+        "CAST(FLOOR("
+        "(1000000.0 * CAST((o1 * n2 - o2 * n1) AS DOUBLE)"
+        "           * CAST((o1 * n2 - o2 * n1) AS DOUBLE))"
+        " / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)"
+        "    * CAST((o1 + o2) AS DOUBLE))"
+        " + 0.5) AS BIGINT)"
+    )
+    return (
+        cnt.join(F.broadcast(tot), "event_type")
+        .filter((F.col("n1") > 0) & (F.col("n2") > 0))
+        .groupBy("event_type", "n1", "n2")
+        .agg(F.sum(term).cast("bigint").alias("chi2_micro"))
+    )
