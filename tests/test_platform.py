@@ -226,3 +226,80 @@ def test_users_orgs_rbac(engine):
     assert engine.require_role(viewer, ("admin",))
     engine.set_user_active(viewer, False)
     assert not engine.require_role(viewer, ("admin",))  # inactive fails gate
+
+
+def test_misc_surface_rule_matches_and_events(engine):
+    """§2.10 misc stubs (misc_handlers.go:27-53), implemented: the
+    rule-match reader returns persisted evaluator output, and the
+    rule-event reader returns the RULE_ADD/RULE_EVAL audit trail."""
+    engine.add_rule(7, "flag confidential material")
+    out = engine.evaluate_rules()
+    n_matches = out.count()
+    got = engine.rule_matches(limit=50).collect()
+    assert len(got) == min(n_matches, 50)
+    assert all(r["rule_id"] == 7 for r in got)
+
+    ev = engine.rule_events(limit=50).collect()
+    actions = {r["action"] for r in ev}
+    assert actions == {"RULE_ADD", "RULE_EVAL"}
+    assert any("rule 7 added" in r["details"] for r in ev)
+
+
+def test_misc_surface_audit_export(engine, tmp_path):
+    """§2.10 audit export (misc_handlers.go:55-67): JSONL and CSV
+    dumps round-trip the full audit log with ISO timestamps."""
+    import pytest
+
+    n = engine.read_table("audit_logs").count()
+    assert n > 0  # ingest audited
+    exported = engine.export_audit(str(tmp_path / "audit_jsonl"), "jsonl")
+    assert exported == n
+    back = engine.spark.read.json(str(tmp_path / "audit_jsonl"))
+    assert back.count() == n
+    assert "timestamp" in back.columns
+
+    assert engine.export_audit(str(tmp_path / "audit_csv"), "csv") == n
+    with pytest.raises(ValueError, match="unsupported"):
+        engine.export_audit(str(tmp_path / "x"), "xml")
+
+
+def test_misc_surface_logos(engine):
+    """§2.10 logo endpoints (misc_handlers.go:70-94): binary asset
+    upsert idempotent on (org, name); listing projects the binary OUT
+    and reports sizes."""
+    engine.upload_logo("orgA", "main.png", b"\x89PNG fakebytes")
+    engine.upload_logo("orgA", "main.png", b"\x89PNG replaced!!")  # upsert
+    engine.upload_logo("orgB", "alt.svg", b"<svg/>", content_type="image/svg+xml")
+
+    rows = engine.list_logos().collect()
+    assert [(r["organization_id"], r["name"]) for r in rows] == [
+        ("orgA", "main.png"), ("orgB", "alt.svg"),
+    ]
+    by_name = {r["name"]: r for r in rows}
+    assert by_name["main.png"]["n_bytes"] == len(b"\x89PNG replaced!!")
+    assert by_name["alt.svg"]["content_type"] == "image/svg+xml"
+    assert "content" not in set(engine.list_logos().columns)
+    assert engine.list_logos("orgB").count() == 1
+
+
+def test_misc_surface_login_as(engine):
+    """§2.10 login-as (misc_handlers.go:13-25): super-admin only,
+    inactive targets refused, audit row names both parties."""
+    import pytest
+
+    org = engine.create_organization("corp")
+    boss = engine.create_user("root@corp.io", role="super-admin",
+                              organization_id=org)
+    peon = engine.create_user("dev@corp.io", role="viewer",
+                              organization_id=org)
+
+    got = engine.login_as(boss, peon)
+    assert got["user_id"] == peon and got["role"] == "viewer"
+    trail = engine.audit(action="LOGIN_AS").collect()
+    assert any(boss in r["details"] and peon in r["details"] for r in trail)
+
+    with pytest.raises(PermissionError):
+        engine.login_as(peon, boss)  # viewer cannot impersonate
+    engine.set_user_active(peon, False)
+    with pytest.raises(ValueError, match="unavailable"):
+        engine.login_as(boss, peon)

@@ -65,6 +65,7 @@ _TABLE_SCHEMAS = {
     "system_metadata": schemas.SYSTEM_METADATA,
     "users": schemas.USERS,
     "organizations": schemas.ORGANIZATIONS,
+    "logos": schemas.LOGOS,
 }
 
 # tables physically partitioned by tenant
@@ -433,6 +434,10 @@ class HiveEngine:
             [(rule_id, query, active, None, organization_id)], schemas.RULES
         ).withColumn("created_at", F.current_timestamp())
         self._upsert("rules", row, ["id"])
+        self._audit_row(
+            "127.0.0.1", "RULE_ADD", f"rule {rule_id} added: {query}",
+            organization_id,
+        )
 
     def active_rules(self, organization_id: str | None = None) -> DataFrame:
         rules = self.read_table("rules").filter(F.col("active"))
@@ -486,6 +491,10 @@ class HiveEngine:
             "organization_id",
         )
         self._append("rule_matches", out)
+        self._audit_row(
+            "127.0.0.1", "RULE_EVAL",
+            "standing rules evaluated (single_doc)", "",
+        )
         return out
 
     def evaluate_rules_cross_doc(
@@ -697,6 +706,102 @@ class HiveEngine:
             .collect()
         )
         return rows[0]["organization_id"] if rows else None
+
+    # ------------------------------------------- §2.10 misc surface
+    # (misc_handlers.go:13-94 — every one a TODO stub in the
+    # reference; implemented here as working supersets)
+
+    def rule_matches(
+        self, limit: int = 100, organization_id: str | None = None
+    ) -> DataFrame:
+        """GET /rules/matches (misc_handlers.go:27-39 stub): the
+        persisted standing-rule match log the evaluators append to."""
+        m = self.read_table("rule_matches")
+        if organization_id is not None:
+            m = m.filter(F.col("organization_id") == organization_id)
+        return m.orderBy(
+            F.desc("rule_id"), F.asc("uploaded_doc"), F.asc("matched_doc")
+        ).limit(limit)
+
+    def rule_events(self, limit: int = 100) -> DataFrame:
+        """GET /rules/events (misc_handlers.go:41-53 stub): the audit
+        trail of rule lifecycle + evaluation actions."""
+        return (
+            self.read_table("audit_logs")
+            .filter(F.col("action").isin("RULE_ADD", "RULE_EVAL"))
+            .orderBy(F.desc("timestamp"), F.desc("id"))
+            .limit(limit)
+        )
+
+    def export_audit(self, path: str, fmt: str = "jsonl") -> int:
+        """GET /audit/export (misc_handlers.go:55-67 stub): dump the
+        audit log as JSONL or CSV shards; returns the exported row
+        count. Timestamps serialize as ISO strings so the export is
+        engine-agnostic."""
+        logs = self.read_table("audit_logs").withColumn(
+            "timestamp", F.date_format("timestamp", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+        )
+        n = logs.count()
+        writer = logs.write.mode("overwrite")
+        if fmt == "jsonl":
+            writer.json(path)
+        elif fmt == "csv":
+            writer.option("header", True).csv(path)
+        else:
+            raise ValueError(f"unsupported export format: {fmt}")
+        return n
+
+    def upload_logo(
+        self,
+        organization_id: str,
+        name: str,
+        content: bytes,
+        content_type: str = "image/png",
+    ) -> None:
+        """POST /logos/upload (misc_handlers.go:83-94 stub): org
+        branding asset as an opaque binary column, idempotent on
+        (org, name)."""
+        row = self.spark.createDataFrame(
+            [(organization_id, name, content, content_type, None)],
+            schemas.LOGOS,
+        ).withColumn("uploaded_at", F.current_timestamp())
+        self._upsert("logos", row, ["organization_id", "name"])
+
+    def list_logos(self, organization_id: str | None = None) -> DataFrame:
+        """GET /logos (misc_handlers.go:70-81 stub): metadata listing
+        only — the binary column is projected OUT, so the scan prunes
+        to a few bytes per row however large the assets are."""
+        logos = self.read_table("logos").select(
+            "organization_id", "name", "content_type", "uploaded_at",
+            F.length("content").cast("bigint").alias("n_bytes"),
+        )
+        if organization_id is not None:
+            logos = logos.filter(F.col("organization_id") == organization_id)
+        return logos.orderBy("organization_id", "name")
+
+    def login_as(self, actor_user_id: str, target_user_id: str) -> dict:
+        """POST /login-as (misc_handlers.go:13-25 stub): super-admin
+        impersonation — validates the actor's role, refuses inactive
+        targets, and leaves an audit trail naming both parties."""
+        if not self.require_role(actor_user_id, ("super-admin",)):
+            raise PermissionError(
+                f"login-as requires super-admin, denied for {actor_user_id}"
+            )
+        target = (
+            self.read_table("users")
+            .filter(F.col("user_id") == target_user_id)
+            .collect()
+        )
+        if not target or not target[0]["is_active"]:
+            raise ValueError(f"login-as target unavailable: {target_user_id}")
+        row = target[0]
+        self._audit_row(
+            "127.0.0.1",
+            "LOGIN_AS",
+            f"user {actor_user_id} logged in as {target_user_id}",
+            row["organization_id"] or "",
+        )
+        return row.asDict()
 
     # ---------------------------------------------------- system metadata
 

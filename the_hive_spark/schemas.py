@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     BooleanType,
     FloatType,
     IntegerType,
@@ -212,6 +213,18 @@ SYSTEM_METADATA = StructType(
 )
 
 # raw ingest-side row (proto/hive.proto:17-23 wire chunk analog)
+# org branding assets (misc_handlers.go:70-94 logo endpoints — TODO
+# stubs in the reference; implemented here as a binary-column table)
+LOGOS = StructType(
+    [
+        StructField("organization_id", StringType(), False),
+        StructField("name", StringType(), False),
+        StructField("content", BinaryType(), True),
+        StructField("content_type", StringType(), True),
+        StructField("uploaded_at", TimestampType(), True),
+    ]
+)
+
 INGEST_FILES = StructType(
     [
         StructField("path", StringType(), False),
