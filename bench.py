@@ -136,6 +136,7 @@ EXTENDED = [
     "doc_bpe_train",
     "q_table_stats_profile",
     "events_drift_chi2_by_type",
+    "events_forecast_holt",
 ]
 
 

@@ -887,3 +887,95 @@ def events_drift_chi2_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "n1", "n2")
         .agg(F.sum(term).cast("bigint").alias("chi2_micro"))
     )
+
+
+@query(
+    "events_forecast_holt",
+    oracle="""
+WITH RECURSIVE daily AS (
+  SELECT event_type,
+         CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day_idx,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY event_type, day_idx
+), series AS (
+  SELECT event_type, list(y * 1000000 ORDER BY day_idx) AS ys
+  FROM daily GROUP BY event_type
+), walk AS (
+  -- sequential fold as an explicit recursion: one state row per
+  -- (type, step), unambiguous evaluation order
+  SELECT event_type, 1 AS i, ys[1] AS l, CAST(0 AS BIGINT) AS t, ys
+  FROM series
+  UNION ALL
+  SELECT event_type, i + 1,
+         CAST(FLOOR((ys[i + 1] + l + t) / 2.0) AS BIGINT),
+         CAST(FLOOR((CAST(FLOOR((ys[i + 1] + l + t) / 2.0) AS BIGINT) - l)
+                    / 4.0) AS BIGINT)
+           + t + CAST(FLOOR((0 - t) / 4.0) AS BIGINT),
+         ys
+  FROM walk WHERE i < len(ys)
+)
+SELECT event_type, CAST(len(ys) AS BIGINT) AS n_days,
+       CAST(l AS BIGINT) AS level_micro,
+       CAST(t AS BIGINT) AS trend_micro,
+       CAST(l + 7 * t AS BIGINT) AS forecast_7d_micro
+FROM walk WHERE i = len(ys)
+""",
+)
+def events_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential-smoothing forecast per event type
+    (α = 1/2, β = 1/4): level/trend state after folding the daily
+    series, plus the 7-day-ahead projection — the capacity-planning
+    forecast a metrics stack derives from every counter.
+
+    A time recurrence cannot parallelize WITHIN a series, so the
+    engine shape is: one fact pass to the daily rollup, collect each
+    type's (short) series into an in-row array, and run the recurrence
+    as a JVM ``aggregate`` fold — sequential per row, parallel across
+    types, no driver loop and no window.
+
+    Determinism: the recurrence is QUANTIZED to integer micro-units —
+    l' = ⌊(y + l + t)/2⌋, t' = ⌊(l' − l)/4⌋ + ⌊3t/4⌋ — because the
+    float form's dyadic state outgrows the 53-bit mantissa within ~25
+    steps, after which engines legitimately disagree in the last ulp
+    (measured: DuckDB's list_reduce drifted milli-units from the
+    Python/Spark fold). Every step here is integer add + exact
+    power-of-two double division + FLOOR (floor-division that treats
+    negatives identically on both engines, unlike `div` vs `//`), so
+    the fold is bit-exact anywhere. Assumes near-contiguous daily
+    series; gap days would need the gapfill spine upstream.
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("bigint")
+        .alias("day_idx"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    series = daily.groupBy("event_type").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(day_idx, y))),"
+            " s -> s.y * CAST(1000000 AS BIGINT))"
+        ).alias("ys")
+    )
+    st = F.expr(
+        "aggregate(slice(ys, 2, size(ys) - 1),"
+        " named_struct('l', ys[0], 't', CAST(0 AS BIGINT)),"  # Spark [] is 0-based
+        " (acc, y) -> named_struct("
+        "   'l', CAST(FLOOR((y + acc.l + acc.t) / 2.0D) AS BIGINT),"
+        "   't', CAST(FLOOR((CAST(FLOOR((y + acc.l + acc.t) / 2.0D)"
+        "                    AS BIGINT) - acc.l) / 4.0D) AS BIGINT)"
+        "        + acc.t + CAST(FLOOR((0 - acc.t) / 4.0D) AS BIGINT)))"
+    )
+    return series.select(
+        "event_type",
+        F.size("ys").cast("bigint").alias("n_days"),
+        st.alias("_st"),
+    ).select(
+        "event_type",
+        "n_days",
+        F.col("_st.l").cast("bigint").alias("level_micro"),
+        F.col("_st.t").cast("bigint").alias("trend_micro"),
+        (F.col("_st.l") + 7 * F.col("_st.t")).cast("bigint").alias(
+            "forecast_7d_micro"
+        ),
+    )
