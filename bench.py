@@ -137,6 +137,7 @@ EXTENDED = [
     "q_table_stats_profile",
     "events_drift_chi2_by_type",
     "events_forecast_holt",
+    "doc_pack_efficiency",
 ]
 
 

@@ -1068,3 +1068,42 @@ def doc_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("weight_ppm"),
     )
+
+
+def _pack_efficiency_oracle() -> str:
+    from the_hive_spark.registry import ORACLES
+
+    pack_sql = ORACLES["doc_pack_sequences"]
+    return f"""
+WITH packed AS ({pack_sql})
+SELECT bin_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(FLOOR(1000000.0 * SUM(n_tokens) / {PACK_BUDGET} + 0.5) AS BIGINT)
+         AS fill_ppm
+FROM packed GROUP BY bin_id
+"""
+
+
+@query("doc_pack_efficiency", oracle=_pack_efficiency_oracle())
+def doc_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency report over the sequence packer: per bin,
+    document count, token total, and fill ratio against the token
+    budget (ppm) — the dataloader-throughput readout that tells you
+    how much compute each training batch wastes on padding (or spills
+    past the budget when one doc straddles a boundary).
+
+    Pure composition: reuses doc_pack_sequences (whose running sum is
+    already the range-partitioned distributed form) plus one
+    bin-keyed rollup.
+    """
+    packed = doc_pack_sequences(spark, sf_dir)
+    return packed.groupBy("bin_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.floor(
+            1000000.0 * F.sum("n_tokens") / F.lit(PACK_BUDGET) + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("fill_ppm"),
+    )
