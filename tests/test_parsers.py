@@ -223,3 +223,26 @@ def test_jsonl_stream_equals_batch(spark, tmp_path):
     want = batch.orderBy("doc_id").collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
     assert len(got) == 20
+
+
+def test_jsonl_id_field_null_falls_back_to_derived(spark, tmp_path):
+    """Rows missing the declared id field (or carrying a value the
+    BIGINT schema nulls out) must get the md5-derived id, never a NULL
+    doc_id that silently drops from downstream joins."""
+    import json
+
+    from the_hive_spark.sources.jsonl import read_jsonl_corpus
+
+    src = tmp_path / "d.jsonl"
+    src.write_text(
+        "\n".join([
+            json.dumps({"text": "has id", "my_id": 42}),
+            json.dumps({"text": "missing id"}),
+            json.dumps({"text": "bad id", "my_id": "not-a-number"}),
+        ])
+    )
+    rows = read_jsonl_corpus(spark, str(src), id_field="my_id").collect()
+    assert len(rows) == 3
+    assert all(r["doc_id"] is not None for r in rows)
+    by_text = {r["text"]: r["doc_id"] for r in rows}
+    assert by_text["has id"] == 42

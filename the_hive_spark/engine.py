@@ -497,6 +497,9 @@ class HiveEngine:
         )
         return out
 
+    # NOTE: evaluate_rules_cross_doc (below) writes its own RULE_EVAL
+    # audit row too — rule_events() advertises the COMPLETE evaluation
+    # trail, both evaluator modes.
     def evaluate_rules_cross_doc(
         self, document_ids: list[str] | None = None, top_k: int = 10
     ) -> DataFrame:
@@ -538,6 +541,10 @@ class HiveEngine:
             )
         )
         self._append("rule_matches", out)
+        self._audit_row(
+            "127.0.0.1", "RULE_EVAL",
+            "standing rules evaluated (cross_doc)", "",
+        )
         return out
 
     def _neighbor_pairs(self, top_k: int) -> DataFrame:
@@ -738,17 +745,20 @@ class HiveEngine:
         audit log as JSONL or CSV shards; returns the exported row
         count. Timestamps serialize as ISO strings so the export is
         engine-agnostic."""
+        if fmt not in ("jsonl", "csv"):
+            raise ValueError(f"unsupported export format: {fmt}")
         logs = self.read_table("audit_logs").withColumn(
             "timestamp", F.date_format("timestamp", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
-        )
-        n = logs.count()
-        writer = logs.write.mode("overwrite")
-        if fmt == "jsonl":
-            writer.json(path)
-        elif fmt == "csv":
-            writer.option("header", True).csv(path)
-        else:
-            raise ValueError(f"unsupported export format: {fmt}")
+        ).persist()
+        try:
+            n = logs.count()
+            writer = logs.write.mode("overwrite")
+            if fmt == "jsonl":
+                writer.json(path)
+            else:
+                writer.option("header", True).csv(path)
+        finally:
+            logs.unpersist()
         return n
 
     def upload_logo(
@@ -762,7 +772,8 @@ class HiveEngine:
         branding asset as an opaque binary column, idempotent on
         (org, name)."""
         row = self.spark.createDataFrame(
-            [(organization_id, name, content, content_type, None)],
+            [(organization_id, name, content, content_type,
+              len(content), None)],
             schemas.LOGOS,
         ).withColumn("uploaded_at", F.current_timestamp())
         self._upsert("logos", row, ["organization_id", "name"])
@@ -773,7 +784,7 @@ class HiveEngine:
         to a few bytes per row however large the assets are."""
         logos = self.read_table("logos").select(
             "organization_id", "name", "content_type", "uploaded_at",
-            F.length("content").cast("bigint").alias("n_bytes"),
+            "n_bytes",
         )
         if organization_id is not None:
             logos = logos.filter(F.col("organization_id") == organization_id)

@@ -1564,6 +1564,8 @@ def doc_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         left, right, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
         merges.append((rank, left, right, left + right, cnt))
+        if rank == BPE_TRAIN_MERGES:
+            break  # final round: the re-segmentation has no consumer
 
         def apply_merge(batches, _l=left, _r=right):
             for pdf in batches:

@@ -213,23 +213,26 @@ SYSTEM_METADATA = StructType(
 )
 
 # raw ingest-side row (proto/hive.proto:17-23 wire chunk analog)
-# org branding assets (misc_handlers.go:70-94 logo endpoints — TODO
-# stubs in the reference; implemented here as a binary-column table)
-LOGOS = StructType(
-    [
-        StructField("organization_id", StringType(), False),
-        StructField("name", StringType(), False),
-        StructField("content", BinaryType(), True),
-        StructField("content_type", StringType(), True),
-        StructField("uploaded_at", TimestampType(), True),
-    ]
-)
-
 INGEST_FILES = StructType(
     [
         StructField("path", StringType(), False),
         StructField("content", StringType(), True),
         StructField("organization_id", StringType(), True),
         StructField("metadata", MapType(StringType(), StringType()), True),
+    ]
+)
+
+# org branding assets (misc_handlers.go:70-94 logo endpoints — TODO
+# stubs in the reference; implemented here as a binary-column table).
+# n_bytes is persisted at upload so metadata listings never touch the
+# binary column.
+LOGOS = StructType(
+    [
+        StructField("organization_id", StringType(), False),
+        StructField("name", StringType(), False),
+        StructField("content", BinaryType(), True),
+        StructField("content_type", StringType(), True),
+        StructField("n_bytes", LongType(), True),
+        StructField("uploaded_at", TimestampType(), True),
     ]
 )

@@ -46,11 +46,16 @@ def _normalize(
     source: str,
 ) -> DataFrame:
     text = F.col(text_field)
+    # md5-derived deterministic id; 15 hex chars < 2^60 fits int64
+    derived = F.conv(F.substring(F.md5(text), 1, 15), 16, 10).cast("bigint")
     if id_field:
-        doc_id = F.col(id_field).cast("bigint")
+        # records missing the id field (or carrying a non-integer the
+        # permissive JSON reader nulls out) FALL BACK to the derived
+        # id — a NULL doc_id would silently drop rows from every
+        # downstream join and shard partitioning
+        doc_id = F.coalesce(F.col(id_field).cast("bigint"), derived)
     else:
-        # md5-derived deterministic id; 15 hex chars < 2^60 fits int64
-        doc_id = F.conv(F.substring(F.md5(text), 1, 15), 16, 10).cast("bigint")
+        doc_id = derived
     lang = F.col(lang_field) if lang_field else F.lit("und")
     return (
         raw.filter(text.isNotNull() & (F.length(text) > 0))
