@@ -305,3 +305,80 @@ def test_debounce_invariants(spark, raw):
             for r in events_debounced(spark, d).collect()
         }
     assert got == expected
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=10_000),
+    st.integers(min_value=1, max_value=50),
+)
+def test_ntile_from_rank_property(n, k):
+    """ids.ntile_from_rank must satisfy the SQL NTILE contract for
+    ARBITRARY (n, k): bucket sizes differ by at most 1, the first
+    n % k buckets are the larger ones, buckets are non-decreasing in
+    rank, and every bucket id is in [1, min(n, k)]. Evaluated via the
+    same closed form the Column expression encodes (no JVM needed)."""
+    q, rem = divmod(n, k)
+
+    def tile(r: int) -> int:
+        if q == 0:
+            return r
+        big = rem * (q + 1)
+        if r <= big:
+            return (r - 1) // (q + 1) + 1
+        return rem + (r - big - 1) // q + 1
+
+    tiles = [tile(r) for r in range(1, n + 1)]
+    if not tiles:
+        return
+    assert tiles == sorted(tiles)
+    assert tiles[0] == 1 and tiles[-1] == min(n, k)
+    from collections import Counter
+
+    sizes = Counter(tiles)
+    assert set(sizes) == set(range(1, min(n, k) + 1))
+    counts = [sizes[b] for b in sorted(sizes)]
+    assert max(counts) - min(counts) <= 1
+    # the larger buckets come first, and exactly n % k of them
+    if q > 0 and rem > 0:
+        assert all(c == q + 1 for c in counts[:rem])
+        assert all(c == q for c in counts[rem:])
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2**31 - 1), st.integers(0, 2**31 - 1)),
+        min_size=1, max_size=80,
+    )
+)
+def test_zorder2_order_matches_reference(pairs):
+    """Sorting by zorder2 must equal sorting by the reference Python
+    Morton interleave — pure bit-twiddling parity on arbitrary
+    coordinates (evaluated through the same mask pipeline the Column
+    expression encodes)."""
+    STEPS = [(16, 0x0000FFFF0000FFFF), (8, 0x00FF00FF00FF00FF),
+             (4, 0x0F0F0F0F0F0F0F0F), (2, 0x3333333333333333),
+             (1, 0x5555555555555555)]
+
+    def spread(x: int) -> int:
+        x &= (1 << 31) - 1
+        for shift, mask in STEPS:
+            x = (x | (x << shift)) & mask
+        return x
+
+    def z_mask(a: int, b: int) -> int:
+        return spread(a) | (spread(b) << 1)
+
+    def z_ref(a: int, b: int) -> int:
+        z = 0
+        for i in range(31):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    for a, b in pairs:
+        assert z_mask(a, b) == z_ref(a, b), (a, b)
+    assert sorted(pairs, key=lambda p: z_mask(*p)) == sorted(
+        pairs, key=lambda p: z_ref(*p)
+    )
