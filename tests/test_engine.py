@@ -266,3 +266,36 @@ def test_compact_dataset_merges_small_files(spark, tmp_path):
     before = sorted(tuple(r) for r in spark.read.parquet(src).collect())
     after = sorted(tuple(r) for r in spark.read.parquet(dst).collect())
     assert before == after
+
+
+def test_forget_document_erases_all_derived_rows(spark, tmp_path_factory):
+    """Right-to-erasure: every artifact keyed to the document is gone,
+    other documents are untouched, search can no longer retrieve it,
+    and exactly one FORGET audit row remains."""
+    from the_hive_spark.schemas import INGEST_FILES
+    from tests.fixtures import seed_files
+
+    eng = HiveEngine(spark, str(tmp_path_factory.mktemp("wh_forget")),
+                     embedding_dim=32)
+    eng.ingest_batch(seed_files(spark))
+    target = "/watch/project_alpha.md"
+    eng.add_edge(target, "/watch/beta_analysis.md", "references")
+    eng.add_rule(1, "flag confidential material")
+    eng.evaluate_rules()
+
+    before_docs = eng.read_table("documents").count()
+    deleted = eng.forget_document(target)
+    assert deleted["documents"] == 1
+    assert deleted["chunks"] >= 1
+    assert deleted["graph_edges"] == 1
+
+    assert eng.read_table("documents").count() == before_docs - 1
+    assert eng.read_table("chunks").filter(
+        F.col("document_id") == target).count() == 0
+    assert eng.read_table("rule_matches").filter(
+        F.col("uploaded_doc") == target).count() == 0
+    hits = eng.search("Project Alpha confidential", top_k=5,
+                      audit=False).collect()
+    assert all(h["document_id"] != target for h in hits)
+    trail = eng.audit(action="FORGET").collect()
+    assert len(trail) == 1 and target in trail[0]["details"]

@@ -229,3 +229,29 @@ def test_round3_ops_plan_health(spark):
                  "q16_supplier_part_variety", "q22_lapsed_rich_customers"):
         s = plan_summary(QUERIES[name](spark, SF_DIR))
         assert s["cartesian_products"] == 0, name
+
+
+def test_join_advisor_classifies_by_measured_size(spark):
+    """plans/advisor.py: dimensions measure as broadcastable, the fact
+    does not once the estimated size crosses the session threshold —
+    the measurement-over-hunch contract."""
+    from the_hive_spark.plans.advisor import (
+        _broadcast_threshold_bytes,
+        join_advice,
+    )
+
+    assert _broadcast_threshold_bytes(spark) > 0
+
+    advice = {r["tbl"]: r for r in join_advice(spark, SF_DIR).collect()}
+    for dim in ("region", "nation", "supplier"):
+        assert advice[dim]["advice"] == "broadcast", advice[dim]
+    # with a width that pushes lineitem past the threshold, the fact
+    # flips to shuffle while the tiny dims stay broadcastable
+    thr = _broadcast_threshold_bytes(spark)
+    wide = thr // max(advice["lineitem"]["n_rows"] - 1, 1) + 1
+    advice_w = {
+        r["tbl"]: r
+        for r in join_advice(spark, SF_DIR, bytes_per_row=wide).collect()
+    }
+    assert advice_w["lineitem"]["advice"] == "shuffle"
+    assert advice_w["region"]["advice"] == "broadcast"

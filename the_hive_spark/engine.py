@@ -1042,6 +1042,46 @@ class HiveEngine:
         )
         self._replace("documents", docs)
 
+    def forget_document(self, document_id: str) -> dict[str, int]:
+        """Right-to-erasure at document granularity (the GDPR-shaped
+        complement of the tenant-level purge): remove the document and
+        every derived artifact keyed to it — chunks, tracked-file
+        entry, alerts, rule matches, graph edges — and leave an audit
+        row recording the erasure (the one trace that legally should
+        remain). Returns per-table deleted-row counts.
+
+        At cluster scale each filter is an anti-join rewrite of the
+        table (Delta DELETE WHERE); row groups that don't contain the
+        key are skipped by parquet min/max stats when the tables are
+        clustered on their document keys (sinks.write_dataset's
+        sort_within convention).
+        """
+        deleted: dict[str, int] = {}
+        preds = {
+            "documents": F.col("id") == document_id,
+            "chunks": F.col("document_id") == document_id,
+            "tracked_files": F.col("file_path") == document_id,
+            "alerts": F.col("document_id") == document_id,
+            "rule_matches": (F.col("uploaded_doc") == document_id)
+            | (F.col("matched_doc") == document_id),
+            "graph_edges": (F.col("source_doc_id") == document_id)
+            | (F.col("target_doc_id") == document_id),
+        }
+        for tbl, pred in preds.items():
+            t = self.read_table(tbl)
+            n = t.filter(pred).count()
+            deleted[tbl] = n
+            if n:
+                self._replace(tbl, t.filter(~pred))
+        self._audit_row(
+            "127.0.0.1",
+            "FORGET",
+            f"document {document_id} erased"
+            f" ({sum(deleted.values())} rows across {len(preds)} tables)",
+            "",
+        )
+        return deleted
+
     def _embed_query(self, query: str):
         from the_hive_spark.functions.embedding import mock_embedding_np
 
