@@ -299,3 +299,24 @@ def test_forget_document_erases_all_derived_rows(spark, tmp_path_factory):
     assert all(h["document_id"] != target for h in hits)
     trail = eng.audit(action="FORGET").collect()
     assert len(trail) == 1 and target in trail[0]["details"]
+
+
+def test_integrity_report_clean_then_detects_orphans(spark, tmp_path_factory):
+    """Warehouse self-audit: a freshly ingested warehouse has zero
+    orphans; erasing a document's parent row by hand surfaces its
+    chunks as orphans."""
+    from tests.fixtures import seed_files
+
+    eng = HiveEngine(spark, str(tmp_path_factory.mktemp("wh_integ")),
+                     embedding_dim=16)
+    eng.ingest_batch(seed_files(spark))
+    report = {r["fk"]: r for r in eng.integrity_report().collect()}
+    assert all(r["n_orphans"] == 0 for r in report.values()), report
+    assert report["chunks.document_id -> documents"]["n_rows"] > 0
+
+    # break a FK on purpose: drop one document row, keep its chunks
+    target = "/watch/project_alpha.md"
+    docs = eng.read_table("documents").filter(F.col("id") != target)
+    eng._replace("documents", docs)
+    report2 = {r["fk"]: r for r in eng.integrity_report().collect()}
+    assert report2["chunks.document_id -> documents"]["n_orphans"] > 0

@@ -1042,6 +1042,57 @@ class HiveEngine:
         )
         self._replace("documents", docs)
 
+    def integrity_report(self) -> DataFrame:
+        """Warehouse self-audit: orphan counts for every internal
+        foreign key (chunks→documents, alerts→documents,
+        rule_matches→rules, chat_messages→chat_sessions,
+        users→organizations) — the load-validation gate run against
+        the engine's OWN tables, same one-pass-per-table conditional-
+        aggregation shape as the testdata referential audit
+        (operators/analytics.py::q_referential_integrity_audit).
+        A non-zero row means an upsert/purge path broke atomicity.
+        """
+        from functools import reduce
+
+        checks = [
+            ("chunks.document_id -> documents", "chunks", "document_id",
+             "documents", "id"),
+            ("alerts.document_id -> documents", "alerts", "document_id",
+             "documents", "id"),
+            ("rule_matches.rule_id -> rules", "rule_matches", "rule_id",
+             "rules", "id"),
+            ("chat_messages.session_id -> chat_sessions", "chat_messages",
+             "session_id", "chat_sessions", "session_id"),
+            ("users.organization_id -> organizations", "users",
+             "organization_id", "organizations", "organization_id"),
+        ]
+        parts: list[DataFrame] = []
+        for label, fact_t, fk, dim_t, pk in checks:
+            fact = self.read_table(fact_t).select(F.col(fk))
+            keys = (
+                self.read_table(dim_t)
+                .select(F.col(pk).alias(fk))
+                .distinct()
+                .withColumn("_ok", F.lit(1))
+            )
+            row = (
+                fact.filter(F.col(fk).isNotNull())
+                .join(F.broadcast(keys), fk, "left")
+                .agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                    # coalesce: SUM over an EMPTY fact table is NULL,
+                    # and an empty table has zero orphans, not unknown
+                    F.coalesce(
+                        F.sum(F.when(F.col("_ok").isNull(), 1).otherwise(0)),
+                        F.lit(0),
+                    )
+                    .cast("bigint")
+                    .alias("n_orphans"),
+                )
+            )
+            parts.append(row.select(F.lit(label).alias("fk"), "n_rows", "n_orphans"))
+        return reduce(DataFrame.unionAll, parts)
+
     def forget_document(self, document_id: str) -> dict[str, int]:
         """Right-to-erasure at document granularity (the GDPR-shaped
         complement of the tenant-level purge): remove the document and
