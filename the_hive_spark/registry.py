@@ -152,6 +152,21 @@ def load_all() -> None:
     doc_* + hive parity; round 3 (this one) rotates in the round-2
     additions that had no driver row yet, plus 4 re-attests of changed
     r1-green code.
+
+    Round-4 rotation plan: after this round's gate lands, the queries
+    with NO driver CORRECTNESS row are (a) the 16 pre-staged at slots
+    51-66 of _GATE_R3 (8 deferred emb_* oracled + the 8 rows-only
+    ANN/sketch evals), and (b) the ~21 round-3 additions — TPC-H
+    completions (q2/q13/q16/q22), emb_semantic_dup_clusters,
+    doc_reservoir_sample, doc_curriculum_shards, q_rolling_revenue_7d,
+    doc_mix_weights, doc_hybrid_rrf_topk, events_daily_gapfill,
+    q_cohort_ltv_matrix, q_next_part_pairs, q_table_stats_profile,
+    events_drift_chi2_by_type, events_forecast_holt,
+    doc_pack_efficiency (all oracled), plus emb_mmr_diverse_topk,
+    emb_kmeans_stats, doc_bpe_train (rows-only). That is ~29 oracled
+    never-checked: put ALL of them first in _GATE_R4, then fill the
+    remaining ~21 slots re-attesting whatever round-4 edits touch
+    (and, if untouched, the round-2-green families in family order).
     """
     from the_hive_spark.operators import (  # noqa: F401
         timeline,
