@@ -138,6 +138,7 @@ EXTENDED = [
     "events_drift_chi2_by_type",
     "events_forecast_holt",
     "doc_pack_efficiency",
+    "events_acf_by_lag",
 ]
 
 

@@ -979,3 +979,115 @@ def events_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
             "forecast_7d_micro"
         ),
     )
+
+
+ACF_MAX_LAG = 7
+
+
+@query(
+    "events_acf_by_lag",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day_idx,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY event_type, day_idx
+), stats AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS s,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM daily GROUP BY event_type
+), lagk AS (
+  SELECT a.event_type, k.k,
+         CAST(SUM(a.y * b.y) AS BIGINT) AS syyk,
+         CAST(SUM(a.y) AS BIGINT) AS sa,
+         CAST(SUM(b.y) AS BIGINT) AS sb,
+         CAST(COUNT(*) AS BIGINT) AS m
+  FROM (SELECT unnest(range(1, {ACF_MAX_LAG} + 1)) AS k) k
+  CROSS JOIN daily a
+  JOIN daily b ON b.event_type = a.event_type
+              AND b.day_idx = a.day_idx + k.k
+  GROUP BY a.event_type, k.k
+)
+SELECT l.event_type, CAST(l.k AS BIGINT) AS lag, l.m AS n_pairs,
+       CAST(FLOOR(1000000.0
+            * CAST(st.n * st.n * l.syyk - st.n * st.s * (l.sa + l.sb)
+                   + l.m * st.s * st.s AS DOUBLE)
+            / CAST(st.n * (st.n * st.syy - st.s * st.s) AS DOUBLE)
+            + 0.5) AS BIGINT) AS acf_ppm
+FROM lagk l JOIN stats st ON st.event_type = l.event_type
+WHERE st.n * st.syy - st.s * st.s > 0
+""",
+)
+def events_acf_by_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of daily counts per event type, lags
+    1..{ACF_MAX_LAG} (ppm) — the seasonality detector behind "is this
+    metric weekly-periodic" (a peak at lag 7) and the independence
+    check before any i.i.d.-assuming statistic.
+
+    Exactness across engines: ACF's mean-centered products expand to
+    the cross-multiplied integer identity
+    r_k = (n²·Σyᵈyᵈ⁺ᵏ − n·S·(Sₐ+S_b) + m·S²) / (n·(n·Σy² − S²))
+    with every sum an exact int64 over the (tiny) per-type day grid —
+    measured pair counts m and partial sums Sₐ/S_b keep the identity
+    correct even for gappy series — and ONE double division per
+    (type, lag). Types with zero variance are excluded (ACF
+    undefined). Shape: one fact pass to the daily rollup; the lag
+    join is grid×{ACF_MAX_LAG} rows, partitioned by type.
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("bigint")
+        .alias("day_idx"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("s"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    ks = spark.range(1, ACF_MAX_LAG + 1).select(F.col("id").alias("k"))
+    a = daily.select(
+        F.col("event_type"), F.col("day_idx"), F.col("y").alias("ya")
+    )
+    b = daily.select(
+        F.col("event_type").alias("et_b"),
+        F.col("day_idx").alias("day_b"),
+        F.col("y").alias("yb"),
+    )
+    lagk = (
+        a.crossJoin(F.broadcast(ks))
+        .join(
+            b,
+            (F.col("et_b") == F.col("event_type"))
+            & (F.col("day_b") == F.col("day_idx") + F.col("k")),
+        )
+        .groupBy("event_type", "k")
+        .agg(
+            F.sum(F.col("ya") * F.col("yb")).cast("bigint").alias("syyk"),
+            F.sum("ya").cast("bigint").alias("sa"),
+            F.sum("yb").cast("bigint").alias("sb"),
+            F.count(F.lit(1)).cast("bigint").alias("m"),
+        )
+    )
+    num = (
+        F.col("n") * F.col("n") * F.col("syyk")
+        - F.col("n") * F.col("s") * (F.col("sa") + F.col("sb"))
+        + F.col("m") * F.col("s") * F.col("s")
+    ).cast("double")
+    den = (
+        F.col("n") * (F.col("n") * F.col("syy") - F.col("s") * F.col("s"))
+    ).cast("double")
+    return (
+        lagk.join(F.broadcast(stats), "event_type")
+        .filter(F.col("n") * F.col("syy") - F.col("s") * F.col("s") > 0)
+        .select(
+            "event_type",
+            F.col("k").cast("bigint").alias("lag"),
+            F.col("m").alias("n_pairs"),
+            F.floor(1000000.0 * num / den + F.lit(0.5))
+            .cast("bigint")
+            .alias("acf_ppm"),
+        )
+    )
