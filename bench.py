@@ -139,6 +139,7 @@ EXTENDED = [
     "events_forecast_holt",
     "doc_pack_efficiency",
     "events_acf_by_lag",
+    "events_type_diversity_daily",
 ]
 
 

@@ -1091,3 +1091,54 @@ def events_acf_by_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("acf_ppm"),
         )
     )
+
+
+@query(
+    "events_type_diversity_daily",
+    oracle="""
+WITH c AS (
+  SELECT CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day_idx,
+         event_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY day_idx, event_type
+)
+SELECT day_idx,
+       CAST(SUM(c) AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(FLOOR(1000000.0
+            * CAST(SUM(c) * SUM(c) - SUM(c * c) AS DOUBLE)
+            / CAST(SUM(c) * SUM(c) AS DOUBLE) + 0.5) AS BIGINT)
+         AS diversity_ppm
+FROM c GROUP BY day_idx
+""",
+)
+def events_type_diversity_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-mix diversity: the Gini impurity 1 − Σpᵢ² of the
+    type distribution per day (ppm; 0 = one type dominates, →1 −1/k =
+    uniform over k types) — the log-free diversity index (Simpson's)
+    that answers "did traffic collapse onto one event type today"
+    without Shannon entropy's cross-engine log-rounding hazard:
+    1 − Σ(cᵢ/N)² = (N² − Σcᵢ²)/N² is an exact integer ratio with ONE
+    double division per day. Two map-side-combined rollups, grid-sized
+    everything after the fact pass.
+    """
+    ev = table(spark, sf_dir, "events")
+    c = ev.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("bigint")
+        .alias("day_idx"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    n = F.sum("c")
+    sq = F.sum(F.col("c") * F.col("c"))
+    return c.groupBy("day_idx").agg(
+        n.cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.floor(
+            1000000.0
+            * (n * n - sq).cast("double")
+            / (n * n).cast("double")
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("diversity_ppm"),
+    )
