@@ -147,6 +147,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     registry.load_all()
     spark = get_spark(app_name="the-hive-spark-bench")
+    # The driver parses the LAST ~2.6 KB of output: WARN spam (e.g.
+    # WindowExec on intentionally k-bounded windows) after the JSON
+    # line has eaten the bench record before (r1/r2 parsed:null).
+    spark.sparkContext.setLogLevel("ERROR")
 
     names = [n for n in HEADLINE if n in registry.QUERIES]
     ext_names = [n for n in EXTENDED if n in registry.QUERIES]
@@ -231,8 +235,11 @@ def main() -> None:
     if len(text) > 2200:  # belt-and-braces: never exceed the capture
         line.pop("queries")
         text = json.dumps(line, separators=(",", ":"))
-    print(text)
+    # stop() BEFORE printing: the JSON line must be the last thing on
+    # stdout — no JVM shutdown chatter may trail it into the driver's
+    # tail capture.
     spark.stop()
+    print(text, flush=True)
 
 
 if __name__ == "__main__":

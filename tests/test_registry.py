@@ -14,7 +14,7 @@ from the_hive_spark import registry
 
 registry.load_all()
 
-# Round-3 top-50 budget: registry._GATE_R3 is the single source of
+# Round-4 top-50 budget: registry._GATE_R4 is the single source of
 # truth (explicit rotation list, no longer import-order-encoded). This
 # test asserts load_all() actually imposes it in a fresh interpreter.
 def test_top50_budget():
@@ -40,36 +40,56 @@ def test_top50_budget():
     )
     names = json.loads(out.stdout.strip().splitlines()[-1])
     assert len(names) >= 50
-    assert names[: len(registry._GATE_R3)] == registry._GATE_R3
-    # slots 47-50 are the re-attests of changed r1-green code
-    assert names[46:50] == [
-        "doc_minhash_lsh_pairs",
-        "doc_dup_clusters",
-        "graph_pagerank3",
-        "emb_knn_topk",
+    assert names[: len(registry._GATE_R4)] == registry._GATE_R4
+    # slots 39-50 are the re-attests of round-4-edited code (broadcast
+    # hygiene fixes: chat path, analytics de-hinting, tfidf/modality)
+    assert names[38:42] == [
+        "hive_chat_citations",
+        "hive_chat_answer",
+        "dup_modality_agreement",
+        "doc_tfidf_topk",
     ]
-    # every slot in 1-50 is hash-checkable (has a DuckDB oracle)
-    import importlib
+    # every ORACLED slot is hash-checkable; the 11 rows-only slots are
+    # the ANN/sketch evals whose driver check is rows+schema by design
+    rows_only = [n for n in names[:50] if n not in registry.ORACLES]
+    assert set(rows_only) <= {
+        "emb_ann_lsh_topk",
+        "emb_ann_ivf_topk",
+        "emb_ann_recall",
+        "emb_pq_eval",
+        "emb_ivfpq_recall",
+        "emb_spectrum_diagnostics",
+        "events_approx_value_percentiles",
+        "events_approx_user_count",
+        "emb_mmr_diverse_topk",
+        "emb_kmeans_stats",
+        "doc_bpe_train",
+    }, rows_only
 
-    reg = importlib.import_module("the_hive_spark.registry")
-    missing_oracle = [n for n in names[:50] if n not in reg.ORACLES]
-    assert not missing_oracle, missing_oracle
 
-
-def test_gate_r3_covers_never_checked():
-    """Slots 1-46 must be queries with no driver CORRECTNESS row in
-    rounds 1-2 (the whole point of the rotation)."""
+def test_gate_r4_covers_all_never_checked():
+    """Slots 1-38 must be exactly the queries with no driver
+    CORRECTNESS row in rounds 1-3 — a green round 4 then closes the
+    loop: every registered query has had a driver row in some round."""
     import json
     import os
 
     checked: set[str] = set()
-    for f in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
+    for f in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json",
+              "CORRECTNESS_r03.json"):
         path = os.path.join(os.path.dirname(__file__), "..", f)
         if os.path.exists(path):
             with open(path) as fh:
                 checked |= set(json.load(fh))
-    stale = [n for n in registry._GATE_R3[:46] if n in checked]
+    if not checked:
+        return  # fresh clone without driver artifacts
+    stale = [n for n in registry._GATE_R4[:38] if n in checked]
     assert not stale, stale
+    never = [n for n in registry.QUERIES
+             if n not in checked and n not in registry._GATE_R4[:38]]
+    assert not never, (
+        "queries with no driver row missing from the r4 gate: " + str(never)
+    )
 
 
 def test_every_query_has_callable_and_unique_name():

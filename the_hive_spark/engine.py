@@ -1077,7 +1077,9 @@ class HiveEngine:
             )
             row = (
                 fact.filter(F.col(fk).isNotNull())
-                .join(F.broadcast(keys), fk, "left")
+                # unhinted: the documents key set is corpus-sized at
+                # scale; AQE broadcasts the genuinely small dims
+                .join(keys, fk, "left")
                 .agg(
                     F.count(F.lit(1)).cast("bigint").alias("n_rows"),
                     # coalesce: SUM over an EMPTY fact table is NULL,

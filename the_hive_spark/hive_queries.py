@@ -109,8 +109,10 @@ def _chat_citations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank",
         F.row_number().over(Window.orderBy(F.desc("cos_ppm"), F.asc("vec_id"))),
     )
-    return ranked.join(
-        F.broadcast(docs.select("doc_id", "text")),
+    # Broadcast the k-row ranked side (NOT documents: the corpus is
+    # billions of rows at scale — a hint there would OOM the driver).
+    return F.broadcast(ranked).join(
+        docs.select("doc_id", "text"),
         ranked["vec_id"] == docs["doc_id"],
         "inner",
     ).select(

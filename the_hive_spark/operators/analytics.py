@@ -104,7 +104,8 @@ LIMIT 10
 """,
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3: selective dim filter broadcast into the fact join, top-10."""
+    """TPC-H Q3: selective dim filter joins the fact (AQE broadcasts at
+    test scale; customer grows with sf so no hard hint), top-10."""
     cust = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
@@ -114,7 +115,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(_rev()).cast("bigint").alias("revenue_cents"))
         .orderBy(F.desc("revenue_cents"), F.asc("l_orderkey"))
@@ -169,7 +170,8 @@ GROUP BY n_name
 """,
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5: 6-way star join; dims broadcast, fact shuffles once."""
+    """TPC-H Q5: 6-way star join; nation/region hinted broadcast, the
+    sf-scaling dims left to AQE, fact shuffles once."""
     cust = table(spark, sf_dir, "customer")
     orders = table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
@@ -183,7 +185,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
         )
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
@@ -274,11 +276,11 @@ GROUP BY p_brand
 """,
 )
 def q_brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fact ⋈ broadcast(part) → per-brand volume rollup."""
+    """Fact ⋈ part (AQE-broadcast at test scale) → per-brand volume rollup."""
     li = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(
             F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("total_qty"),
@@ -310,7 +312,7 @@ def q_top_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = table(spark, sf_dir, "supplier")
     nation = table(spark, sf_dir, "nation")
     srev = (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .groupBy("s_nationkey", "s_suppkey", "s_name")
         .agg(F.sum(_rev()).cast("bigint").alias("revenue_cents"))
     )
@@ -339,7 +341,7 @@ def q_mktsegment_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
     cust = table(spark, sf_dir, "customer")
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .withColumn("order_year", F.year("o_orderdate").cast("int"))
         .groupBy("c_mktsegment", "order_year")
         .agg(
@@ -363,14 +365,15 @@ def q16_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape: distinct aggregation after a fact join.
 
     count(DISTINCT) adds an expand+dedup stage; the part-side filter
-    prunes at the scan and the filtered part table broadcasts.
+    prunes at the scan; the filtered part table joins unhinted (AQE
+    broadcasts it while it fits).
     """
     part = table(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 2, 3, 4, 5)
     )
     li = table(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
     )
@@ -523,8 +526,8 @@ def q2_min_acctbal_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     shipped = (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             "p_partkey", "p_name", "s_suppkey", "s_name",
             cents(F.col("s_acctbal")).alias("acctbal_cents"),
@@ -575,7 +578,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = (
         li.join(table(spark, sf_dir, "orders"), F.col("o_orderkey") == F.col("l_orderkey"))
         .join(table(spark, sf_dir, "customer"), F.col("c_custkey") == F.col("o_custkey"))
-        .join(F.broadcast(table(spark, sf_dir, "supplier")), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(table(spark, sf_dir, "supplier"), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(nat.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))), F.col("sn_key") == F.col("s_nationkey"))
         .join(F.broadcast(nat.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))), F.col("cn_key") == F.col("c_nationkey"))
     )
@@ -614,7 +617,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     region, per year. The share is exact bigint ppm (numerator-cents ×
     1e6 integer-divided by denominator-cents) so the ratio is
     reproducible — a float division would not be. Conditional agg
-    keeps it one pass; part filter broadcasts into the fact."""
+    keeps it one pass; the filtered part side joins unhinted (AQE
+    broadcasts it while it fits)."""
     nat = table(spark, sf_dir, "nation")
     reg = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     part = table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
@@ -622,8 +626,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "lineitem")
         .join(table(spark, sf_dir, "orders"), F.col("o_orderkey") == F.col("l_orderkey"))
         .join(table(spark, sf_dir, "customer"), F.col("c_custkey") == F.col("o_custkey"))
-        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(table(spark, sf_dir, "supplier")), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(table(spark, sf_dir, "supplier"), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(nat.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))), F.col("sn_key") == F.col("s_nationkey"))
         .join(F.broadcast(nat.select(F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region"))), F.col("cn_key") == F.col("c_nationkey"))
         .join(F.broadcast(reg), F.col("r_regionkey") == F.col("cn_region"))
@@ -660,13 +664,14 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape: profit (revenue minus retail cost of quantity —
     the schema has no ps_supplycost) on a part-name pattern, rolled up
     by supplier nation and year. The LIKE filter cannot push to a
-    parquet min/max but does prune the broadcast part build side."""
+    parquet min/max but does prune the part build side (AQE-broadcast
+    at test scale, shuffle join beyond)."""
     part = table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
     profit = _rev() - cents(F.col("p_retailprice") * F.col("l_quantity"))
     return (
         table(spark, sf_dir, "lineitem")
-        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(table(spark, sf_dir, "supplier")), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(table(spark, sf_dir, "supplier"), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(table(spark, sf_dir, "nation")), F.col("n_nationkey") == F.col("s_nationkey"))
         .groupBy(F.col("n_name").alias("supp_nation"), F.year("l_shipdate").cast("bigint").alias("o_year"))
         .agg(F.sum(profit).cast("bigint").alias("profit_cents"))
@@ -706,7 +711,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lines = (
         table(spark, sf_dir, "lineitem")
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("l_partkey", cents(F.col("l_extendedprice")).alias("val"))
     )
     per_part = lines.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
@@ -799,7 +804,8 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
 )
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14: promo parts' share of a period's revenue, as exact
-    bigint ppm. Date range prunes the fact scan; part broadcasts; the
+    bigint ppm. Date range prunes the fact scan; part joins unhinted
+    (AQE decides); the
     whole query is one joined scan-agg with no final shuffle (global
     agg)."""
     li = table(spark, sf_dir, "lineitem").filter(
@@ -807,7 +813,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
     )
     return (
-        li.join(F.broadcast(table(spark, sf_dir, "part")), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(table(spark, sf_dir, "part"), F.col("p_partkey") == F.col("l_partkey"))
         .agg(
             F.expr(
                 f"CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV_SQL} ELSE 0 END)"
@@ -939,7 +945,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         table(spark, sf_dir, "lineitem")
-        .join(F.broadcast(table(spark, sf_dir, "part")), F.col("p_partkey") == F.col("l_partkey"))
+        .join(table(spark, sf_dir, "part"), F.col("p_partkey") == F.col("l_partkey"))
         .filter(branch)
         .agg(
             F.sum(_rev()).cast("bigint").alias("revenue_cents"),
@@ -986,7 +992,7 @@ def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # have inserted their own.
     pair = (
         table(spark, sf_dir, "lineitem")
-        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(part, F.col("p_partkey") == F.col("l_partkey"))
         .repartition("l_partkey")
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum(_qtyc()).alias("sqty"))
@@ -1089,7 +1095,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_order.groupBy("late_supp")
         .agg(F.sum("late_rows").alias("numwait"))
         .join(
-            F.broadcast(table(spark, sf_dir, "supplier")),
+            table(spark, sf_dir, "supplier"),
             F.col("s_suppkey") == F.col("late_supp"),
         )
         .groupBy("s_name")
@@ -1260,7 +1266,7 @@ def q_order_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("gap_days").isNotNull())
     return (
         gaps.join(
-            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            cust.select("c_custkey", "c_mktsegment"),
             F.col("c_custkey") == F.col("o_custkey"),
         )
         .groupBy(F.col("c_mktsegment").alias("mktsegment"))
@@ -1423,7 +1429,7 @@ def q_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     the LEFT ANTI join — the physical form every engine lowers EXCEPT
     to, written directly so the intent (and the single hash shuffle on
     custkey) is explicit. Both year filters push down to the orders
-    scan; the customer dimension joins broadcast."""
+    scan; the customer dimension joins unhinted (AQE decides)."""
     orders = table(spark, sf_dir, "orders")
     cust = table(spark, sf_dir, "customer")
 
@@ -1554,14 +1560,15 @@ def q_supply_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     Integer-exact despite being a sum of squared shares: HHI =
     Σq_s²/(Σq_s)² — both sums are exact int64 (quantities are
     integral), squared and divided ONCE at the end. One fact shuffle
-    on (nation, supplier), a broadcast dim join, and a nation-level
+    on (nation, supplier), an unhinted supplier dim join (AQE decides)
+    plus a broadcast nation join, and a nation-level
     rollup.
     """
     li = table(spark, sf_dir, "lineitem")
     sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nat = table(spark, sf_dir, "nation")
     sq = (
-        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_nationkey", "l_suppkey")
         .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("q"))
     )
@@ -1690,8 +1697,12 @@ def q_basket_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     popular, which raw co-purchase counts (q_copurchase_pairs) cannot.
 
     Reuses the materialized co-purchase pair table; the per-item
-    basket counts are a one-pass distinct aggregation that BROADCASTS
-    (item-dimension-sized), and N is a single scalar. Cross-multiplied
+    basket counts are a one-pass distinct aggregation joined unhinted
+    (part-dimension-sized — grows with sf, so AQE decides broadcast vs
+    shuffle), and N is a single scalar. int64 headroom: the only
+    integer product is n_a·n_b < 2⁶³, exact while both items appear
+    in <3·10⁹ baskets (≈sf 2000); ANSI fails loud beyond
+    (tests/test_overflow_bounds.py). Cross-multiplied
     integers, one final division per row.
     """
     li = table(spark, sf_dir, "lineitem")
@@ -1715,8 +1726,8 @@ def q_basket_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("n_a") * F.col("n_b_item"))
     )
     return (
-        pairs.join(F.broadcast(ia), "part_a")
-        .join(F.broadcast(ib), "part_b")
+        pairs.join(ia, "part_a")
+        .join(ib, "part_b")
         .select(
             "part_a",
             "part_b",
@@ -1784,10 +1795,10 @@ def q_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     sets with a presence flag, folded by one conditional aggregation
     (total + per-FK orphan counts), then unpivoted with ``stack``. No
     driver-side counts at all — the whole audit is one action.
-    Proper dimensions (part/supplier/nation) broadcast; the
-    fact-to-fact checks (lineitem→orders, orders→customer) are left
-    unhinted so AQE picks broadcast at test scale and a shuffle join
-    at the scale where those key sets stop fitting in memory. The
+    Only fixed-cardinality nation (25 rows) carries a broadcast hint;
+    every sf-scaling key set (orders, customer, part, supplier) is
+    left unhinted so AQE picks broadcast at test scale and a shuffle
+    join at the scale where those key sets stop fitting in memory. The
     oracle states each check as NOT EXISTS — the form anti-joins (and
     this flag-join) lower from; dimension keys are primary keys, so
     the left joins cannot multiply fact rows.
@@ -1809,9 +1820,9 @@ def q_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame
                 ("lineitem.l_orderkey -> orders", "l_orderkey", orders,
                  "o_orderkey", False),
                 ("lineitem.l_partkey -> part", "l_partkey", part,
-                 "p_partkey", True),
+                 "p_partkey", False),
                 ("lineitem.l_suppkey -> supplier", "l_suppkey", supp,
-                 "s_suppkey", True),
+                 "s_suppkey", False),
             ],
         ),
         (
@@ -1907,7 +1918,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one fact shuffle builds `cost`; `best` is a second
     agg of the (much smaller) cost table; the join-back is
-    cost ⋈ best on the part key; part/supplier/nation broadcast.
+    cost ⋈ best on the part key; nation hinted broadcast, part/supplier
+    unhinted (sf-scaling — AQE decides).
     All cents arithmetic exact BIGINT; top-100 with full tie-break.
     """
     li = table(spark, sf_dir, "lineitem")
@@ -1933,8 +1945,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (cost["min_cents"] == best["best_cents"]),
         )
         .drop(best["l_partkey"])
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("p_partkey", "p_brand", "s_suppkey", "s_name", "nation", "best_cents")
         .orderBy("best_cents", "p_partkey", "s_suppkey")
@@ -2014,7 +2026,7 @@ def q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
     )
     return (
-        ps.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        ps.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("p_brand", "p_type", F.col("p_size").cast("bigint").alias("p_size"))
         .agg(F.count_distinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
     )

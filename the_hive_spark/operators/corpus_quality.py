@@ -936,7 +936,11 @@ def doc_drift_ks_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     poisons mixture weights long before any single gate trips.
 
     Exact and engine-stable: ECDFs compare as cross-multiplied integer
-    counts (|cum_s·n_all − cum_all·n_s|), no float CDFs. The value
+    counts (|cum_s·n_all − cum_all·n_s|), no float CDFs. int64
+    headroom: products are ≤ n_s·n_all < 2⁶³, exact to ~3·10⁹ docs
+    balanced-source (≈sf 10⁵); beyond, ANSI fails loud — the fix then
+    is decimal(38,0) on BOTH engines, value-identical
+    (tests/test_overflow_bounds.py pins the form at the bound). The value
     grid is the corpus's distinct lengths — bounded here; at 100 TB
     the same query runs on a fixed histogram grid (bin the value
     column first), which bounds the window state and changes nothing
@@ -1050,7 +1054,9 @@ def doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").cast("bigint").alias("df")
     )
     n_docs = w.select("doc_id").distinct().count()  # single-scalar job
-    scored = tf.join(F.broadcast(df), "term").select(
+    # unhinted: df is vocabulary-sized (grows with the corpus) — the
+    # scalable plan is a shuffle join on term; AQE broadcasts at toy sf
+    scored = tf.join(df, "term").select(
         "doc_id",
         "term",
         "tf",
@@ -1098,7 +1104,9 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM changepoint detection on the daily error rate: cumulative
     sum of each day's deviation from the period's overall error
     fraction (cross-multiplied integers — err_d·T − tot_d·E — so no
-    float rate ever enters the cumulative), with the |CUSUM|-maximizing
+    float rate ever enters the cumulative; int64-exact while
+    max_day·T < 2⁶³ — ~3·10⁹ events on 10⁶-row days, ANSI fails loud
+    beyond, see tests/test_overflow_bounds.py), with the |CUSUM|-maximizing
     day flagged as THE changepoint. Complements events_anomaly_daily:
     that flags pointwise outliers, this locates the regime shift
     (deploy that started failing, feed that silently degraded) even
@@ -1263,8 +1271,9 @@ def dup_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     side; similarity.emb_near_dup_lsh on the embedding side — the
     banded scale path, NOT the row-guarded brute baseline, so this
     sanity check still runs at the corpus scale where it matters);
-    this query adds two broadcast semi-joins onto the embedded id set,
-    one pair-key intersection semi-join, and a scalar rollup.
+    this query adds two unhinted semi-joins onto the embedded id set
+    (corpus-sized at scale, so no broadcast hint — AQE decides), one
+    pair-key intersection semi-join, and a scalar rollup.
     """
     from the_hive_spark.functions.matstore import materialized
     from the_hive_spark.operators.dedup import doc_ngram_jaccard_pairs
@@ -1283,12 +1292,12 @@ def dup_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             doc_ngram_jaccard_pairs(spark, sf_dir)
             .select("doc_a", "doc_b")
             .join(
-                F.broadcast(emb_ids.withColumnRenamed("id", "doc_a")),
+                emb_ids.withColumnRenamed("id", "doc_a"),
                 "doc_a",
                 "left_semi",
             )
             .join(
-                F.broadcast(emb_ids.withColumnRenamed("id", "doc_b")),
+                emb_ids.withColumnRenamed("id", "doc_b"),
                 "doc_b",
                 "left_semi",
             )

@@ -273,7 +273,11 @@ def events_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Index arithmetic is one cross-multiplied integer ratio —
     mean_dow/mean_all = (Σn_dow · days_all)/(days_dow · n_all) — with
-    a single final IEEE division, so the table hashes stably. The
+    a single final IEEE division, so the table hashes stably.
+    int64 headroom: the only integer product is days_dow·n_all ≤
+    n_days·n_all; with a ≤10⁴-day calendar that stays exact past
+    9·10¹⁴ total events (≈sf 10⁶) — beyond it, ANSI mode fails loud
+    rather than wrapping (tests/test_overflow_bounds.py). The
     heavy pass is one map-side-combined daily aggregation; everything
     after runs on the calendar grid.
     """

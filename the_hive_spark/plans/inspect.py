@@ -85,6 +85,40 @@ def plan_summary(df: DataFrame, execute: bool = False) -> dict:
     }
 
 
+def broadcast_subtrees(df: DataFrame) -> list[str]:
+    """The plan-string of every BroadcastExchange subtree — i.e. WHAT
+    is being broadcast, not just that a broadcast exists.
+
+    The round-3 verdict found a join that broadcast the corpus-sized
+    side while its docstring claimed the k-row side; a plan test over
+    these subtrees is the net that catches that class of bug: assert
+    the broadcast subtree contains the bounded relation (a
+    TakeOrdered / LocalLimit / tiny dim scan) and NOT a corpus scan.
+    Walks the physical plan via py4j; ReusedExchange nodes are skipped
+    (their original subtree is already reported once).
+    """
+    out: list[str] = []
+
+    def walk(node) -> None:
+        name = node.getClass().getSimpleName()
+        if "BroadcastExchange" in name:
+            out.append(node.toString())
+            return  # nested broadcasts inside the subtree are included
+        if "AdaptiveSparkPlan" in name:
+            # AQE root exposes its plan as a field, not via children()
+            walk(node.initialPlan())
+            return
+        if "QueryStage" in name:  # materialized AQE stage wrapper
+            walk(node.plan())
+            return
+        kids = node.children()
+        for i in range(kids.size()):
+            walk(kids.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out
+
+
 def _main() -> None:
     """CLI: ``python -m the_hive_spark.plans.inspect <query> [sf_dir]``
     prints the plan-health summary (and the executed plan with -v) for

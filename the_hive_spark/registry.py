@@ -44,17 +44,78 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-# Round-3 gate budget (the driver hash-checks the FIRST 50 entries of
-# QUERIES): slots 1-46 are oracled queries that have never had a driver
-# CORRECTNESS row (r1 ∪ r2 covered 100 of 162; these are drawn from the
-# remaining 54 oracled ones — corpus_quality, entity_resolution,
-# warehouse, newer analytics/similarity, hive_clients_online). Slots
-# 47-50 re-attest round-1-green queries whose code changed since their
-# r1 row (quantized pair scoring, pagerank partitioning, matstore).
-# The 8 oracled never-checked that didn't fit + the 8 rows-only-by-
-# design queries sit at 51-66, first in line for the round-4 budget.
+# Round-4 gate budget (the driver hash-checks the FIRST 50 entries of
+# QUERIES): slots 1-38 are ALL remaining queries that have never had a
+# driver CORRECTNESS row (r1 ∪ r2 ∪ r3 covered 146 of 184) — the
+# emb_* index/diagnostic family, the round-3 additions, and the
+# rows-only ANN/sketch evals (which surface via the driver's
+# rows+schema check). Slots 39-50 re-attest queries whose code or plan
+# changed this round: the chat-path broadcast fix (hive_chat_*), the
+# de-hinted sf-scaling-dimension joins in operators/analytics.py, the
+# emb_ids de-hint in dup_modality_agreement, and the vocabulary-join
+# de-hint in doc_tfidf_topk. A green CORRECTNESS_r04.json closes the
+# loop: every one of the 184 registered queries will then have had a
+# driver row in some round.
 # (Locally, tests/test_oracle_parity.py still sweeps ALL oracled
 # queries every round regardless of this ordering.)
+_GATE_R4 = [
+    # --- slots 1-38: never driver-checked (27 oracled, 11 rows-only) ---
+    # emb_* index/diagnostic family (pre-staged at r3 slots 51-66)
+    "emb_dedup_exact",
+    "emb_quantize_int8",
+    "emb_hard_negatives",
+    "emb_semantic_dup_rates",
+    "emb_label_stats",
+    "emb_label_affinity",
+    "emb_label_outliers",
+    "emb_norm_outliers",
+    "emb_ann_lsh_topk",
+    "emb_ann_ivf_topk",
+    "emb_ann_recall",
+    "emb_pq_eval",
+    "emb_ivfpq_recall",
+    "emb_spectrum_diagnostics",
+    "events_approx_value_percentiles",
+    "events_approx_user_count",
+    # round-3 additions
+    "doc_reservoir_sample",
+    "doc_curriculum_shards",
+    "doc_mix_weights",
+    "doc_pack_efficiency",
+    "emb_semantic_dup_clusters",
+    "emb_mmr_diverse_topk",
+    "emb_kmeans_stats",
+    "doc_hybrid_rrf_topk",
+    "q2_min_cost_supplier",
+    "q13_customer_order_distribution",
+    "q16_supplier_part_variety",
+    "q22_lapsed_rich_customers",
+    "q_rolling_revenue_7d",
+    "q_cohort_ltv_matrix",
+    "q_next_part_pairs",
+    "q_table_stats_profile",
+    "doc_bpe_train",
+    "events_daily_gapfill",
+    "events_drift_chi2_by_type",
+    "events_forecast_holt",
+    "events_acf_by_lag",
+    "events_type_diversity_daily",
+    # --- slots 39-50: re-attest round-4-edited code ---
+    "hive_chat_citations",
+    "hive_chat_answer",
+    "dup_modality_agreement",
+    "doc_tfidf_topk",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q9_product_profit",
+    "q21_waiting_suppliers",
+    "q_referential_integrity_audit",
+    "q_basket_affinity_lift",
+    "q_customer_value_deciles",
+    "q_supply_concentration_hhi",
+]
+
+# Round-3 gate kept for reference/tests of rotation history.
 _GATE_R3 = [
     # hive parity straggler (registered #51 in round 2)
     "hive_clients_online",
@@ -142,31 +203,24 @@ def load_all() -> None:
     The driver's correctness gate hash-checks the first 50 entries of
     ``QUERIES`` only, so registration order is a verification budget.
     Rather than encode the budget in fragile import order, imports stay
-    alphabetical-ish and ``_GATE_R3`` (above) pins the explicit
+    alphabetical-ish and ``_GATE_R4`` (above) pins the explicit
     rotation: QUERIES is rebuilt with the listed names first, then all
     remaining registrations in their original order. Pinned by
     tests/test_registry.py.
 
     History: round 1's top-50 was TPC-H-ish analytics + dedup + graph +
     rules + media; round 2's was timeline events_* + text_analysis
-    doc_* + hive parity; round 3 (this one) rotates in the round-2
-    additions that had no driver row yet, plus 4 re-attests of changed
-    r1-green code.
+    doc_* + hive parity; round 3 rotated in the round-2 additions with
+    no driver row plus 4 re-attests; round 4 (this one) takes the LAST
+    38 never-driver-checked queries plus 12 re-attests of round-4-
+    edited code — full 184/184 closure once CORRECTNESS_r04.json lands.
 
-    Round-4 rotation plan: after this round's gate lands, the queries
-    with NO driver CORRECTNESS row are (a) the 16 pre-staged at slots
-    51-66 of _GATE_R3 (8 deferred emb_* oracled + the 8 rows-only
-    ANN/sketch evals), and (b) the ~21 round-3 additions — TPC-H
-    completions (q2/q13/q16/q22), emb_semantic_dup_clusters,
-    doc_reservoir_sample, doc_curriculum_shards, q_rolling_revenue_7d,
-    doc_mix_weights, doc_hybrid_rrf_topk, events_daily_gapfill,
-    q_cohort_ltv_matrix, q_next_part_pairs, q_table_stats_profile,
-    events_drift_chi2_by_type, events_forecast_holt,
-    doc_pack_efficiency (all oracled), plus emb_mmr_diverse_topk,
-    emb_kmeans_stats, doc_bpe_train (rows-only). That is ~29 oracled
-    never-checked: put ALL of them first in _GATE_R4, then fill the
-    remaining ~21 slots re-attesting whatever round-4 edits touch
-    (and, if untouched, the round-2-green families in family order).
+    Round-5 rotation plan: with every pre-round-4 query driver-proven,
+    the budget flips to (a) any queries ADDED in round 4 (they have no
+    driver row yet — put them first), then (b) re-attests of whatever
+    round-5 edits touch, then (c) rolling re-attestation of the oldest
+    green rows (r1 families first: analytics, dedup, graph, rules,
+    media) so long-unverified code keeps earning fresh driver rows.
     """
     from the_hive_spark.operators import (  # noqa: F401
         timeline,
@@ -185,11 +239,11 @@ def load_all() -> None:
         warehouse,
     )
 
-    missing = [n for n in _GATE_R3 if n not in QUERIES]
+    missing = [n for n in _GATE_R4 if n not in QUERIES]
     if missing:  # defensive: a renamed query must fail loudly, not
         # silently shift every later gate slot by one.
         raise RuntimeError(f"gate rotation names not registered: {missing}")
-    rotated = {n: QUERIES[n] for n in _GATE_R3}
+    rotated = {n: QUERIES[n] for n in _GATE_R4}
     rotated.update((n, fn) for n, fn in QUERIES.items() if n not in rotated)
     QUERIES.clear()
     QUERIES.update(rotated)
