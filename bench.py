@@ -140,6 +140,12 @@ EXTENDED = [
     "doc_pack_efficiency",
     "events_acf_by_lag",
     "events_type_diversity_daily",
+    "doc_temperature_mix",
+    "q_constraint_audit",
+    "doc_bpe_encode",
+    "media_phash_near_dup",
+    "doc_dup_spans",
+    "cust_linkage_fs_scores",
 ]
 
 

@@ -70,3 +70,55 @@ def test_bpe_train_matches_reference(spark):
     # counts must be non-increasing across ranks (greedy argmax)
     counts = [g[4] for g in got]
     assert counts == sorted(counts, reverse=True)
+
+
+def test_bpe_encode_matches_reference(spark):
+    """doc_bpe_encode fertility vs encoding every doc with the pure-
+    Python reference merge application (same merge list, same greedy
+    left-to-right replay in rank order)."""
+    if not os.path.isdir(SF):
+        pytest.skip(f"no testdata at {SF}")
+    from the_hive_spark.operators.corpus_quality import (
+        doc_bpe_encode,
+        doc_bpe_train,
+    )
+
+    merges = [
+        (r["left"], r["right"])
+        for r in doc_bpe_train(spark, SF).orderBy("rank").collect()
+    ]
+
+    def ref_encode(word: str) -> int:
+        syms = list(word)
+        for left, right in merges:
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    res.append(left + right)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            syms = res
+        return len(syms)
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet')"
+        " WHERE length(text) > 0"
+    ).fetchall()
+    expected = {}
+    for doc_id, text in docs:
+        words = [w for w in text.lower().split() if w]
+        n_tok = sum(ref_encode(w) for w in words)
+        tpw = (
+            None if not words
+            else int(1000.0 * n_tok / len(words) + 0.5)
+        )
+        expected[doc_id] = (len(words), n_tok, tpw)
+
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"], r["tokens_per_word_milli"])
+        for r in doc_bpe_encode(spark, SF).collect()
+    }
+    assert got == expected

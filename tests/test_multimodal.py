@@ -112,3 +112,45 @@ def test_fingerprint_dedup_exact(spark, media):
     ).collect()
     assert len({r["fingerprint"] for r in both}) == 1
     assert fp.count() == media.count()
+
+
+def test_phash_matches_pure_python_reference(spark, media):
+    """image_phash + the banded pair query vs a brute-force pure-
+    Python recomputation (hash values AND the hamming≤3 pair set —
+    proves the pigeonhole banding loses no pair)."""
+    from the_hive_spark.operators.multimodal import (
+        PHASH_HAMMING_MAX,
+        _ahash_from_pixels,
+        _fake_pixels,
+        image_phash,
+        media_phash_near_dup,
+    )
+
+    imgs = media.filter(F.col("kind") == "image").collect()
+    expected_hash = {}
+    for r in imgs:
+        pixels = _fake_pixels(bytes(r["content"]), r["width"], r["height"])
+        expected_hash[r["media_id"]] = _ahash_from_pixels(
+            pixels, r["width"], r["height"]
+        )
+
+    got_hash = {
+        r["media_id"]: r["phash"]
+        for r in image_phash(media, fake=True).collect()
+    }
+    assert got_hash == expected_hash
+
+    ids = sorted(expected_hash)
+    expected_pairs = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            d = bin((expected_hash[a] ^ expected_hash[b]) & ((1 << 64) - 1)
+                    ).count("1")
+            if d <= PHASH_HAMMING_MAX:
+                expected_pairs.add((a, b, d))
+
+    got_pairs = {
+        (r["media_a"], r["media_b"], r["hamming"])
+        for r in media_phash_near_dup(spark, SF_DIR).collect()
+    }
+    assert got_pairs == expected_pairs

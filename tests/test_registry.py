@@ -86,10 +86,17 @@ def test_gate_r4_covers_all_never_checked():
     stale = [n for n in registry._GATE_R4[:38] if n in checked]
     assert not stale, stale
     never = [n for n in registry.QUERIES
-             if n not in checked and n not in registry._GATE_R4[:38]]
+             if n not in checked
+             and n not in registry._GATE_R4[:38]
+             and n not in registry._ADDED_R4]
     assert not never, (
-        "queries with no driver row missing from the r4 gate: " + str(never)
+        "queries with no driver row missing from the r4 gate (and not "
+        "declared in _ADDED_R4 for the round-5 rotation): " + str(never)
     )
+    # _ADDED_R4 must be exactly the post-freeze additions (a query
+    # listed there but driver-checked means the list went stale)
+    assert not [n for n in registry._ADDED_R4 if n in checked]
+    assert set(registry._ADDED_R4) <= set(registry.QUERIES)
 
 
 def test_every_query_has_callable_and_unique_name():

@@ -2358,3 +2358,71 @@ def q_table_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).select("tbl", "col", "n_rows", "ndv", "n_nulls")
         )
     return reduce(DataFrame.unionAll, outs)
+
+
+# (label, table, key columns for uniqueness, not-null columns)
+_PK_CHECKS = [
+    ("customer.c_custkey", "customer", ["c_custkey"], ["c_custkey"]),
+    ("orders.o_orderkey", "orders", ["o_orderkey"], ["o_orderkey", "o_custkey"]),
+    ("part.p_partkey", "part", ["p_partkey"], ["p_partkey"]),
+    ("supplier.s_suppkey", "supplier", ["s_suppkey"], ["s_suppkey"]),
+    ("lineitem.(l_orderkey,l_linenumber)", "lineitem",
+     ["l_orderkey", "l_linenumber"], ["l_orderkey", "l_partkey", "l_suppkey"]),
+    ("documents.doc_id", "documents", ["doc_id"], ["doc_id"]),
+    ("embeddings.vec_id", "embeddings", ["vec_id"], ["vec_id"]),
+    ("events.event_id", "events", ["event_id"], ["event_id", "ts", "user_id"]),
+]
+
+
+def _constraint_oracle() -> str:
+    parts = []
+    for label, tbl, keys, nn in _PK_CHECKS:
+        key_tuple = "(" + ", ".join(keys) + ")" if len(keys) > 1 else keys[0]
+        null_any = " OR ".join(f"{c} IS NULL" for c in nn)
+        parts.append(f"""
+SELECT '{label}' AS pk,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT(DISTINCT {key_tuple}) AS BIGINT) AS n_dup_keys,
+       CAST(SUM(CASE WHEN {null_any} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_required
+FROM {tbl}""")
+    return "\nUNION ALL\n".join(parts)
+
+
+@query("q_constraint_audit", oracle=_constraint_oracle())
+def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-constraint audit: primary-key uniqueness (rows minus
+    distinct keys) and required-column null counts for every table —
+    the companion gate to q_referential_integrity_audit (FKs) and
+    q_table_stats_profile (stats): together they are the
+    load-validation suite a warehouse runs after every batch, and the
+    first thing to consult when a join starts fanning out (a duplicate
+    PK silently multiplies every downstream join on it).
+
+    Scale shape: ONE aggregation per table computes rows + distinct
+    keys + null flags together (no per-check jobs, no self-joins);
+    composite keys count distinct on the struct so multi-column PKs
+    cost the same pass. COUNT(DISTINCT) partial-aggregates map-side;
+    at 100 TB swap in approx_count_distinct when an exact dup COUNT
+    (vs an exact zero/nonzero signal) isn't required — plan unchanged.
+    """
+    outs: list[DataFrame] = []
+    for label, tbl, keys, nn in _PK_CHECKS:
+        t = table(spark, sf_dir, tbl)
+        null_any = None
+        for c in nn:
+            cond = F.col(c).isNull()
+            null_any = cond if null_any is None else (null_any | cond)
+        row = t.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            (
+                F.count(F.lit(1)) - F.count_distinct(*[F.col(k) for k in keys])
+            ).cast("bigint").alias("n_dup_keys"),
+            F.sum(F.when(null_any, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_null_required"),
+        )
+        outs.append(row.select(F.lit(label).alias("pk"), "*"))
+    from functools import reduce
+
+    return reduce(DataFrame.unionAll, outs)

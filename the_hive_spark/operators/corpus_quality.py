@@ -1597,3 +1597,181 @@ def doc_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         merges,
         "rank int, left string, right string, merged string, pair_count bigint",
     )
+
+
+@query("doc_bpe_encode")  # applies the iterative trainer ⇒ rows-only
+def doc_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenization of the corpus with the merge table
+    doc_bpe_train learned: per document, word and BPE-token counts
+    plus tokens-per-word (milli) — the fertility metric that decides
+    whether a tokenizer fits a corpus (fertility creep on a new source
+    = vocabulary mismatch = wasted context window), and the token
+    counter a training-data pipeline bills by.
+
+    Scale shape: the merge list is bounded (BPE_TRAIN_MERGES rows) —
+    collected once and closed over an Arrow-batched ``mapInPandas``
+    scan of the corpus: ONE pass, embarrassingly parallel, no shuffle
+    at all. Within each batch, distinct words encode once through a
+    local cache (Zipf makes the cache hit rate ~token/type ratio).
+    Application replays merges in rank order, exactly as Sennrich's
+    reference applies a learned merge table; pinned against a pure-
+    Python encoder in tests/test_bpe_train.py.
+    """
+    import pandas as pd
+
+    merges = [
+        (r["left"], r["right"])
+        for r in doc_bpe_train(spark, sf_dir)
+        .orderBy("rank")
+        .collect()
+    ]
+
+    def encode_batches(batches):
+        def encode_word(w: str, cache: dict) -> int:
+            got = cache.get(w)
+            if got is not None:
+                return got
+            syms = list(w)
+            for left, right in merges:
+                i, res = 0, []
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == left
+                        and syms[i + 1] == right
+                    ):
+                        res.append(left + right)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                syms = res
+            cache[w] = len(syms)
+            return len(syms)
+
+        cache: dict = {}
+        for pdf in batches:
+            n_words, n_tokens = [], []
+            for text in pdf["text"]:
+                words = [w for w in text.lower().split() if w]
+                n_words.append(len(words))
+                n_tokens.append(sum(encode_word(w, cache) for w in words))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_words": pd.Series(n_words, dtype="int64"),
+                    "n_tokens": pd.Series(n_tokens, dtype="int64"),
+                }
+            )
+
+    n = spark.sparkContext.defaultParallelism
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.length("text") > 0)
+        .repartition(n, "doc_id")
+    )
+    out = docs.mapInPandas(
+        encode_batches, "doc_id bigint, n_words bigint, n_tokens bigint"
+    )
+    return out.select(
+        "doc_id",
+        "n_words",
+        "n_tokens",
+        F.when(F.col("n_words") == 0, F.lit(None).cast("bigint")).otherwise(
+            F.floor(1000.0 * F.col("n_tokens") / F.col("n_words") + F.lit(0.5))
+            .cast("bigint")
+        ).alias("tokens_per_word_milli"),
+    )
+
+
+DUP_SPAN_MIN_RUN = 3  # consecutive duplicated grams to call a span
+
+
+@query(
+    "doc_dup_spans",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS words
+  FROM documents WHERE length(text) > 0
+), g AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i,
+         array_to_string(list_slice(words, i, i + {COVER_N - 1}), ' ') AS gram
+  FROM w, UNNEST(range(1, len(words) - {COVER_N - 2})) AS t(i)
+  WHERE len(words) >= {COVER_N}
+), df AS (
+  SELECT gram, COUNT(DISTINCT doc_id) AS n_docs FROM g GROUP BY gram
+), dup AS (
+  SELECT g.doc_id, g.i FROM g JOIN df USING (gram) WHERE df.n_docs >= 2
+), runs AS (
+  SELECT doc_id, i,
+         i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+  FROM dup
+)
+SELECT doc_id,
+       CAST(MIN(i) AS BIGINT) AS span_start,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(COUNT(*) + {COVER_N - 1} AS BIGINT) AS span_words
+FROM runs GROUP BY doc_id, grp
+HAVING COUNT(*) >= {DUP_SPAN_MIN_RUN}
+""",
+)
+def doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal cross-document duplicated SPANS per doc: maximal runs
+    of ≥{DUP_SPAN_MIN_RUN} consecutive word {COVER_N}-grams that each
+    also occur in some other document — the span-level ExactSubstr
+    readout (Lee et al., arXiv:2107.06499 remove repeated substrings,
+    not whole docs). doc_dup_gram_coverage says HOW MUCH of a doc is
+    duplicated; this says WHERE, which is what a surgical span-removal
+    pass (or a boilerplate extractor) actually consumes:
+    (doc_id, span_start word position, run length, span word length).
+
+    Plan: in-row gram construction → one (gram) document-frequency
+    aggregation (countDistinct doc) → join back on gram → per-doc
+    gaps-and-islands (position − row_number is constant within a
+    consecutive run) → per-run aggregate. The only windows are
+    partitioned BY doc_id — bounded by document length, never
+    corpus-wide; the gram shuffle is the same two-exchange shape as
+    the coverage query. No all-pairs anything.
+    """
+    from pyspark.sql import Window
+
+    n = spark.sparkContext.defaultParallelism
+    base = (
+        table(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select("doc_id", F.expr(_WORDS).alias("words"))
+        .filter(F.size("words") >= COVER_N)
+        .repartition(n, "doc_id")
+    )
+    pos_grams = base.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(words) - {COVER_N - 1}),"
+                f" i -> concat_ws(' ', slice(words, i, {COVER_N})))"
+            )
+        ).alias("pos0", "gram"),
+    ).select("doc_id", (F.col("pos0") + 1).cast("bigint").alias("i"), "gram")
+    df = pos_grams.groupBy("gram").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    dup = (
+        pos_grams.join(df, "gram")
+        .filter(F.col("n_docs") >= 2)
+        .select("doc_id", "i")
+    )
+    w = Window.partitionBy("doc_id").orderBy("i")
+    runs = dup.withColumn("grp", F.col("i") - F.row_number().over(w))
+    return (
+        runs.groupBy("doc_id", "grp")
+        .agg(
+            F.min("i").cast("bigint").alias("span_start"),
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            (F.count(F.lit(1)) + F.lit(COVER_N - 1))
+            .cast("bigint")
+            .alias("span_words"),
+        )
+        .filter(F.col("n_grams") >= DUP_SPAN_MIN_RUN)
+        .drop("grp")
+    )

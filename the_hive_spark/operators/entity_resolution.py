@@ -125,3 +125,128 @@ def cust_fuzzy_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_distance") <= 1)
         .select("custkey_a", "custkey_b", "edit_distance")
     )
+
+
+_FS_ORACLE = """
+WITH m AS (
+  SELECT c_custkey, c_name, i,
+         substring(c_name, 1, i - 1) || chr(1) || substring(c_name, i + 1)
+           AS masked,
+         length(c_name) AS len
+  FROM customer, unnest(range(1, length(c_name) + 1)) AS t(i)
+), cand AS (
+  SELECT DISTINCT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b
+  FROM m a JOIN m b
+    ON a.len = b.len AND a.i = b.i AND a.masked = b.masked
+   AND a.c_custkey < b.c_custkey
+), pairs AS (
+  SELECT c.custkey_a, c.custkey_b,
+         (ca.c_nationkey = cb.c_nationkey) AS agree_nation,
+         (ca.c_mktsegment = cb.c_mktsegment) AS agree_segment
+  FROM cand c
+  JOIN customer ca ON ca.c_custkey = c.custkey_a
+  JOIN customer cb ON cb.c_custkey = c.custkey_b
+  WHERE levenshtein(ca.c_name, cb.c_name) <= 1
+), nn AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM customer
+), un AS (
+  SELECT CAST(SUM(c * (c - 1)) AS HUGEINT) AS num
+  FROM (SELECT CAST(COUNT(*) AS HUGEINT) AS c FROM customer
+        GROUP BY c_nationkey)
+), us AS (
+  SELECT CAST(SUM(c * (c - 1)) AS HUGEINT) AS num
+  FROM (SELECT CAST(COUNT(*) AS HUGEINT) AS c FROM customer
+        GROUP BY c_mktsegment)
+)
+SELECT p.custkey_a, p.custkey_b, p.agree_nation, p.agree_segment,
+       CAST(
+         (CAST(1000000 AS HUGEINT)
+          * (CASE WHEN p.agree_nation THEN 19 ELSE 1 END) * (n * (n - 1))
+          * (CASE WHEN p.agree_segment THEN 19 ELSE 1 END) * (n * (n - 1)))
+         // ((CASE WHEN p.agree_nation THEN 20 * un.num
+                   ELSE 20 * (n * (n - 1) - un.num) END)
+             * (CASE WHEN p.agree_segment THEN 20 * us.num
+                     ELSE 20 * (n * (n - 1) - us.num) END))
+         AS BIGINT) AS weight_ppm
+FROM pairs p CROSS JOIN nn CROSS JOIN un CROSS JOIN us
+"""
+
+
+@query("cust_linkage_fs_scores", oracle=_FS_ORACLE)
+def cust_linkage_fs_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter match weights for the fuzzy candidate pairs:
+    each name-blocked pair scored by the product of per-field
+    likelihood ratios — m/u when the field agrees, (1−m)/(1−u) when it
+    disagrees (Fellegi & Sunter 1969; Christen ch. 6) over nationkey
+    and mktsegment, with the standard fixed m = 19/20 and u estimated
+    from the data as the random-agreement probability
+    u = Σ n_v(n_v−1) / (N(N−1)).
+
+    Determinism: logs never enter — the weight stays a RATIONAL
+    (product of integer numerators / integer denominators, monotone in
+    the usual log-weight) and quantizes once by integer floor-division
+    to ppm. Only 2^k agreement patterns exist (k = 2 scored fields),
+    so the four exact weights are computed driver-side with Python
+    big-ints from two tiny value-frequency aggregates and applied as a
+    CASE — the oracle reproduces them with HUGEINT arithmetic, so a
+    single ulp anywhere would hash-mismatch.
+
+    Scale shape: candidate generation is the output-optimal masked-
+    position block join (cust_fuzzy_match_pairs); scoring adds two
+    key-equi-joins onto customer attributes and a grid of 4 literal
+    weights. u-estimation aggregates are value-cardinality-sized (25
+    nations, 5 segments). Nothing here is corpus-quadratic.
+    """
+    cust = table(spark, sf_dir, "customer")
+    n = cust.count()
+    uden = n * (n - 1)
+    u_num = {}
+    for field in ("c_nationkey", "c_mktsegment"):
+        counts = cust.groupBy(field).count().collect()
+        u_num[field] = sum(r["count"] * (r["count"] - 1) for r in counts)
+
+    def weight(agree_n: bool, agree_s: bool) -> int:
+        num = (
+            1000000
+            * (19 if agree_n else 1) * uden
+            * (19 if agree_s else 1) * uden
+        )
+        den = (
+            (20 * u_num["c_nationkey"] if agree_n
+             else 20 * (uden - u_num["c_nationkey"]))
+            * (20 * u_num["c_mktsegment"] if agree_s
+               else 20 * (uden - u_num["c_mktsegment"]))
+        )
+        return num // den
+
+    pairs = cust_fuzzy_match_pairs(spark, sf_dir)
+    attrs_a = cust.select(
+        F.col("c_custkey").alias("custkey_a"),
+        F.col("c_nationkey").alias("nat_a"),
+        F.col("c_mktsegment").alias("seg_a"),
+    )
+    attrs_b = cust.select(
+        F.col("c_custkey").alias("custkey_b"),
+        F.col("c_nationkey").alias("nat_b"),
+        F.col("c_mktsegment").alias("seg_b"),
+    )
+    scored = (
+        pairs.join(attrs_a, "custkey_a")
+        .join(attrs_b, "custkey_b")
+        .select(
+            "custkey_a",
+            "custkey_b",
+            (F.col("nat_a") == F.col("nat_b")).alias("agree_nation"),
+            (F.col("seg_a") == F.col("seg_b")).alias("agree_segment"),
+        )
+    )
+    w = (
+        F.when(
+            F.col("agree_nation") & F.col("agree_segment"),
+            F.lit(weight(True, True)),
+        )
+        .when(F.col("agree_nation"), F.lit(weight(True, False)))
+        .when(F.col("agree_segment"), F.lit(weight(False, True)))
+        .otherwise(F.lit(weight(False, False)))
+    )
+    return scored.withColumn("weight_ppm", w.cast("bigint"))

@@ -401,3 +401,126 @@ def media_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("shard_id"),
         )
     )
+
+
+# ----------------------------------------------------- perceptual dedup
+
+PHASH_GRID = 8  # aHash grid: 8×8 block means → 64-bit fingerprint
+PHASH_HAMMING_MAX = 3
+# 64 bits split into 4×16-bit chunks: any pair within hamming 3 agrees
+# exactly on ≥1 chunk (pigeonhole), so candidates are equi-join-able
+_PHASH_CHUNKS = [(0, 16), (16, 16), (32, 16), (48, 16)]
+
+
+def _ahash_from_pixels(pixels: bytes, width: int, height: int) -> int:
+    """Average-hash (aHash) of an RGB pixel buffer: 8×8 grid of block
+    luminance means, each thresholded against the global mean of the
+    64 block values — the classic perceptual fingerprint (public
+    domain technique; robust to resize/re-encode, unlike byte hashes).
+    Pure integer arithmetic so any two runs agree bit-for-bit."""
+    g = PHASH_GRID
+    sums = [0] * (g * g)
+    counts = [0] * (g * g)
+    for y in range(height):
+        by = y * g // height
+        row_base = y * width * 3
+        for x in range(width):
+            base = row_base + x * 3
+            lum = pixels[base] + pixels[base + 1] + pixels[base + 2]
+            cell = by * g + (x * g // width)
+            sums[cell] += lum
+            counts[cell] += 1
+    means = [s * 64 // c if c else 0 for s, c in zip(sums, counts)]
+    total = sum(means) // (g * g)
+    h = 0
+    for i, m in enumerate(means):
+        if m > total:
+            h |= 1 << i
+    if h >= 1 << 63:  # store as signed int64
+        h -= 1 << 64
+    return h
+
+
+def image_phash(media: DataFrame, fake: bool = False) -> DataFrame:
+    """binary payload → 64-bit perceptual hash via mapInPandas.
+
+    The decode is the environment-gated seam (PIL absent here ⇒
+    fake=True substitutes the deterministic synthetic pixel grid); the
+    hash arithmetic, batch shape, and signed-int64 packing are real."""
+    import pandas as pd
+
+    def batches(it):
+        for pdf in it:
+            ids, hashes = [], []
+            for row in pdf.itertuples(index=False):
+                if not fake:
+                    raise NotImplementedError(
+                        "real decode requires PIL; pass fake=True for the "
+                        "deterministic synthetic pixel grid"
+                    )
+                w, h = int(row.width), int(row.height)
+                pixels = _fake_pixels(bytes(row.content), w, h)
+                ids.append(row.media_id)
+                hashes.append(_ahash_from_pixels(pixels, w, h))
+            yield pd.DataFrame(
+                {"media_id": ids, "phash": pd.Series(hashes, dtype="int64")}
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        batches, schema="media_id bigint, phash bigint"
+    )
+
+
+@query("media_phash_near_dup")  # decode seam ⇒ rows-only by design
+def media_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate image pairs: hamming ≤
+    {PHASH_HAMMING_MAX} on the 64-bit aHash — the dedup a multimodal
+    training corpus needs where byte fingerprints
+    (media_dedup_fingerprint) miss re-encoded/resized copies.
+
+    EXACT at the stated radius via pigeonhole banding, same shape as
+    doc_simhash_hamming_pairs: 4×16-bit chunk equi-joins produce the
+    candidates, bit_count(xor) verifies — never an all-pairs join, and
+    the chunk value is the partition key that survives a billion
+    images. Rows-only by design (the decode seam is Python); the hash
+    and the pair set are pinned against a pure-Python reference in
+    tests/test_multimodal.py.
+    """
+    from pyspark import StorageLevel
+
+    media = documents_as_media(table(spark, sf_dir, "documents"))
+    sig = image_phash(media, fake=True)
+    chunk_exprs = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.expr(
+                f"shiftrightunsigned(phash, {off}) & {(1 << width) - 1}"
+            ).alias("val"),
+        )
+        for i, (off, width) in enumerate(_PHASH_CHUNKS)
+    ]
+    banded = (
+        sig.select(
+            "media_id", "phash", F.explode(F.array(*chunk_exprs)).alias("bv")
+        )
+        .select("media_id", "phash", "bv.band", "bv.val")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+            F.expr("bit_count(a.phash ^ b.phash)")
+            .cast("bigint")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
+        .dropDuplicates(["media_a", "media_b"])
+    )

@@ -1070,6 +1070,99 @@ def doc_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_temperature_mix",
+    oracle="""
+WITH st AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(list_filter(string_split(text, ' '),
+                                  t -> length(t) > 0))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+  HAVING SUM(len(list_filter(string_split(text, ' '),
+                             t -> length(t) > 0))) > 0
+), q AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(FLOOR(1000000.0 * sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)
+           AS q_tok
+  FROM st
+), tot AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS t,
+         CAST(SUM(q_tok) AS BIGINT) AS qt
+  FROM q
+), shares AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(FLOOR(1000000.0 * n_tokens / t + 0.5) AS BIGINT) AS share_ppm,
+         CAST(FLOOR(1000000.0 * q_tok / qt + 0.5) AS BIGINT)
+           AS temp_share_ppm
+  FROM q CROSS JOIN tot
+)
+SELECT source, n_docs, n_tokens, share_ppm, temp_share_ppm,
+       CASE WHEN share_ppm = 0 THEN NULL
+            ELSE CAST(FLOOR(1000000.0 * temp_share_ppm / share_ppm + 0.5)
+                      AS BIGINT) END AS boost_ppm
+FROM shares
+""",
+)
+def doc_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source-sampling table (α = 0.5): each
+    source's sampling share ∝ (token count)^α — the standard
+    multilingual/multi-source rebalancing (XLM-R, mT5 exponential
+    smoothing) that upsamples small sources without letting them
+    dominate. ``boost_ppm`` (temperature share / raw share) is the
+    per-source repeat factor a sampler applies.
+
+    α is fixed at 0.5 because sqrt is IEEE-correctly-rounded, so both
+    engines compute bit-identical values (a free-α pow() drifts in the
+    last ulp across libm implementations — the cross-engine trap this
+    repo's determinism contract exists to avoid). The sqrt is
+    quantized to integer µ-units BEFORE the normalizing sum, so the
+    sum is order-independent exact integer math; one float division
+    per source after. boost is derived from the two already-rounded
+    ppm integers, hence also stable. Plan: one corpus token pass →
+    source-level grid; everything after is grid-sized arithmetic.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = F.expr("size(filter(split(text, ' '), t -> length(t) > 0))")
+    st = (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(toks).cast("bigint").alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+    q = st.withColumn(
+        "q_tok",
+        F.floor(1000000.0 * F.sqrt(F.col("n_tokens").cast("double")))
+        .cast("bigint"),
+    )
+    tot = q.agg(
+        F.sum("n_tokens").cast("bigint").alias("t"),
+        F.sum("q_tok").cast("bigint").alias("qt"),
+    )
+    shares = q.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.floor(1000000.0 * F.col("n_tokens") / F.col("t") + F.lit(0.5))
+        .cast("bigint")
+        .alias("share_ppm"),
+        F.floor(1000000.0 * F.col("q_tok") / F.col("qt") + F.lit(0.5))
+        .cast("bigint")
+        .alias("temp_share_ppm"),
+    )
+    return shares.withColumn(
+        "boost_ppm",
+        F.when(F.col("share_ppm") == 0, F.lit(None).cast("bigint")).otherwise(
+            F.floor(
+                1000000.0 * F.col("temp_share_ppm") / F.col("share_ppm")
+                + F.lit(0.5)
+            ).cast("bigint")
+        ),
+    )
+
+
 def _pack_efficiency_oracle() -> str:
     from the_hive_spark.registry import ORACLES
 

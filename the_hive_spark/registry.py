@@ -115,6 +115,17 @@ _GATE_R4 = [
     "q_supply_concentration_hhi",
 ]
 
+# Queries ADDED in round 4 (after _GATE_R4 froze): no driver row yet
+# by construction — they are the FRONT of the round-5 rotation.
+_ADDED_R4 = [
+    "doc_temperature_mix",
+    "q_constraint_audit",
+    "doc_bpe_encode",
+    "media_phash_near_dup",
+    "doc_dup_spans",
+    "cust_linkage_fs_scores",
+]
+
 # Round-3 gate kept for reference/tests of rotation history.
 _GATE_R3 = [
     # hive parity straggler (registered #51 in round 2)
