@@ -146,6 +146,9 @@ EXTENDED = [
     "media_phash_near_dup",
     "doc_dup_spans",
     "cust_linkage_fs_scores",
+    "events_peak_concurrency",
+    "q_kanonymity_audit",
+    "doc_dup_span_coverage",
 ]
 
 

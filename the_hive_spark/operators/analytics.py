@@ -2426,3 +2426,56 @@ def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from functools import reduce
 
     return reduce(DataFrame.unionAll, outs)
+
+
+KANON_K = 5  # re-identification threshold: classes smaller than this
+
+
+@query(
+    "q_kanonymity_audit",
+    oracle=f"""
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS class_size
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(MIN(class_size) AS BIGINT) AS min_class_size,
+       CAST(SUM(CASE WHEN class_size < {KANON_K} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_classes_at_risk,
+       CAST(SUM(CASE WHEN class_size < {KANON_K} THEN class_size ELSE 0 END)
+            AS BIGINT) AS n_rows_at_risk,
+       (MIN(class_size) >= {KANON_K}) AS is_k_anonymous
+FROM classes
+""",
+)
+def q_kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier pair (nationkey,
+    mktsegment): the size of the smallest equivalence class, how many
+    classes (and rows) fall below k={KANON_K}, and the pass flag — the
+    re-identification-risk gate (Sweeney, k-anonymity, 2002) a
+    training-data release pipeline runs before shipping any table
+    containing user attributes: a row in a class smaller than k is
+    linkable to an individual by joining public attributes.
+
+    Scale shape: one map-side-combined groupBy on the quasi-identifier
+    tuple, then a class-grid rollup — two exchanges total regardless
+    of corpus size. Generalizes to any QI set by swapping the groupBy
+    columns; the min-class-size output is exactly the k a release can
+    claim.
+    """
+    classes = (
+        table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("class_size"))
+    )
+    at_risk = F.when(F.col("class_size") < KANON_K, 1).otherwise(0)
+    rows_risk = F.when(
+        F.col("class_size") < KANON_K, F.col("class_size")
+    ).otherwise(0)
+    return classes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.min("class_size").cast("bigint").alias("min_class_size"),
+        F.sum(at_risk).cast("bigint").alias("n_classes_at_risk"),
+        F.sum(rows_risk).cast("bigint").alias("n_rows_at_risk"),
+        (F.min("class_size") >= KANON_K).alias("is_k_anonymous"),
+    )

@@ -1775,3 +1775,127 @@ def doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_grams") >= DUP_SPAN_MIN_RUN)
         .drop("grp")
     )
+
+
+def _dup_span_cte() -> str:
+    """The doc_dup_spans oracle body as a reusable CTE prefix."""
+    return f"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS words
+  FROM documents WHERE length(text) > 0
+), g AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i,
+         array_to_string(list_slice(words, i, i + {COVER_N - 1}), ' ') AS gram
+  FROM w, UNNEST(range(1, len(words) - {COVER_N - 2})) AS t(i)
+  WHERE len(words) >= {COVER_N}
+), df AS (
+  SELECT gram, COUNT(DISTINCT doc_id) AS n_docs FROM g GROUP BY gram
+), dup AS (
+  SELECT g.doc_id, g.i FROM g JOIN df USING (gram) WHERE df.n_docs >= 2
+), runs AS (
+  SELECT doc_id, i,
+         i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+  FROM dup
+), spans AS (
+  SELECT doc_id,
+         CAST(MIN(i) AS BIGINT) AS s,
+         CAST(MIN(i) + COUNT(*) + {COVER_N - 2} AS BIGINT) AS e
+  FROM runs GROUP BY doc_id, grp
+  HAVING COUNT(*) >= {DUP_SPAN_MIN_RUN}
+)"""
+
+
+@query(
+    "doc_dup_span_coverage",
+    oracle=_dup_span_cte()
+    + """, marked AS (
+  SELECT doc_id, s, e,
+         MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max_e
+  FROM spans
+), islands AS (
+  SELECT doc_id, s, e,
+         SUM(CASE WHEN prev_max_e IS NULL OR s > prev_max_e THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s, e
+                 ROWS UNBOUNDED PRECEDING) AS island
+  FROM marked
+), per_island AS (
+  SELECT doc_id, island, MAX(e) - MIN(s) + 1 AS covered
+  FROM islands GROUP BY doc_id, island
+), per_doc AS (
+  SELECT doc_id, CAST(SUM(covered) AS BIGINT) AS words_covered
+  FROM per_island GROUP BY doc_id
+)
+SELECT p.doc_id,
+       CAST(len(w.words) AS BIGINT) AS n_words,
+       p.words_covered,
+       CAST(FLOOR(1000000.0 * p.words_covered / len(w.words) + 0.5)
+            AS BIGINT) AS coverage_ppm
+FROM per_doc p JOIN w ON w.doc_id = p.doc_id
+""",
+)
+def doc_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-level duplicated-span coverage per doc: the EXACT number
+    of word positions covered by the union of doc_dup_spans' maximal
+    runs (classic interval-union sweep: per-doc running max of span
+    ends marks island starts; each island covers max_e − min_s + 1
+    words) — the number a span-removal pass actually deletes, where
+    doc_dup_gram_coverage's gram fraction over-counts overlapping
+    grams and under-reports span word width.
+
+    Plan: the span table is tiny relative to the corpus (one row per
+    maximal run); every window here is partitioned BY doc_id over a
+    doc's spans — bounded, parallel across docs. The only corpus-scale
+    work is the shared gram pipeline inside doc_dup_spans.
+    """
+    from pyspark.sql import Window
+
+    spans = doc_dup_spans(spark, sf_dir).select(
+        "doc_id",
+        F.col("span_start").alias("s"),
+        (F.col("span_start") + F.col("span_words") - 1).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = (
+        spans.withColumn("prev_max_e", F.max("e").over(w_prev))
+        .withColumn(
+            "new_island",
+            F.when(
+                F.col("prev_max_e").isNull()
+                | (F.col("s") > F.col("prev_max_e")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("new_island").over(w_run))
+    )
+    per_doc = (
+        islands.groupBy("doc_id", "island")
+        .agg((F.max("e") - F.min("s") + 1).alias("covered"))
+        .groupBy("doc_id")
+        .agg(F.sum("covered").cast("bigint").alias("words_covered"))
+    )
+    n_words = (
+        table(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select("doc_id", F.size(F.expr(_WORDS)).cast("bigint").alias("n_words"))
+    )
+    return per_doc.join(n_words, "doc_id").select(
+        "doc_id",
+        "n_words",
+        "words_covered",
+        F.floor(
+            1000000.0 * F.col("words_covered") / F.col("n_words") + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("coverage_ppm"),
+    )

@@ -1146,3 +1146,108 @@ def events_type_diversity_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("diversity_ppm"),
     )
+
+
+@query(
+    "events_peak_concurrency",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+         LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+             ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN prev_ts IS NULL
+                   OR date_diff('microsecond', prev_ts, ts) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+), sessions AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+), per_session AS (
+  SELECT user_id, session_id, MIN(ts) AS s_ts, MAX(ts) AS e_ts
+  FROM sessions GROUP BY user_id, session_id
+), boundaries AS (
+  SELECT epoch_us(s_ts) * 2 AS ord, 1 AS delta, s_ts AS ts FROM per_session
+  UNION ALL
+  SELECT epoch_us(e_ts) * 2 + 1 AS ord, -1 AS delta, e_ts AS ts
+  FROM per_session
+), running AS (
+  SELECT ts, delta,
+         SUM(delta) OVER (ORDER BY ord ROWS UNBOUNDED PRECEDING) AS conc
+  FROM boundaries
+)
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       CAST(MAX(conc) AS BIGINT) AS peak_concurrent,
+       CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS sessions_started
+FROM running GROUP BY day
+""",
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — the capacity-planning number
+    (license seats, connection pools, live-user high-water mark) — by
+    the classic sweep line: every session contributes a +1 boundary at
+    its start and a −1 at its end; concurrency is the running sum over
+    boundaries in time order and the day's peak is its max. Starts
+    sort before ends at the same instant (ord = µs·2 + {start:0,
+    end:1}), so touching sessions count as concurrent and zero-
+    duration (single-event) sessions still register.
+
+    The global running sum is the single-partition-window trap: a bare
+    ``SUM() OVER (ORDER BY ord)`` funnels every boundary through one
+    task. Here it rides :func:`distributed_prefix_sum` (range
+    partition → per-partition window → O(partitions) offset collect).
+    Boundary ties at equal ord carry equal deltas (+1 with +1), so the
+    per-day MAX is order-independent — the oracle's single-partition
+    window computes the identical multiset. Plan: one user shuffle for
+    sessionization, 2-rows-per-session boundary stream, one range
+    shuffle, day-grid rollup.
+    """
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w_order))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (
+                    (F.unix_micros("ts") - F.unix_micros("prev_ts"))
+                    > 1_800_000_000
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_session").over(w_run))
+    )
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s_ts"), F.max("ts").alias("e_ts")
+    )
+    starts = per_session.select(
+        (F.unix_micros("s_ts") * 2).alias("ord"),
+        F.lit(1).alias("delta"),
+        F.col("s_ts").alias("ts"),
+    )
+    ends = per_session.select(
+        (F.unix_micros("e_ts") * 2 + 1).alias("ord"),
+        F.lit(-1).alias("delta"),
+        F.col("e_ts").alias("ts"),
+    )
+    from the_hive_spark.functions.ids import distributed_prefix_sum
+
+    running = distributed_prefix_sum(
+        starts.unionAll(ends), "ord", "delta", out_col="_prev"
+    ).withColumn("conc", F.col("_prev") + F.col("delta"))
+    return running.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.max("conc").cast("bigint").alias("peak_concurrent"),
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("sessions_started"),
+    )

@@ -124,6 +124,9 @@ _ADDED_R4 = [
     "media_phash_near_dup",
     "doc_dup_spans",
     "cust_linkage_fs_scores",
+    "events_peak_concurrency",
+    "q_kanonymity_audit",
+    "doc_dup_span_coverage",
 ]
 
 # Round-3 gate kept for reference/tests of rotation history.
