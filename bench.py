@@ -149,6 +149,9 @@ EXTENDED = [
     "events_peak_concurrency",
     "q_kanonymity_audit",
     "doc_dup_span_coverage",
+    "events_rollup_multigrain",
+    "events_dau_wau_mau",
+    "doc_source_overlap",
 ]
 
 

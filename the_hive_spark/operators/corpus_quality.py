@@ -1899,3 +1899,113 @@ def doc_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("coverage_ppm"),
     )
+
+
+@query(
+    "doc_source_overlap",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, source,
+         list_filter(string_split(text, ' '), t -> length(t) > 0) AS words
+  FROM documents WHERE length(text) > 0
+), gs AS (
+  SELECT DISTINCT source,
+         unnest(list_distinct(list_transform(range(1, len(words) - {COVER_N - 2}),
+                i -> array_to_string(list_slice(words, i, i + {COVER_N - 1}), ' '))))
+           AS gram
+  FROM w WHERE len(words) >= {COVER_N}
+), inter AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM gs a JOIN gs b ON a.gram = b.gram AND a.source < b.source
+  GROUP BY a.source, b.source
+), sizes AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM gs GROUP BY source
+)
+SELECT i.source_a, i.source_b, i.n_shared,
+       sa.n AS n_grams_a, sb.n AS n_grams_b,
+       CAST(FLOOR(1000000.0 * i.n_shared / (sa.n + sb.n - i.n_shared) + 0.5)
+            AS BIGINT) AS jaccard_ppm
+FROM inter i
+JOIN sizes sa ON sa.source = i.source_a
+JOIN sizes sb ON sb.source = i.source_b
+""",
+)
+def doc_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise content overlap BETWEEN sources: exact Jaccard (ppm)
+    of each source pair's distinct word {COVER_N}-gram sets — the
+    feed-provenance diagnostic (mirror sites, syndication, scraper
+    overlap) that decides which sources are redundant BEFORE mixture
+    weights are spent on them; complements doc_dup_rates_by_source
+    (dup rate WITHIN a source) and dup span/coverage (per-document).
+
+    Scale shape: never a source×source join of gram sets. One pass
+    builds distinct (gram, source); per gram the source SET is
+    collected in-row (bounded by the source count, a dimension — ~20
+    here) and its C(k,2) pairs explode in-row, so the intersection
+    counts come from one vocabulary-keyed aggregation plus a
+    source-pair-grid rollup. Set sizes are one more aggregation of the
+    same relation; Jaccard is grid-sized arithmetic.
+    """
+    n = spark.sparkContext.defaultParallelism
+    base = (
+        table(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select("source", F.expr(_WORDS).alias("words"))
+        .filter(F.size("words") >= COVER_N)
+        .repartition(n, "source")
+    )
+    gs = base.select(
+        "source",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, size(words) - {COVER_N - 1}),"
+                    f" i -> concat_ws(' ', slice(words, i, {COVER_N})))"
+                )
+            )
+        ).alias("gram"),
+    ).distinct()
+    per_gram = gs.groupBy("gram").agg(
+        F.array_sort(F.collect_set("source")).alias("srcs")
+    )
+    pairs = per_gram.filter(F.size("srcs") >= 2).select(
+        F.explode(
+            F.expr(
+                "flatten(transform(srcs, (a, i) ->"
+                " transform(slice(srcs, i + 2, size(srcs)),"
+                " b -> struct(a AS source_a, b AS source_b))))"
+            )
+        ).alias("p")
+    )
+    inter = pairs.groupBy("p.source_a", "p.source_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shared")
+    )
+    sizes = gs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    sa = sizes.select(
+        F.col("source").alias("source_a"), F.col("n").alias("n_grams_a")
+    )
+    sb = sizes.select(
+        F.col("source").alias("source_b"), F.col("n").alias("n_grams_b")
+    )
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_grams_a",
+            "n_grams_b",
+            F.floor(
+                1000000.0
+                * F.col("n_shared")
+                / (F.col("n_grams_a") + F.col("n_grams_b") - F.col("n_shared"))
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("jaccard_ppm"),
+        )
+    )

@@ -150,11 +150,15 @@ WITH m AS (
 ), nn AS (
   SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM customer
 ), un AS (
-  SELECT CAST(SUM(c * (c - 1)) AS HUGEINT) AS num
+  SELECT GREATEST(CAST(1 AS HUGEINT),
+                  LEAST(CAST(SUM(c * (c - 1)) AS HUGEINT),
+                        (SELECT n * (n - 1) - 1 FROM nn))) AS num
   FROM (SELECT CAST(COUNT(*) AS HUGEINT) AS c FROM customer
         GROUP BY c_nationkey)
 ), us AS (
-  SELECT CAST(SUM(c * (c - 1)) AS HUGEINT) AS num
+  SELECT GREATEST(CAST(1 AS HUGEINT),
+                  LEAST(CAST(SUM(c * (c - 1)) AS HUGEINT),
+                        (SELECT n * (n - 1) - 1 FROM nn))) AS num
   FROM (SELECT CAST(COUNT(*) AS HUGEINT) AS c FROM customer
         GROUP BY c_mktsegment)
 )
@@ -203,7 +207,12 @@ def cust_linkage_fs_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     u_num = {}
     for field in ("c_nationkey", "c_mktsegment"):
         counts = cust.groupBy(field).count().collect()
-        u_num[field] = sum(r["count"] * (r["count"] - 1) for r in counts)
+        raw = sum(r["count"] * (r["count"] - 1) for r in counts)
+        # clamp u into (0, 1): a field whose u estimate degenerates to
+        # 0 (all-distinct) or 1 (constant column) would zero a weight
+        # denominator; the clamped extreme keeps the ratio defined and
+        # exact (same GREATEST/LEAST clamp in the oracle)
+        u_num[field] = max(1, min(raw, uden - 1))
 
     def weight(agree_n: bool, agree_s: bool) -> int:
         num = (

@@ -1251,3 +1251,151 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("sessions_started"),
     )
+
+
+@query(
+    "events_rollup_multigrain",
+    oracle="""
+WITH base AS (
+  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+         date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+         date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk,
+         event_type, user_id
+  FROM events
+)
+SELECT CASE WHEN GROUPING(h) = 0 THEN 'hour'
+            WHEN GROUPING(d) = 0 THEN 'day'
+            ELSE 'week' END AS grain,
+       strftime(COALESCE(h, d, wk), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM base
+GROUP BY event_type, GROUPING SETS ((h), (d), (wk))
+""",
+)
+def events_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour/day/week continuous-aggregate rollup in ONE scan — the
+    hypertable materialization pattern (TimescaleDB continuous
+    aggregates; Druid/Pinot rollup segments): every dashboard grain
+    from a single pass instead of one query per zoom level.
+
+    GROUPING SETS compiles to Expand (each row fans to its 3 grain
+    tuples) + one partial-aggregated shuffle — strictly cheaper than 3
+    scans of the fact at 100 TB, and the classic trade: 3× map-side
+    rows for 1× I/O. COUNT(DISTINCT user) per grain rides the same
+    expand (Spark plans the distinct as a second keyed aggregation,
+    still one scan). Buckets format as strings so the hash is
+    timezone-stable across engines (session TZ pinned UTC).
+    """
+    ev = table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("h"),
+        F.date_trunc("day", "ts").alias("d"),
+        F.date_trunc("week", "ts").alias("wk"),
+        "event_type",
+        "user_id",
+    )
+    grain = (
+        F.when(F.grouping("h") == 0, F.lit("hour"))
+        .when(F.grouping("d") == 0, F.lit("day"))
+        .otherwise(F.lit("week"))
+    )
+    # grouping() markers are only resolvable inside the agg itself
+    rolled = ev.groupingSets(
+        [["h", "event_type"], ["d", "event_type"], ["wk", "event_type"]],
+        "h", "d", "wk", "event_type",
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        grain.alias("grain"),
+        F.date_format(
+            F.coalesce("h", "d", "wk"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("bucket_start"),
+    )
+    return rolled.select(
+        "grain", "bucket_start", "event_type", "n_events", "n_users"
+    )
+
+
+@query(
+    "events_dau_wau_mau",
+    oracle="""
+WITH ad AS (
+  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+  FROM events
+), days AS (
+  SELECT DISTINCT day FROM ad
+), wau_c AS (
+  SELECT ad.day + CAST(i AS INTEGER) AS target_day, ad.user_id
+  FROM ad, UNNEST(range(0, 7)) AS t(i)
+), mau_c AS (
+  SELECT ad.day + CAST(i AS INTEGER) AS target_day, ad.user_id
+  FROM ad, UNNEST(range(0, 30)) AS t(i)
+), dau AS (
+  SELECT day, COUNT(DISTINCT user_id) AS dau FROM ad GROUP BY day
+), wau AS (
+  SELECT target_day AS day, COUNT(DISTINCT user_id) AS wau
+  FROM wau_c GROUP BY target_day
+), mau AS (
+  SELECT target_day AS day, COUNT(DISTINCT user_id) AS mau
+  FROM mau_c GROUP BY target_day
+)
+SELECT strftime(d.day, '%Y-%m-%d') AS day,
+       CAST(dau.dau AS BIGINT) AS dau,
+       CAST(wau.wau AS BIGINT) AS wau,
+       CAST(mau.mau AS BIGINT) AS mau,
+       CAST(FLOOR(1000000.0 * dau.dau / mau.mau + 0.5) AS BIGINT)
+         AS stickiness_ppm
+FROM days d JOIN dau USING (day) JOIN wau USING (day) JOIN mau USING (day)
+""",
+)
+def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / MAU + stickiness (DAU/MAU ppm) per active day — the
+    growth-dashboard headline. Distinct-users-over-a-sliding-window
+    cannot be a window function (COUNT(DISTINCT) OVER a 30-day frame
+    is unsupported AND would hold per-frame user sets); the scalable
+    form is the contribution explode: each active (user, day) row
+    contributes itself to the 7 / 30 target days it keeps a user
+    "active" for, then a plain per-day distinct count — map-side
+    expand of the (user, day) table (≪ events), two keyed
+    aggregations, no window state anywhere.
+
+    Output days are the observed activity grid; a target day with no
+    activity of its own is omitted (dashboards gapfill via
+    events_daily_gapfill). Exact integers end-to-end; the single
+    float division quantizes to ppm.
+    """
+    ev = table(spark, sf_dir, "events")
+    ad = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    dau = ad.groupBy("day").agg(
+        F.count_distinct("user_id").cast("bigint").alias("dau")
+    )
+    def contrib(n_days: int, out: str) -> DataFrame:
+        return (
+            ad.select(
+                "user_id",
+                F.explode(
+                    F.expr(f"sequence(day, date_add(day, {n_days - 1}))")
+                ).alias("day"),
+            )
+            .groupBy("day")
+            .agg(F.count_distinct("user_id").cast("bigint").alias(out))
+        )
+
+    wau = contrib(7, "wau")
+    mau = contrib(30, "mau")
+    return (
+        dau.join(wau, "day")
+        .join(mau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            "mau",
+            F.floor(1000000.0 * F.col("dau") / F.col("mau") + F.lit(0.5))
+            .cast("bigint")
+            .alias("stickiness_ppm"),
+        )
+    )

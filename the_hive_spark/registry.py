@@ -127,6 +127,9 @@ _ADDED_R4 = [
     "events_peak_concurrency",
     "q_kanonymity_audit",
     "doc_dup_span_coverage",
+    "events_rollup_multigrain",
+    "events_dau_wau_mau",
+    "doc_source_overlap",
 ]
 
 # Round-3 gate kept for reference/tests of rotation history.
