@@ -152,6 +152,7 @@ EXTENDED = [
     "events_rollup_multigrain",
     "events_dau_wau_mau",
     "doc_source_overlap",
+    "graph_bfs_3hop",
 ]
 
 

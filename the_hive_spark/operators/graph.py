@@ -576,3 +576,70 @@ def graph_kcore3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
         .filter(F.col("degree") >= _KCORE_K)
     )
+
+
+BFS_SEED = "c:1"
+BFS_MAX_HOPS = 3
+
+
+@query(
+    "graph_bfs_3hop",
+    oracle=f"""
+WITH RECURSIVE und AS (
+  SELECT src AS a, dst AS b FROM ({_EDGES_SQL})
+  UNION ALL
+  SELECT dst, src FROM ({_EDGES_SQL})
+), walk(node_id, dist) AS (
+  SELECT '{BFS_SEED}' AS node_id, 0 AS dist
+  UNION
+  SELECT u.b, w.dist + 1
+  FROM walk w JOIN und u ON u.a = w.node_id
+  WHERE w.dist < {BFS_MAX_HOPS}
+)
+SELECT node_id, CAST(MIN(dist) AS BIGINT) AS dist
+FROM walk GROUP BY node_id
+""",
+)
+def graph_bfs_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS shortest-path distances ≤ {BFS_MAX_HOPS} hops from seed
+    node {BFS_SEED} over the undirected edge graph — the k-hop
+    neighborhood expansion behind "related entities" panels and blast-
+    radius analysis, and the remaining classic the graph family lacked
+    (CC, PageRank, k-core, triangles already exist).
+
+    Spark-first iterative shape: one distinct frontier per hop, each
+    hop = ONE equi-join frontier⨝edges + an anti-join against the
+    visited set (so a node keeps its FIRST, minimal distance — BFS
+    layers make min-dist correct by construction, no per-node min
+    needed). K bounded joins, frontier persisted per round; the oracle
+    is the textbook bounded recursive CTE. At 100 TB the per-hop join
+    is shuffle-partitioned on the node key, and the visited anti-join
+    is the same keyed shuffle — no global state, no driver iteration
+    over rows.
+    """
+    from pyspark import StorageLevel
+
+    edges = derived_edges(spark, sf_dir)
+    und = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionAll(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    seed = spark.createDataFrame(
+        [(BFS_SEED, 0)], "node_id string, dist long"
+    )
+    visited = seed
+    frontier = seed
+    for d in range(1, BFS_MAX_HOPS + 1):
+        nxt = (
+            frontier.join(und, frontier["node_id"] == und["a"])
+            .select(F.col("b").alias("node_id"))
+            .distinct()
+            .join(visited.select("node_id"), "node_id", "left_anti")
+            .withColumn("dist", F.lit(d).cast("long"))
+            .localCheckpoint(eager=True)  # cut the per-hop lineage
+        )
+        visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    und.unpersist()
+    return visited.select("node_id", F.col("dist").cast("bigint"))

@@ -441,12 +441,43 @@ def _ahash_from_pixels(pixels: bytes, width: int, height: int) -> int:
     return h
 
 
+def _ahash_numpy(pixels: bytes, width: int, height: int) -> int:
+    """Vectorized aHash, bit-identical to :func:`_ahash_from_pixels`
+    (the pure-Python reference tests pin against): all intermediates
+    stay exact — the bincount accumulators are < 2⁵³ so the float64
+    sums are integer-exact, and the block means use the same integer
+    floor division."""
+    import numpy as np
+
+    g = PHASH_GRID
+    px = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, 3)
+    lum = px.sum(axis=2, dtype=np.int64)  # per-pixel R+G+B
+    by = (np.arange(height, dtype=np.int64) * g) // height
+    bx = (np.arange(width, dtype=np.int64) * g) // width
+    cell = (by[:, None] * g + bx[None, :]).ravel()
+    sums = np.bincount(cell, weights=lum.ravel(), minlength=g * g)
+    counts = np.bincount(cell, minlength=g * g)
+    sums = sums.astype(np.int64)  # exact: < 2^53 by construction
+    means = np.where(counts > 0, (sums * 64) // np.maximum(counts, 1), 0)
+    total = int(means.sum()) // (g * g)
+    h = 0
+    for i, m in enumerate(means.tolist()):
+        if m > total:
+            h |= 1 << i
+    if h >= 1 << 63:
+        h -= 1 << 64
+    return h
+
+
 def image_phash(media: DataFrame, fake: bool = False) -> DataFrame:
     """binary payload → 64-bit perceptual hash via mapInPandas.
 
     The decode is the environment-gated seam (PIL absent here ⇒
     fake=True substitutes the deterministic synthetic pixel grid); the
-    hash arithmetic, batch shape, and signed-int64 packing are real."""
+    hash arithmetic, batch shape, and signed-int64 packing are real.
+    Hashing is the numpy-vectorized form (the per-pixel Python loop
+    was the whole-bench slowest stage at sf0.1); the scalar reference
+    implementation stays as the test oracle."""
     import pandas as pd
 
     def batches(it):
@@ -461,7 +492,7 @@ def image_phash(media: DataFrame, fake: bool = False) -> DataFrame:
                 w, h = int(row.width), int(row.height)
                 pixels = _fake_pixels(bytes(row.content), w, h)
                 ids.append(row.media_id)
-                hashes.append(_ahash_from_pixels(pixels, w, h))
+                hashes.append(_ahash_numpy(pixels, w, h))
             yield pd.DataFrame(
                 {"media_id": ids, "phash": pd.Series(hashes, dtype="int64")}
             )

@@ -130,6 +130,7 @@ _ADDED_R4 = [
     "events_rollup_multigrain",
     "events_dau_wau_mau",
     "doc_source_overlap",
+    "graph_bfs_3hop",
 ]
 
 # Round-3 gate kept for reference/tests of rotation history.
