@@ -153,6 +153,8 @@ EXTENDED = [
     "events_dau_wau_mau",
     "doc_source_overlap",
     "graph_bfs_3hop",
+    "doc_term_cooccurrence_lift",
+    "media_silence_runs",
 ]
 
 
@@ -250,8 +252,12 @@ def main() -> None:
         text = json.dumps(line, separators=(",", ":"))
     # stop() BEFORE printing: the JSON line must be the last thing on
     # stdout — no JVM shutdown chatter may trail it into the driver's
-    # tail capture.
-    spark.stop()
+    # tail capture. But the line must survive even a failing stop()
+    # (the round-1 lesson: bench ALWAYS prints its one JSON line).
+    try:
+        spark.stop()
+    except Exception:  # noqa: BLE001
+        pass
     print(text, flush=True)
 
 

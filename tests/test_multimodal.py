@@ -154,3 +154,35 @@ def test_phash_matches_pure_python_reference(spark, media):
         for r in media_phash_near_dup(spark, SF_DIR).collect()
     }
     assert got_pairs == expected_pairs
+
+
+def test_silence_runs_match_pure_python(spark, media):
+    """media_silence_runs vs a brute-force recomputation from the
+    collected window stream (threshold, run grouping, min length)."""
+    from the_hive_spark.operators.multimodal import (
+        SILENCE_MIN_WINDOWS,
+        SILENCE_RMS_MAX,
+        audio_feature_windows,
+        media_silence_runs,
+    )
+
+    wins = audio_feature_windows(media).collect()
+    by_media: dict[int, list] = {}
+    for r in wins:
+        by_media.setdefault(r["media_id"], []).append(r)
+    expected = set()
+    for mid, ws in by_media.items():
+        ws.sort(key=lambda r: r["window_idx"])
+        run = []
+        for r in ws + [None]:
+            if r is not None and r["rms_proxy"] < SILENCE_RMS_MAX:
+                run.append(r)
+                continue
+            if len(run) >= SILENCE_MIN_WINDOWS:
+                expected.add((mid, run[0]["start_ms"], len(run)))
+            run = []
+    got = {
+        (r["media_id"], r["run_start_ms"], r["n_windows"])
+        for r in media_silence_runs(spark, SF_DIR).collect()
+    }
+    assert got == expected

@@ -148,3 +148,32 @@ def test_temperature_mix_upsamples_small_sources(spark, tiny_sf):
     assert small["temp_share_ppm"] > small["share_ppm"]
     assert large["temp_share_ppm"] < large["share_ppm"]
     assert small["boost_ppm"] > 1000000 > large["boost_ppm"]
+
+
+def test_struct_distinct_counts_null_bearing_keys(spark):
+    """The constraint audit's dup-key form must use struct-distinct:
+    multi-arg count_distinct SKIPS rows with any NULL component, while
+    DuckDB's COUNT(DISTINCT (a, b)) counts NULL-bearing ROW values —
+    and null keys are exactly what the audit flags."""
+    import pyspark.sql.functions as F
+    import duckdb
+
+    df = spark.createDataFrame(
+        [(1, 1), (1, 1), (None, 2), (None, 2), (3, None)],
+        "a int, b int",
+    )
+    got = df.agg(
+        (F.count(F.lit(1)) - F.count_distinct(F.struct("a", "b")))
+        .alias("dups")
+    ).collect()[0]["dups"]
+    want = duckdb.connect().execute(
+        "SELECT COUNT(*) - COUNT(DISTINCT (a, b)) FROM (VALUES "
+        "(1,1),(1,1),(NULL,2),(NULL,2),(3,NULL)) t(a,b)"
+    ).fetchone()[0]
+    assert got == want == 2
+    # the buggy multi-arg form drops ALL 3 null-bearing rows from the
+    # distinct (only (1,1) survives) and would report 5 - 1 = 4
+    buggy = df.agg(
+        (F.count(F.lit(1)) - F.count_distinct("a", "b")).alias("d")
+    ).collect()[0]["d"]
+    assert buggy == 4

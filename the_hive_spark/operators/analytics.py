@@ -2415,8 +2415,13 @@ def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             null_any = cond if null_any is None else (null_any | cond)
         row = t.agg(
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            # struct-distinct, NOT multi-arg count_distinct: the multi-
+            # arg form SKIPS rows with any NULL component, while the
+            # oracle's COUNT(DISTINCT (a, b)) counts NULL-bearing ROW
+            # values — and null keys are exactly what this audit flags
             (
-                F.count(F.lit(1)) - F.count_distinct(*[F.col(k) for k in keys])
+                F.count(F.lit(1))
+                - F.count_distinct(F.struct(*[F.col(k) for k in keys]))
             ).cast("bigint").alias("n_dup_keys"),
             F.sum(F.when(null_any, 1).otherwise(0))
             .cast("bigint")

@@ -1953,7 +1953,10 @@ def doc_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.length("text") > 0)
         .select("source", F.expr(_WORDS).alias("words"))
         .filter(F.size("words") >= COVER_N)
-        .repartition(n, "source")
+        # round-robin, NOT keyed by source: a ~20-value key would cap
+        # the gram-explode stage at 20 tasks and serialize the largest
+        # source through one of them
+        .repartition(n)
     )
     gs = base.select(
         "source",

@@ -1200,3 +1200,103 @@ def doc_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("fill_ppm"),
     )
+
+
+COOC_TOP_TERMS = 20  # bounded term set: lift grid is C(20,2) pairs
+
+
+@query(
+    "doc_term_cooccurrence_lift",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split(lower(text), ' '),
+                                   t -> length(t) > 0)) AS terms
+  FROM documents WHERE length(text) > 0
+), n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM w
+), dt AS (
+  SELECT doc_id, unnest(terms) AS term FROM w
+), df AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM dt GROUP BY term
+), top AS (
+  SELECT term, n FROM df ORDER BY n DESC, term LIMIT {COOC_TOP_TERMS}
+), tdt AS (
+  SELECT dt.doc_id, dt.term FROM dt JOIN top USING (term)
+), pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b,
+         CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM tdt a JOIN tdt b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term
+)
+SELECT p.term_a, p.term_b, p.n_ab,
+       ta.n AS n_a, tb.n AS n_b,
+       CAST(FLOOR(1000.0 * p.n_ab * (SELECT n_docs FROM n)
+                  / (ta.n * tb.n) + 0.5) AS BIGINT) AS lift_milli
+FROM pairs p
+JOIN top ta ON ta.term = p.term_a
+JOIN top tb ON tb.term = p.term_b
+""",
+)
+def doc_term_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level co-occurrence lift between the corpus's top
+    {COOC_TOP_TERMS} terms: P(a,b)/(P(a)·P(b)) as milli-lift (1000 =
+    independent; higher = the terms travel together) — topical-
+    association structure without log-PMI's cross-engine float drift
+    (the lift RATIO carries the same ordering as PMI, quantized from
+    one float division of exact integer counts).
+
+    Scale shape: one corpus pass builds distinct (doc, term); the term
+    grid is the top-K by document frequency (deterministic ties by
+    term) — K is FIXED, so the presence table is corpus-rows × K at
+    worst and the pair join on doc_id fans out to ≤ C(K,2) pairs per
+    doc. The lift grid itself is C({COOC_TOP_TERMS},2) rows. int64
+    headroom: n_ab·N and n_a·n_b < 2⁶³ hold to ~3·10⁹ docs (ANSI
+    fails loud beyond, same documented bound as the basket lift).
+    """
+    docs = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    n_docs = docs.count()  # scalar job
+    dt = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr("filter(split(lower(text), ' '), t -> length(t) > 0)")
+            )
+        ).alias("term"),
+    )
+    df = dt.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    top = df.orderBy(F.desc("n"), F.asc("term")).limit(COOC_TOP_TERMS)
+    top_rows = {r["term"]: r["n"] for r in top.collect()}  # K rows
+    tdt = dt.filter(F.col("term").isin(*top_rows)).select("doc_id", "term")
+    a, b = tdt.alias("a"), tdt.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.term") < F.col("b.term")),
+        )
+        .groupBy(
+            F.col("a.term").alias("term_a"), F.col("b.term").alias("term_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+    )
+    na = F.create_map(
+        *[F.lit(x) for t, n in sorted(top_rows.items()) for x in (t, n)]
+    )
+    return pairs.select(
+        "term_a",
+        "term_b",
+        "n_ab",
+        na[F.col("term_a")].cast("bigint").alias("n_a"),
+        na[F.col("term_b")].cast("bigint").alias("n_b"),
+        F.floor(
+            1000.0 * F.col("n_ab") * F.lit(n_docs)
+            / (
+                na[F.col("term_a")].cast("bigint")
+                * na[F.col("term_b")].cast("bigint")
+            )
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("lift_milli"),
+    )

@@ -111,6 +111,11 @@ _GATE_R4 = [
     "q21_waiting_suppliers",
     "q_referential_integrity_audit",
     "q_basket_affinity_lift",
+    # deciles: edited in ROUND 3 (ntile_from_rank rework) after its
+    # only driver row — the verdict explicitly asked for this
+    # re-attest; the other round-4-de-hinted q_* not listed here are
+    # covered by the local full-oracle sweep (the de-hint is
+    # plan-only, value-neutral)
     "q_customer_value_deciles",
     "q_supply_concentration_hhi",
 ]
@@ -131,6 +136,8 @@ _ADDED_R4 = [
     "events_dau_wau_mau",
     "doc_source_overlap",
     "graph_bfs_3hop",
+    "doc_term_cooccurrence_lift",
+    "media_silence_runs",
 ]
 
 # Round-3 gate kept for reference/tests of rotation history.
