@@ -155,6 +155,7 @@ EXTENDED = [
     "graph_bfs_3hop",
     "doc_term_cooccurrence_lift",
     "media_silence_runs",
+    "q_join_skew_profile",
 ]
 
 

@@ -2484,3 +2484,70 @@ def q_kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(rows_risk).cast("bigint").alias("n_rows_at_risk"),
         (F.min("class_size") >= KANON_K).alias("is_k_anonymous"),
     )
+
+
+# (table, key column) pairs whose shuffle-key skew matters to a join
+_SKEW_KEYS = [
+    ("lineitem", "l_orderkey"),
+    ("lineitem", "l_partkey"),
+    ("lineitem", "l_suppkey"),
+    ("orders", "o_custkey"),
+    ("events", "user_id"),
+    ("events", "event_type"),
+]
+
+
+def _skew_oracle() -> str:
+    parts = []
+    for tbl, key in _SKEW_KEYS:
+        parts.append(f"""
+SELECT '{tbl}.{key}' AS shuffle_key,
+       CAST(SUM(c) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(MAX(c) AS BIGINT) AS max_key_rows,
+       CAST(FLOOR(1000000.0 * MAX(c) * COUNT(*) / SUM(c) + 0.5) AS BIGINT)
+         AS skew_ppm
+FROM (SELECT COUNT(*) AS c FROM {tbl} GROUP BY {key})""")
+    return "\nUNION ALL\n".join(parts)
+
+
+@query("q_join_skew_profile", oracle=_skew_oracle())
+def q_join_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew profile: for every join/aggregation key that
+    matters, the hottest key's row count relative to a perfectly even
+    spread (skew_ppm = max·n_keys/total; 1,000,000 = uniform) — the
+    measured input behind every salting decision in functions/skew.py
+    and the number AQE's skew-join threshold is compared against. A
+    key at 50× (5·10⁷ ppm) means the straggler task runs 50× the
+    median and salting (or skew-join splitting) pays for itself.
+
+    Scale shape: one map-side-combined groupBy per profiled key, then
+    a key-grid rollup (n_keys rows → 1) — the same two-exchange
+    profile q_table_stats_profile uses, unioned across keys. At
+    100 TB swap the exact per-key counts for a count-min/Misra-Gries
+    top-k (events_heavy_hitters' machinery) if n_keys itself is too
+    large to aggregate exactly — the output schema is unchanged.
+    """
+    from functools import reduce
+
+    outs: list[DataFrame] = []
+    for tbl, key in _SKEW_KEYS:
+        per_key = (
+            table(spark, sf_dir, tbl)
+            .groupBy(key)
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        outs.append(
+            per_key.agg(
+                F.sum("c").cast("bigint").alias("n_rows"),
+                F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+                F.max("c").cast("bigint").alias("max_key_rows"),
+                F.floor(
+                    1000000.0 * F.max("c") * F.count(F.lit(1)) / F.sum("c")
+                    + F.lit(0.5)
+                )
+                .cast("bigint")
+                .alias("skew_ppm"),
+            ).select(F.lit(f"{tbl}.{key}").alias("shuffle_key"), "*")
+        )
+    return reduce(DataFrame.unionAll, outs)

@@ -138,6 +138,7 @@ _ADDED_R4 = [
     "graph_bfs_3hop",
     "doc_term_cooccurrence_lift",
     "media_silence_runs",
+    "q_join_skew_profile",
 ]
 
 # Round-3 gate kept for reference/tests of rotation history.
