@@ -156,6 +156,7 @@ EXTENDED = [
     "doc_term_cooccurrence_lift",
     "media_silence_runs",
     "q_join_skew_profile",
+    "emb_component_histogram",
 ]
 
 

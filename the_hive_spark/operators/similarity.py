@@ -1513,3 +1513,51 @@ def doc_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf_micro"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+EMB_HIST_BUCKETS = 20  # component-value histogram over [-1, 1]
+
+
+@query(
+    "emb_component_histogram",
+    oracle=f"""
+WITH v AS (
+  SELECT unnest(embedding) AS x FROM embeddings
+), b AS (
+  SELECT CAST(LEAST(GREATEST(FLOOR((x + 1.0) * {EMB_HIST_BUCKETS} / 2.0),
+                             0), {EMB_HIST_BUCKETS - 1}) AS BIGINT) AS bucket
+  FROM v
+)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_components
+FROM b GROUP BY bucket
+""",
+)
+def emb_component_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of raw embedding component values over [-1, 1] in
+    {EMB_HIST_BUCKETS} fixed buckets — the distribution-shape monitor
+    that catches embedder regressions the norm audit can't: saturated
+    components (mass at ±1), dead dimensions (a spike at 0), or a
+    quantization-unfriendly spread, all before emb_quantize_int8
+    chooses its scale.
+
+    Bucketing is floor arithmetic on the stored doubles — both
+    engines read the identical parquet values and apply the identical
+    correctly-rounded IEEE ops, so bucket boundaries are exact. One
+    in-row explode + map-side-combined count: corpus × dim rows
+    through a {EMB_HIST_BUCKETS}-ary aggregation, no shuffle wider
+    than the bucket grid.
+    """
+    v = table(spark, sf_dir, "embeddings").select(
+        F.explode("embedding").alias("x")
+    )
+    bucket = F.least(
+        F.greatest(
+            F.floor((F.col("x") + 1.0) * EMB_HIST_BUCKETS / 2.0), F.lit(0)
+        ),
+        F.lit(EMB_HIST_BUCKETS - 1),
+    ).cast("bigint")
+    return (
+        v.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_components"))
+    )

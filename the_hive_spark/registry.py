@@ -139,6 +139,7 @@ _ADDED_R4 = [
     "doc_term_cooccurrence_lift",
     "media_silence_runs",
     "q_join_skew_profile",
+    "emb_component_histogram",
 ]
 
 # Round-3 gate kept for reference/tests of rotation history.
