@@ -1849,40 +1849,15 @@ def doc_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc's spans — bounded, parallel across docs. The only corpus-scale
     work is the shared gram pipeline inside doc_dup_spans.
     """
-    from pyspark.sql import Window
+    from the_hive_spark.functions.intervals import interval_union_length
 
     spans = doc_dup_spans(spark, sf_dir).select(
         "doc_id",
         F.col("span_start").alias("s"),
         (F.col("span_start") + F.col("span_words") - 1).alias("e"),
     )
-    w_prev = (
-        Window.partitionBy("doc_id")
-        .orderBy("s", "e")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    w_run = (
-        Window.partitionBy("doc_id")
-        .orderBy("s", "e")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    islands = (
-        spans.withColumn("prev_max_e", F.max("e").over(w_prev))
-        .withColumn(
-            "new_island",
-            F.when(
-                F.col("prev_max_e").isNull()
-                | (F.col("s") > F.col("prev_max_e")),
-                1,
-            ).otherwise(0),
-        )
-        .withColumn("island", F.sum("new_island").over(w_run))
-    )
-    per_doc = (
-        islands.groupBy("doc_id", "island")
-        .agg((F.max("e") - F.min("s") + 1).alias("covered"))
-        .groupBy("doc_id")
-        .agg(F.sum("covered").cast("bigint").alias("words_covered"))
+    per_doc = interval_union_length(
+        spans, "doc_id", out_col="words_covered"
     )
     n_words = (
         table(spark, sf_dir, "documents")
