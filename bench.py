@@ -157,6 +157,7 @@ EXTENDED = [
     "media_silence_runs",
     "q_join_skew_profile",
     "emb_component_histogram",
+    "events_attribution_ushape",
 ]
 
 

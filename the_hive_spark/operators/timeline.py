@@ -1273,3 +1273,107 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.5)
         ).cast("bigint").alias("conv_ppm"),
     )
+
+
+USHAPE_WINDOW_DAYS = 7
+
+
+@query(
+    "events_attribution_ushape",
+    oracle=f"""
+WITH conv AS (
+  SELECT event_id AS conv_id, user_id, CAST(ts AS TIMESTAMP) AS conv_ts
+  FROM events WHERE event_type = 'purchase'
+), touch AS (
+  SELECT c.conv_id, e.event_id AS touch_id, e.event_type,
+         CAST(e.ts AS TIMESTAMP) AS touch_ts
+  FROM conv c
+  JOIN events e
+    ON e.user_id = c.user_id
+   AND e.event_type <> 'purchase'
+   AND CAST(e.ts AS TIMESTAMP) < c.conv_ts
+   AND CAST(e.ts AS TIMESTAMP) >= c.conv_ts - INTERVAL {USHAPE_WINDOW_DAYS} DAY
+), ranked AS (
+  SELECT conv_id, touch_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY conv_id
+                            ORDER BY touch_ts, touch_id) AS rn,
+         COUNT(*) OVER (PARTITION BY conv_id) AS n
+  FROM touch
+), credited AS (
+  SELECT event_type,
+         CASE WHEN n = 1 THEN 1000000
+              WHEN n = 2 THEN 500000
+              WHEN rn = 1 THEN 400000
+              WHEN rn = n THEN 400000
+              ELSE CAST(FLOOR(200000.0 / (n - 2)) AS BIGINT) END AS credit_ppm
+  FROM ranked
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(SUM(credit_ppm) AS BIGINT) AS total_credit_ppm
+FROM credited GROUP BY event_type
+""",
+)
+def events_attribution_ushape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution: each
+    conversion's credit splits 40% to the first touch, 40% to the
+    last, and 20% evenly across the middle touches within a
+    {USHAPE_WINDOW_DAYS}-day lookback — the standard position-based
+    model alongside the repo's last-touch compaction
+    (events_last_touch), which over-credits retargeting. Output rolls
+    credit up per touch channel (event_type).
+
+    Exact: credits are ppm integers (FLOOR for the middle share — the
+    sub-ppm remainder is dropped identically on both engines), summed
+    as integers. Scale shape: the conversion↔touch join is per-user
+    keyed with a time-range predicate (the as-of/range-join family —
+    fan-out bounded by touches-per-window, never user² or corpus²);
+    the ranking windows are partitioned BY conversion id, bounded by
+    the same window. One channel-grid rollup at the end.
+    """
+    ev = table(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("conv_ts"),
+    )
+    touch = (
+        ev.filter(F.col("event_type") != "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("touch_id"),
+            "event_type",
+            F.col("ts").alias("touch_ts"),
+        )
+        .join(
+            conv,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("touch_ts") < F.col("conv_ts"))
+            & (
+                F.col("touch_ts")
+                >= F.col("conv_ts") - F.expr(f"INTERVAL {USHAPE_WINDOW_DAYS} DAY")
+            ),
+        )
+    )
+    w_rn = Window.partitionBy("conv_id").orderBy("touch_ts", "touch_id")
+    w_n = Window.partitionBy("conv_id")
+    ranked = touch.select(
+        "conv_id",
+        "event_type",
+        F.row_number().over(w_rn).alias("rn"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+    )
+    credit = (
+        F.when(F.col("n") == 1, F.lit(1000000))
+        .when(F.col("n") == 2, F.lit(500000))
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("n")), F.lit(400000))
+        .otherwise(F.floor(200000.0 / (F.col("n") - 2)).cast("bigint"))
+    )
+    return (
+        ranked.select("event_type", credit.alias("credit_ppm"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            F.sum("credit_ppm").cast("bigint").alias("total_credit_ppm"),
+        )
+    )

@@ -140,6 +140,7 @@ _ADDED_R4 = [
     "media_silence_runs",
     "q_join_skew_profile",
     "emb_component_histogram",
+    "events_attribution_ushape",
 ]
 
 # Round-3 gate kept for reference/tests of rotation history.
