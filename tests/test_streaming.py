@@ -716,3 +716,73 @@ def test_stream_stream_left_outer_equals_batch(spark, tmp_path):
     assert got == want, (
         f"stream≠batch: extra={got - want} missing={want - got}"
     )
+
+
+def test_rate_limiter_token_bucket(spark, tmp_path):
+    """Token-bucket admissions over a file-source stream match a
+    pure-Python simulation of the same bucket (event-time refill,
+    burst cap, per-key isolation, deterministic replay)."""
+    import pandas as pd
+
+    from the_hive_spark.streaming.ratelimit import (
+        DEFAULT_BURST,
+        DEFAULT_RATE_PER_SEC,
+        rate_limited,
+    )
+
+    src = tmp_path / "rl"
+    src.mkdir()
+    # user 1: a burst of 5 at t=0 (3 admitted), then spaced refills;
+    # user 2: slow steady traffic, all admitted
+    rows = []
+    eid = 0
+    for off_us in (0, 1000, 2000, 3000, 4000,      # burst
+                   2_000_000, 2_500_000, 5_000_000):
+        rows.append({"user_id": 1, "event_id": eid, "ts_us": off_us}); eid += 1
+    for off_us in (0, 3_000_000, 6_000_000):
+        rows.append({"user_id": 2, "event_id": eid, "ts_us": off_us}); eid += 1
+    pd.DataFrame(rows).astype("int64").to_parquet(src / "a.parquet")
+
+    batch = spark.read.parquet(str(src))
+    stream = spark.readStream.schema(batch.schema).parquet(str(src))
+    q = (
+        rate_limited(stream)
+        .writeStream.format("memory")
+        .queryName("rl_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["event_id"]: (r["allowed"], r["tokens_after_milli"])
+        for r in spark.sql("SELECT * FROM rl_sink").collect()
+    }
+
+    # pure-python reference
+    def simulate(events):
+        out = {}
+        tokens, last = DEFAULT_BURST * 1000, None
+        for eid_, ts in sorted(events, key=lambda t: (t[1], t[0])):
+            if last is not None and ts > last:
+                tokens = min(
+                    DEFAULT_BURST * 1000,
+                    tokens + int((ts - last) * DEFAULT_RATE_PER_SEC // 1000),
+                )
+            last = ts if last is None else max(last, ts)
+            allowed = 1 if tokens >= 1000 else 0
+            if allowed:
+                tokens -= 1000
+            out[eid_] = (allowed, tokens)
+        return out
+
+    want = {}
+    for uid in (1, 2):
+        want.update(
+            simulate([(r["event_id"], r["ts_us"]) for r in rows
+                      if r["user_id"] == uid])
+        )
+    assert got == want
+    # the burst admits exactly DEFAULT_BURST of the first five
+    first_five = [got[i][0] for i in range(5)]
+    assert sum(first_five) == DEFAULT_BURST

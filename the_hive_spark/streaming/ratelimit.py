@@ -1,0 +1,129 @@
+"""Per-key token-bucket rate limiting as a stateful streaming operator.
+
+The admission-control primitive in front of any per-tenant ingest or
+API surface (the reference throttles per API key at the server; here
+the same policy runs INSIDE the stream, so the decision scales with
+the key space instead of a front-end box): each key holds a bucket of
+``burst`` tokens refilled at ``rate_per_sec``; an event is admitted
+iff a whole token is available, and every event is emitted with its
+admit/deny verdict (deny streams feed alerting/audit, exactly like the
+engine's alert sink).
+
+Event-time driven and deterministic: refill is computed from the
+EVENT timestamps (µs), not wall clock, so replaying the same input
+yields the same admissions — the property the batch-parity test pins.
+State per key is two scalars (milli-tokens, last event-time µs);
+``applyInPandasWithState`` shards keys across executors, so capacity
+is O(distinct keys / cluster), with no coordination between keys.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+)
+
+DEFAULT_RATE_PER_SEC = 1.0
+DEFAULT_BURST = 3
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("tokens_milli", LongType()),
+        StructField("last_ts_us", LongType()),
+    ]
+)
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("ts_us", LongType()),
+        StructField("allowed", LongType()),  # 1 admit / 0 deny
+        StructField("tokens_after_milli", LongType()),
+    ]
+)
+
+
+def admit_events(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+    rate_per_sec: float = DEFAULT_RATE_PER_SEC,
+    burst: int = DEFAULT_BURST,
+) -> Iterable[pd.DataFrame]:
+    """Stateful token-bucket admission for one key's events.
+
+    Integer milli-token arithmetic: refill = elapsed_us · rate / 1000
+    (floor), capped at burst·1000; admit costs exactly 1000. Late
+    events (ts before the bucket's last seen ts) refill nothing but
+    still contend for tokens — the deterministic convention for
+    out-of-order replay.
+    """
+    user_id = int(key[0])
+    if state.hasTimedOut:  # idle key: drop the bucket, full on return
+        state.remove()
+        return
+
+    tokens_milli = burst * 1000
+    last_ts_us = None
+    if state.exists:
+        tokens_milli, last = state.get
+        last_ts_us = None if last < 0 else int(last)
+
+    rows = []
+    for pdf in pdfs:
+        for r in pdf.itertuples(index=False):
+            rows.append((int(r.event_id), int(r.ts_us)))
+    rows.sort(key=lambda t: (t[1], t[0]))  # event-time order, id tiebreak
+
+    out = {k: [] for k in ("user_id", "event_id", "ts_us", "allowed",
+                           "tokens_after_milli")}
+    for event_id, ts_us in rows:
+        if last_ts_us is not None and ts_us > last_ts_us:
+            refill = (ts_us - last_ts_us) * rate_per_sec
+            tokens_milli = min(
+                burst * 1000, tokens_milli + int(refill // 1000)
+            )
+        last_ts_us = ts_us if last_ts_us is None else max(last_ts_us, ts_us)
+        allowed = 1 if tokens_milli >= 1000 else 0
+        if allowed:
+            tokens_milli -= 1000
+        out["user_id"].append(user_id)
+        out["event_id"].append(event_id)
+        out["ts_us"].append(ts_us)
+        out["allowed"].append(allowed)
+        out["tokens_after_milli"].append(tokens_milli)
+
+    state.update((tokens_milli, -1 if last_ts_us is None else last_ts_us))
+    state.setTimeoutDuration(60_000)
+    if rows:
+        yield pd.DataFrame(out)
+
+
+def rate_limited(
+    events: DataFrame,
+    rate_per_sec: float = DEFAULT_RATE_PER_SEC,
+    burst: int = DEFAULT_BURST,
+) -> DataFrame:
+    """Wire the token bucket onto a stream (or batch-test harness)
+    carrying (user_id, event_id, ts_us)."""
+
+    def fn(key, pdfs, state):
+        yield from admit_events(
+            key, pdfs, state, rate_per_sec=rate_per_sec, burst=burst
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
