@@ -158,6 +158,7 @@ EXTENDED = [
     "q_join_skew_profile",
     "emb_component_histogram",
     "events_attribution_ushape",
+    "q_frequent_itemsets",
 ]
 
 

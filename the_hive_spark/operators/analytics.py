@@ -2551,3 +2551,84 @@ def q_join_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).select(F.lit(f"{tbl}.{key}").alias("shuffle_key"), "*")
         )
     return reduce(DataFrame.unionAll, outs)
+
+
+FREQ_ITEMSET_MIN_COUNT = 12  # absolute basket-support threshold
+
+
+@query(
+    "q_frequent_itemsets",
+    oracle=f"""
+WITH baskets AS (
+  SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS items
+  FROM lineitem GROUP BY l_orderkey
+), n AS (
+  SELECT COUNT(*) AS n_baskets FROM baskets
+), singles AS (
+  SELECT CAST(l_partkey AS VARCHAR) AS itemset, 1 AS set_size,
+         CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS freq
+  FROM lineitem GROUP BY l_partkey
+  HAVING COUNT(DISTINCT l_orderkey) >= {FREQ_ITEMSET_MIN_COUNT}
+), pairs AS (
+  SELECT CAST(a.l_partkey AS VARCHAR) || '|' || CAST(b.l_partkey AS VARCHAR)
+           AS itemset,
+         2 AS set_size,
+         CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING COUNT(*) >= {FREQ_ITEMSET_MIN_COUNT}
+)
+SELECT itemset, CAST(set_size AS BIGINT) AS set_size, freq FROM singles
+UNION ALL
+SELECT itemset, CAST(set_size AS BIGINT) AS set_size, freq FROM pairs
+""",
+)
+def q_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent itemsets (size ≤ 2) over order baskets via MLlib
+    FPGrowth — market-basket mining with the library operator instead
+    of hand-rolled joins, demonstrating that the engine composes with
+    spark.ml where a battle-tested distributed implementation exists
+    (FP-tree: 2 scans + group-wise conditional trees, no candidate
+    explosion — Han et al., SIGMOD'00).
+
+    Determinism: the frequent-itemset SET and its frequencies are a
+    pure function of the data and threshold, whatever order FP-growth
+    emits them in. The threshold is pinned to an ABSOLUTE count
+    ({FREQ_ITEMSET_MIN_COUNT}) by setting minSupport just under
+    count/N, so boundary baskets can't flip between engines; itemsets
+    are sorted in-row and rendered as a canonical string. The oracle
+    re-derives sizes 1-2 with plain SQL — the library's answer must
+    match exact relational algebra. Size ≤ 2 keeps the oracle
+    polynomial; FPGrowth itself emits all sizes (the filter is on OUR
+    side, so a regression that invented phantom large itemsets would
+    still surface as missing/mismatched small ones).
+    """
+    from pyspark.ml.fpm import FPGrowth
+
+    li = table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("items"))
+    )
+    n_baskets = baskets.count()  # scalar job (also FPGrowth's N)
+    fp = FPGrowth(
+        itemsCol="items",
+        minSupport=(FREQ_ITEMSET_MIN_COUNT - 0.5) / n_baskets,
+        minConfidence=0.5,
+    )
+    model = fp.fit(baskets)
+    return (
+        model.freqItemsets.filter(F.size("items") <= 2)
+        .filter(F.col("freq") >= FREQ_ITEMSET_MIN_COUNT)
+        .select(
+            F.concat_ws(
+                "|", F.transform(F.array_sort("items"), lambda x: x.cast("string"))
+            ).alias("itemset"),
+            F.size("items").cast("bigint").alias("set_size"),
+            F.col("freq").cast("bigint").alias("freq"),
+        )
+    )

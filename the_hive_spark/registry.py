@@ -141,6 +141,7 @@ _ADDED_R4 = [
     "q_join_skew_profile",
     "emb_component_histogram",
     "events_attribution_ushape",
+    "q_frequent_itemsets",
 ]
 
 # Round-3 gate kept for reference/tests of rotation history.
