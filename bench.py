@@ -159,6 +159,7 @@ EXTENDED = [
     "emb_component_histogram",
     "events_attribution_ushape",
     "q_frequent_itemsets",
+    "events_frequent_sequences",
 ]
 
 

@@ -1377,3 +1377,87 @@ def events_attribution_ushape(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("credit_ppm").cast("bigint").alias("total_credit_ppm"),
         )
     )
+
+
+SEQ_MIN_USERS = 20  # absolute sequence-support threshold (distinct users)
+
+
+@query(
+    "events_frequent_sequences",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         CAST(ts AS TIMESTAMP) AS ts, event_id
+  FROM events
+), singles AS (
+  SELECT event_type AS pattern, 1 AS length,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM seq GROUP BY event_type
+  HAVING COUNT(DISTINCT user_id) >= {SEQ_MIN_USERS}
+), pairs AS (
+  SELECT a.event_type || '>' || b.event_type AS pattern, 2 AS length,
+         CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+  FROM seq a JOIN seq b
+    ON a.user_id = b.user_id
+   AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+  GROUP BY a.event_type, b.event_type
+  HAVING COUNT(DISTINCT a.user_id) >= {SEQ_MIN_USERS}
+)
+SELECT pattern, CAST(length AS BIGINT) AS length, n_users FROM singles
+UNION ALL
+SELECT pattern, CAST(length AS BIGINT) AS length, n_users FROM pairs
+""",
+)
+def events_frequent_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent sequential patterns (length ≤ 2) over per-user event
+    streams via MLlib PrefixSpan — "eventually-follows" process
+    mining (view eventually precedes purchase for N users), the
+    order-aware complement to q_frequent_itemsets' unordered baskets
+    and q_next_part_pairs' strictly-adjacent bigrams (Pei et al.,
+    PrefixSpan, ICDE'01).
+
+    Determinism: sequences are built in (ts, event_id) order so equal
+    timestamps cannot reshuffle a user's sequence between runs;
+    support is pinned to an absolute user count the same way as the
+    itemset query; the pattern set + supports are data-determined
+    whatever order the algorithm emits. The oracle re-derives both
+    lengths relationally (a self-join testing the lexicographic
+    before relation). The library runs the full prefix-projected
+    search distributed; the ≤2 filter is ours, purely for oracle
+    tractability.
+    """
+    from pyspark.ml.fpm import PrefixSpan
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seqs = (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .groupBy("user_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("_rn", "event_type"))
+                ),
+                lambda s: F.array(s["event_type"]),
+            ).alias("sequence")
+        )
+    )
+    n_users = seqs.count()  # scalar job
+    ps = PrefixSpan(
+        minSupport=(SEQ_MIN_USERS - 0.5) / n_users,
+        maxPatternLength=2,
+        maxLocalProjDBSize=32_000_000,
+    )
+    found = ps.findFrequentSequentialPatterns(seqs)
+    return (
+        found.filter(F.col("freq") >= SEQ_MIN_USERS)
+        .select(
+            F.concat_ws(
+                ">",
+                F.transform(F.col("sequence"), lambda s: s.getItem(0)),
+            ).alias("pattern"),
+            F.size("sequence").cast("bigint").alias("length"),
+            F.col("freq").cast("bigint").alias("n_users"),
+        )
+    )

@@ -142,6 +142,7 @@ _ADDED_R4 = [
     "emb_component_histogram",
     "events_attribution_ushape",
     "q_frequent_itemsets",
+    "events_frequent_sequences",
 ]
 
 # Round-3 gate kept for reference/tests of rotation history.
