@@ -160,6 +160,7 @@ EXTENDED = [
     "events_attribution_ushape",
     "q_frequent_itemsets",
     "events_frequent_sequences",
+    "q_price_quantity_correlation",
 ]
 
 

@@ -2632,3 +2632,76 @@ def q_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("freq").cast("bigint").alias("freq"),
         )
     )
+
+
+@query(
+    "q_price_quantity_correlation",
+    oracle="""
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS HUGEINT)) AS HUGEINT)
+           AS sx,
+         CAST(SUM(CAST(l_quantity AS HUGEINT)) AS HUGEINT) AS sy,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS HUGEINT)
+                  * CAST(l_quantity AS HUGEINT)) AS HUGEINT) AS sxy,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS HUGEINT)
+                  * CAST(ROUND(l_extendedprice * 100) AS HUGEINT)) AS HUGEINT)
+           AS sxx,
+         CAST(SUM(CAST(l_quantity AS HUGEINT)
+                  * CAST(l_quantity AS HUGEINT)) AS HUGEINT) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n_rows,
+       CASE WHEN (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0
+            THEN NULL
+            ELSE CAST(FLOOR(1000.0 * CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)) + 0.5)
+                 AS BIGINT) END AS pearson_milli
+FROM m
+""",
+)
+def q_price_quantity_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-moment Pearson correlation of line price vs quantity per
+    return flag (milli units) — the column-relationship statistic a
+    CBO or feature-selection pass consumes, computed the engine-stable
+    way: every moment (Σx, Σy, Σxy, Σx², Σy², n) is an EXACT integer
+    sum in decimal(38,0)/HUGEINT (cents × integral quantities —
+    order-independent, unlike float covariance accumulators), and the
+    single float step is the final ratio+sqrt on identical exact
+    operands. A zero variance yields NULL on both engines.
+
+    int64-and-beyond headroom: the widest product, (Σcents)², stays
+    inside 38 digits while Σcents < 10¹⁹ (≈10¹² rows at TPC-H price
+    magnitudes); past that, ANSI decimal overflow fails loud. One
+    map-side-combined aggregation, grid-sized arithmetic after.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("decimal(38,0)")
+    qty = F.col("l_quantity").cast("decimal(38,0)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(cents).alias("sx"),
+        F.sum(qty).alias("sy"),
+        F.sum(cents * qty).alias("sxy"),
+        F.sum(cents * cents).alias("sxx"),
+        F.sum(qty * qty).alias("syy"),
+    )
+    var_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return m.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.when(
+            (var_x == 0) | (var_y == 0), F.lit(None).cast("bigint")
+        ).otherwise(
+            F.floor(
+                1000.0 * num.cast("double")
+                / F.sqrt(var_x.cast("double") * var_y.cast("double"))
+                + F.lit(0.5)
+            ).cast("bigint")
+        ).alias("pearson_milli"),
+    )

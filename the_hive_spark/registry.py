@@ -143,6 +143,7 @@ _ADDED_R4 = [
     "events_attribution_ushape",
     "q_frequent_itemsets",
     "events_frequent_sequences",
+    "q_price_quantity_correlation",
 ]
 
 # Round-3 gate kept for reference/tests of rotation history.
