@@ -161,6 +161,7 @@ EXTENDED = [
     "q_frequent_itemsets",
     "events_frequent_sequences",
     "q_price_quantity_correlation",
+    "events_bot_regularity",
 ]
 
 

@@ -1399,3 +1399,88 @@ def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("stickiness_ppm"),
         )
     )
+
+
+BOT_CV2_MAX_MILLI = 100  # CV² < 0.1 ⇒ suspiciously regular cadence
+BOT_MIN_GAPS = 20
+
+
+@query(
+    "events_bot_regularity",
+    oracle=f"""
+WITH g AS (
+  SELECT user_id,
+         date_diff('microsecond',
+                   LAG(CAST(ts AS TIMESTAMP))
+                     OVER (PARTITION BY user_id
+                           ORDER BY CAST(ts AS TIMESTAMP), event_id),
+                   CAST(ts AS TIMESTAMP)) AS gap_us
+  FROM events
+), m AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(CAST(gap_us AS HUGEINT)) AS HUGEINT) AS sg,
+         CAST(SUM(CAST(gap_us AS HUGEINT) * CAST(gap_us AS HUGEINT))
+              AS HUGEINT) AS sgg
+  FROM g WHERE gap_us IS NOT NULL
+  GROUP BY user_id
+  HAVING COUNT(*) >= {BOT_MIN_GAPS} AND SUM(gap_us) > 0
+)
+SELECT user_id,
+       CAST(n AS BIGINT) AS n_gaps,
+       CAST(sg // n AS BIGINT) AS mean_gap_us,
+       CAST(FLOOR(1000.0 * CAST(n * sgg - sg * sg AS DOUBLE)
+                  / CAST(sg * sg AS DOUBLE) + 0.5) AS BIGINT) AS cv2_milli,
+       (1000.0 * CAST(n * sgg - sg * sg AS DOUBLE)
+          / CAST(sg * sg AS DOUBLE) < {BOT_CV2_MAX_MILLI}) AS flagged_bot
+FROM m
+""",
+)
+def events_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cadence-regularity bot heuristic: per user, the squared
+    coefficient of variation of inter-event gaps (CV² =
+    n·Σg²/(Σg)² − 1, milli) — human traffic is bursty (CV² ≳ 1,
+    cf. events_burst_fano at the daily grain), scripted traffic ticks
+    like a metronome (CV² → 0), so a user with ≥{BOT_MIN_GAPS} gaps
+    and CV² < {BOT_CV2_MAX_MILLI}/1000 is flagged for the abuse queue.
+
+    Engine-stable: gap moments are exact integer sums in
+    decimal(38,0)/HUGEINT; CV² reduces to one float division of exact
+    operands (n·Σg² − (Σg)² over (Σg)²), same single-division rational
+    form as the χ² drift test. One user-keyed window for gaps, one
+    map-side-combined aggregation — the same two-exchange profile as
+    sessionization, at any scale.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id",
+        (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    gap = F.col("gap_us").cast("decimal(38,0)")
+    m = (
+        g.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+            F.sum(gap).alias("sg"),
+            F.sum(gap * gap).alias("sgg"),
+        )
+        .filter((F.col("n") >= BOT_MIN_GAPS) & (F.col("sg") > 0))
+    )
+    cv2 = (
+        1000.0
+        * (F.col("n") * F.col("sgg") - F.col("sg") * F.col("sg")).cast("double")
+        / (F.col("sg") * F.col("sg")).cast("double")
+    )
+    return m.select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n_gaps"),
+        # `div` = exact integral quotient on decimals (a decimal '/'
+        # rounds at its result scale BEFORE floor — off-by-one risk
+        # against the oracle's exact `//`)
+        F.expr("CAST((sg div n) AS BIGINT)").alias("mean_gap_us"),
+        F.floor(cv2 + F.lit(0.5)).cast("bigint").alias("cv2_milli"),
+        (cv2 < BOT_CV2_MAX_MILLI).alias("flagged_bot"),
+    )

@@ -144,6 +144,7 @@ _ADDED_R4 = [
     "q_frequent_itemsets",
     "events_frequent_sequences",
     "q_price_quantity_correlation",
+    "events_bot_regularity",
 ]
 
 # Round-3 gate kept for reference/tests of rotation history.
