@@ -162,6 +162,7 @@ EXTENDED = [
     "events_frequent_sequences",
     "q_price_quantity_correlation",
     "events_bot_regularity",
+    "doc_rake_keyphrases",
 ]
 
 

@@ -1300,3 +1300,142 @@ def doc_term_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("lift_milli"),
     )
+
+
+RAKE_STOPWORDS = [
+    "the", "a", "and", "of", "to", "in", "is", "that", "it", "for",
+]
+RAKE_TOP_K = 25
+
+
+@query(
+    "doc_rake_keyphrases",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '),
+                     t -> length(t) > 0) AS words
+  FROM documents WHERE length(text) > 0
+), w AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos, words[i] AS word
+  FROM base, UNNEST(range(1, len(words) + 1)) AS t(i)
+), nonstop AS (
+  SELECT doc_id, pos, word FROM w
+  WHERE NOT list_contains({RAKE_STOPWORDS!r}, word)
+), runs AS (
+  SELECT doc_id, pos, word,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM nonstop
+), islands AS (
+  SELECT doc_id, grp,
+         string_agg(word, ' ' ORDER BY pos) AS phrase,
+         COUNT(*) AS phrase_len
+  FROM runs GROUP BY doc_id, grp
+), word_stats AS (
+  SELECT r.word,
+         CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(i.phrase_len) AS BIGINT) AS degree
+  FROM runs r JOIN islands i ON i.doc_id = r.doc_id AND i.grp = r.grp
+  GROUP BY r.word
+), word_scores AS (
+  SELECT word, CAST(FLOOR(1000.0 * degree / freq) AS BIGINT) AS score_milli
+  FROM word_stats
+), phrase_scores AS (
+  SELECT i.doc_id, i.grp, i.phrase, i.phrase_len,
+         CAST(SUM(s.score_milli) AS BIGINT) AS score_milli
+  FROM islands i
+  JOIN runs r ON r.doc_id = i.doc_id AND r.grp = i.grp
+  JOIN word_scores s ON s.word = r.word
+  GROUP BY i.doc_id, i.grp, i.phrase, i.phrase_len
+)
+SELECT phrase,
+       CAST(ANY_VALUE(phrase_len) AS BIGINT) AS n_words,
+       CAST(ANY_VALUE(score_milli) AS BIGINT) AS score_milli,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM phrase_scores
+GROUP BY phrase
+ORDER BY score_milli DESC, phrase
+LIMIT {RAKE_TOP_K}
+""",
+)
+def doc_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al., 2010): candidate
+    phrases are maximal stopword-free word runs; each word scores
+    degree/freq (degree = Σ length of the phrases it appears in,
+    corpus-wide); a phrase scores the sum of its words' scores; top
+    {RAKE_TOP_K} distinct phrases corpus-wide with deterministic
+    (score DESC, phrase) order. The multi-word-aware complement to
+    doc_top_terms/TF-IDF — it surfaces PHRASES, which is what topic
+    labels, index keys, and dataset cards actually want.
+
+    Determinism deviation from the textbook, on purpose: word scores
+    quantize to milli BEFORE the phrase sum, so the phrase score is an
+    exact integer sum (the float sum of degree/freq rationals with
+    unequal denominators would drift across engines).
+
+    Scale shape: phrase formation is the gaps-and-islands sweep
+    (windows partitioned BY doc); word stats are one vocabulary-keyed
+    aggregation; phrase scores join words→scores on the word key; the
+    final top-k is TakeOrdered. No all-pairs, no corpus-wide window.
+    """
+    from pyspark.sql import Window
+
+    n = spark.sparkContext.defaultParallelism
+    w = (
+        table(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr("filter(split(lower(text), ' '), t -> length(t) > 0)")
+            ).alias("pos0", "word"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+        .repartition(n, "doc_id")
+    )
+    nonstop = w.filter(~F.col("word").isin(RAKE_STOPWORDS))
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    runs = nonstop.withColumn(
+        "grp", F.col("pos") - F.row_number().over(win)
+    )
+    islands = runs.groupBy("doc_id", "grp").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda s: s["word"],
+            ),
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("phrase_len"),
+    )
+    word_stats = (
+        runs.join(islands.select("doc_id", "grp", "phrase_len"),
+                  ["doc_id", "grp"])
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("freq"),
+            F.sum("phrase_len").cast("bigint").alias("degree"),
+        )
+    )
+    word_scores = word_stats.select(
+        "word",
+        F.floor(1000.0 * F.col("degree") / F.col("freq"))
+        .cast("bigint")
+        .alias("score_milli"),
+    )
+    phrase_scores = (
+        islands.join(runs.select("doc_id", "grp", "word"), ["doc_id", "grp"])
+        .join(word_scores, "word")
+        .groupBy("doc_id", "grp", "phrase", "phrase_len")
+        .agg(F.sum("score_milli").cast("bigint").alias("score_milli"))
+    )
+    return (
+        phrase_scores.groupBy("phrase")
+        .agg(
+            F.first("phrase_len").cast("bigint").alias("n_words"),
+            F.first("score_milli").cast("bigint").alias("score_milli"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        )
+        .orderBy(F.desc("score_milli"), F.asc("phrase"))
+        .limit(RAKE_TOP_K)
+    )

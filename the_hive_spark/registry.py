@@ -145,6 +145,7 @@ _ADDED_R4 = [
     "events_frequent_sequences",
     "q_price_quantity_correlation",
     "events_bot_regularity",
+    "doc_rake_keyphrases",
 ]
 
 # Round-3 gate kept for reference/tests of rotation history.
