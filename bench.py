@@ -163,6 +163,7 @@ EXTENDED = [
     "q_price_quantity_correlation",
     "events_bot_regularity",
     "doc_rake_keyphrases",
+    "events_slo_burn",
 ]
 
 

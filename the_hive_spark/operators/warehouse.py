@@ -1484,3 +1484,103 @@ def events_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(cv2 + F.lit(0.5)).cast("bigint").alias("cv2_milli"),
         (cv2 < BOT_CV2_MAX_MILLI).alias("flagged_bot"),
     )
+
+
+SLO_BUDGET_PPM = 10_000  # 1% error budget
+SLO_FAST_FACTOR_MILLI = 14_400  # page: short window burns 14.4x budget
+SLO_SLOW_FACTOR_MILLI = 6_000  # ...AND long window burns 6x budget
+
+
+@query(
+    "events_slo_burn",
+    oracle=f"""
+WITH daily AS (
+  SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+         CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+         CAST(COUNT(*) AS BIGINT) AS total,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS errors
+  FROM events GROUP BY day, d
+), win AS (
+  SELECT t.day, t.d, t.total AS tot_1d, t.errors AS err_1d,
+         CAST(SUM(s.total) AS BIGINT) AS tot_7d,
+         CAST(SUM(s.errors) AS BIGINT) AS err_7d
+  FROM daily t JOIN daily s
+    ON s.d <= t.d AND s.d > t.d - 7
+  GROUP BY t.day, t.d, t.total, t.errors
+)
+SELECT day, err_1d, tot_1d, err_7d, tot_7d,
+       CAST(FLOOR(1000000000.0 * err_1d
+                  / (tot_1d * {SLO_BUDGET_PPM}) + 0.5) AS BIGINT)
+         AS fast_burn_milli,
+       CAST(FLOOR(1000000000.0 * err_7d
+                  / (tot_7d * {SLO_BUDGET_PPM}) + 0.5) AS BIGINT)
+         AS slow_burn_milli,
+       (1000000000.0 * err_1d / (tot_1d * {SLO_BUDGET_PPM})
+          >= {SLO_FAST_FACTOR_MILLI}
+        AND 1000000000.0 * err_7d / (tot_7d * {SLO_BUDGET_PPM})
+          >= {SLO_SLOW_FACTOR_MILLI}) AS page
+FROM win
+""",
+)
+def events_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window SLO error-budget burn rate (Google SRE workbook
+    ch. 5): per day, the short-window (1 d) and long-window (7 d
+    trailing) error rates expressed as multiples of a
+    {SLO_BUDGET_PPM}-ppm budget (milli), paging only when BOTH exceed
+    their thresholds — the alert that fires fast on real regressions
+    but not on one noisy day, at day granularity over the events fact
+    (swap hours in for days and nothing else changes).
+
+    Exact: burn = 10⁹·err/(tot·budget_ppm) is one float division of
+    integer operands; the trailing window is a bounded self-join on
+    the DAY GRID (≤ calendar-sized input, 7-row fan-out) — the same
+    rolling-window shape as q_rolling_revenue_7d, never a
+    single-partition window over the fact. One heavy daily rollup,
+    everything after is grid arithmetic.
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.to_date("ts").alias("d"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("total"),
+        F.sum((F.col("event_type") == "error").cast("long"))
+        .cast("bigint")
+        .alias("errors"),
+    )
+    t, s = daily.alias("t"), daily.alias("s")
+    win = (
+        t.join(
+            s,
+            (F.col("s.d") <= F.col("t.d"))
+            & (F.col("s.d") > F.date_sub(F.col("t.d"), 7)),
+        )
+        .groupBy(
+            F.col("t.day").alias("day"),
+            F.col("t.total").alias("tot_1d"),
+            F.col("t.errors").alias("err_1d"),
+        )
+        .agg(
+            F.sum("s.total").cast("bigint").alias("tot_7d"),
+            F.sum("s.errors").cast("bigint").alias("err_7d"),
+        )
+    )
+    fast = (
+        1000000000.0 * F.col("err_1d") / (F.col("tot_1d") * SLO_BUDGET_PPM)
+    )
+    slow = (
+        1000000000.0 * F.col("err_7d") / (F.col("tot_7d") * SLO_BUDGET_PPM)
+    )
+    return win.select(
+        "day",
+        "err_1d",
+        "tot_1d",
+        "err_7d",
+        "tot_7d",
+        F.floor(fast + F.lit(0.5)).cast("bigint").alias("fast_burn_milli"),
+        F.floor(slow + F.lit(0.5)).cast("bigint").alias("slow_burn_milli"),
+        (
+            (fast >= SLO_FAST_FACTOR_MILLI) & (slow >= SLO_SLOW_FACTOR_MILLI)
+        ).alias("page"),
+    )

@@ -146,6 +146,7 @@ _ADDED_R4 = [
     "q_price_quantity_correlation",
     "events_bot_regularity",
     "doc_rake_keyphrases",
+    "events_slo_burn",
 ]
 
 # Round-3 gate kept for reference/tests of rotation history.
