@@ -164,6 +164,7 @@ EXTENDED = [
     "events_bot_regularity",
     "doc_rake_keyphrases",
     "events_slo_burn",
+    "q_duplicate_payment_audit",
 ]
 
 

@@ -177,3 +177,34 @@ def test_struct_distinct_counts_null_bearing_keys(spark):
         (F.count(F.lit(1)) - F.count_distinct("a", "b")).alias("d")
     ).collect()[0]["d"]
     assert buggy == 4
+
+
+def test_duplicate_payment_audit_catches_planted_pair(spark, tmp_path):
+    """The testdata is clean (audit returns empty, both engines agree)
+    so the detection logic is proven here on planted duplicates."""
+    import datetime
+
+    from the_hive_spark.operators.analytics import q_duplicate_payment_audit
+
+    d = datetime.datetime(2024, 1, 10)
+    rows = [
+        # same customer, same cents, 3 days apart → flagged
+        (1, 100, "O", 250.10, d, "1-URGENT"),
+        (2, 100, "O", 250.10, d + datetime.timedelta(days=3), "1-URGENT"),
+        # same cents, 30 days apart → outside the window
+        (3, 100, "O", 250.10, d + datetime.timedelta(days=33), "1-URGENT"),
+        # same customer, different cents → clean
+        (4, 100, "O", 250.11, d, "1-URGENT"),
+        # different customer, same cents → clean
+        (5, 200, "O", 250.10, d, "1-URGENT"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    got = {
+        (r["order_a"], r["order_b"], r["days_apart"])
+        for r in q_duplicate_payment_audit(spark, str(tmp_path)).collect()
+    }
+    assert got == {(1, 2, 3)}

@@ -2705,3 +2705,64 @@ def q_price_quantity_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint")
         ).alias("pearson_milli"),
     )
+
+
+DUP_PAYMENT_WINDOW_DAYS = 7
+
+
+@query(
+    "q_duplicate_payment_audit",
+    oracle=f"""
+SELECT a.o_orderkey AS order_a, b.o_orderkey AS order_b,
+       a.o_custkey AS custkey,
+       CAST(ROUND(a.o_totalprice * 100) AS BIGINT) AS amount_cents,
+       CAST(ABS(date_diff('day', CAST(a.o_orderdate AS TIMESTAMP),
+                          CAST(b.o_orderdate AS TIMESTAMP))) AS BIGINT)
+         AS days_apart
+FROM orders a JOIN orders b
+  ON a.o_custkey = b.o_custkey
+ AND ROUND(a.o_totalprice * 100) = ROUND(b.o_totalprice * 100)
+ AND a.o_orderkey < b.o_orderkey
+ AND ABS(date_diff('day', CAST(a.o_orderdate AS TIMESTAMP),
+                   CAST(b.o_orderdate AS TIMESTAMP)))
+       <= {DUP_PAYMENT_WINDOW_DAYS}
+""",
+)
+def q_duplicate_payment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment detection: order pairs from the SAME customer
+    for the IDENTICAL amount within {DUP_PAYMENT_WINDOW_DAYS} days —
+    the classic accounts-payable audit (double-submitted invoices,
+    retry storms double-charging a card). Amounts compare as exact
+    cents, never floats.
+
+    Scale shape: the self-join is keyed on (custkey, amount_cents) —
+    an equi-join whose blocks are true-collision groups (same shape as
+    the entity-resolution blocker: block size ≈ answer multiplicity),
+    with the day-window as a post-filter inside blocks. Never a
+    customer-wide or corpus-wide cross join; skew in this join IS the
+    fraud signal.
+    """
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        "o_orderdate",
+    )
+    a, b = o.alias("a"), o.alias("b")
+    days = F.abs(F.datediff(F.col("a.o_orderdate"), F.col("b.o_orderdate")))
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.cents") == F.col("b.cents"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
+        )
+        .filter(days <= DUP_PAYMENT_WINDOW_DAYS)
+        .select(
+            F.col("a.o_orderkey").alias("order_a"),
+            F.col("b.o_orderkey").alias("order_b"),
+            F.col("a.o_custkey").alias("custkey"),
+            F.col("a.cents").alias("amount_cents"),
+            days.cast("bigint").alias("days_apart"),
+        )
+    )

@@ -147,6 +147,7 @@ _ADDED_R4 = [
     "events_bot_regularity",
     "doc_rake_keyphrases",
     "events_slo_burn",
+    "q_duplicate_payment_audit",
 ]
 
 # Round-3 gate kept for reference/tests of rotation history.
