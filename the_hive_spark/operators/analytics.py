@@ -2617,7 +2617,10 @@ def q_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_baskets = baskets.count()  # scalar job (also FPGrowth's N)
     fp = FPGrowth(
         itemsCol="items",
-        minSupport=(FREQ_ITEMSET_MIN_COUNT - 0.5) / n_baskets,
+        # clamped for tiny inputs, same reasoning as PrefixSpan's
+        minSupport=min(
+            1.0, (FREQ_ITEMSET_MIN_COUNT - 0.5) / max(n_baskets, 1)
+        ),
         minConfidence=0.5,
     )
     model = fp.fit(baskets)

@@ -1444,8 +1444,11 @@ def events_frequent_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     n_users = seqs.count()  # scalar job
+    # clamp: with fewer users than the absolute threshold the ratio
+    # exceeds 1 (rejected by the library); 1.0 + the freq post-filter
+    # below yields the same (empty) answer the oracle computes
     ps = PrefixSpan(
-        minSupport=(SEQ_MIN_USERS - 0.5) / n_users,
+        minSupport=min(1.0, (SEQ_MIN_USERS - 0.5) / max(n_users, 1)),
         maxPatternLength=2,
         maxLocalProjDBSize=32_000_000,
     )
