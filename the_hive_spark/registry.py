@@ -250,12 +250,15 @@ def load_all() -> None:
     38 never-driver-checked queries plus 12 re-attests of round-4-
     edited code — full 184/184 closure once CORRECTNESS_r04.json lands.
 
-    Round-5 rotation plan: with every pre-round-4 query driver-proven,
-    the budget flips to (a) any queries ADDED in round 4 (they have no
-    driver row yet — put them first), then (b) re-attests of whatever
-    round-5 edits touch, then (c) rolling re-attestation of the oldest
-    green rows (r1 families first: analytics, dedup, graph, rules,
-    media) so long-unverified code keeps earning fresh driver rows.
+    Round-5 rotation plan: with every pre-round-4 query driver-proven
+    (assuming CORRECTNESS_r04 lands green), the budget flips to
+    (a) the 25 queries in ``_ADDED_R4`` (registered after the r4 gate
+    froze — no driver row yet; 23 oracled + media_silence_runs/
+    doc_bpe_encode rows-only), then (b) re-attests of whatever
+    round-5 edits touch, then (c) rolling re-attestation of the
+    oldest green rows (r1 families first: analytics, dedup, graph,
+    rules, media) so long-unverified code keeps earning fresh driver
+    rows. That is 25 + ~25 — exactly one 50-slot budget.
     """
     from the_hive_spark.operators import (  # noqa: F401
         timeline,
