@@ -2608,13 +2608,16 @@ def q_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.fpm import FPGrowth
 
     li = table(spark, sf_dir, "lineitem")
+    from pyspark import StorageLevel
+
     baskets = (
         li.select("l_orderkey", "l_partkey")
         .distinct()
         .groupBy("l_orderkey")
         .agg(F.collect_set("l_partkey").alias("items"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    n_baskets = baskets.count()  # scalar job (also FPGrowth's N)
+    n_baskets = baskets.count()  # scalar job (also caches for fit())
     fp = FPGrowth(
         itemsCol="items",
         # clamped for tiny inputs, same reasoning as PrefixSpan's
@@ -2623,7 +2626,8 @@ def q_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         minConfidence=0.5,
     )
-    model = fp.fit(baskets)
+    model = fp.fit(baskets)  # fit materializes the FP-tree job
+    baskets.unpersist()
     return (
         model.freqItemsets.filter(F.size("items") <= 2)
         .filter(F.col("freq") >= FREQ_ITEMSET_MIN_COUNT)

@@ -628,9 +628,15 @@ def graph_bfs_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed = spark.createDataFrame(
         [(BFS_SEED, 0)], "node_id string, dist long"
     )
-    visited = seed
+    # visited = plain union of the per-hop checkpointed frontiers: the
+    # pieces are already materialized, so the union needs no second
+    # checkpoint of its own (halves the eager materializations/hop)
+    layers = [seed]
     frontier = seed
+    from functools import reduce
+
     for d in range(1, BFS_MAX_HOPS + 1):
+        visited = reduce(lambda a, b: a.unionAll(b), layers)
         nxt = (
             frontier.join(und, frontier["node_id"] == und["a"])
             .select(F.col("b").alias("node_id"))
@@ -639,7 +645,8 @@ def graph_bfs_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("dist", F.lit(d).cast("long"))
             .localCheckpoint(eager=True)  # cut the per-hop lineage
         )
-        visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+        layers.append(nxt)
         frontier = nxt
     und.unpersist()
-    return visited.select("node_id", F.col("dist").cast("bigint"))
+    out = reduce(lambda a, b: a.unionAll(b), layers)
+    return out.select("node_id", F.col("dist").cast("bigint"))
