@@ -165,6 +165,7 @@ EXTENDED = [
     "doc_rake_keyphrases",
     "events_slo_burn",
     "q_duplicate_payment_audit",
+    "doc_compressibility",
 ]
 
 

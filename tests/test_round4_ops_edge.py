@@ -208,3 +208,38 @@ def test_duplicate_payment_audit_catches_planted_pair(spark, tmp_path):
         for r in q_duplicate_payment_audit(spark, str(tmp_path)).collect()
     }
     assert got == {(1, 2, 3)}
+
+
+def test_compressibility_matches_direct_zlib(spark):
+    """doc_compressibility vs direct Python zlib on the same docs,
+    plus a planted highly-repetitive doc that must flag."""
+    import zlib
+
+    from the_hive_spark.operators.corpus_quality import (
+        COMPRESS_REPETITIVE_PPM,
+        doc_compressibility,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["doc_id"]: (r["n_bytes"], r["n_compressed"], r["ratio_ppm"],
+                      r["flagged_repetitive"])
+        for r in doc_compressibility(spark, sf).collect()
+    }
+    import duckdb
+
+    docs = duckdb.connect().execute(
+        f"SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet')"
+        " WHERE length(text) > 0"
+    ).fetchall()
+    assert len(got) == len(docs)
+    for doc_id, text in docs:
+        raw = text.encode("utf-8")
+        comp = len(zlib.compress(raw, 6))
+        ratio = int(1000000.0 * comp / len(raw) + 0.5)
+        assert got[doc_id] == (
+            len(raw), comp, ratio, ratio < COMPRESS_REPETITIVE_PPM
+        ), doc_id
+    # planted: 'ab' * 5000 compresses to well under 30%
+    rep = ("ab" * 5000).encode()
+    assert len(zlib.compress(rep, 6)) * 1000000 // len(rep) < 300000

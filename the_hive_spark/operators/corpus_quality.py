@@ -1987,3 +1987,61 @@ def doc_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("jaccard_ppm"),
         )
     )
+
+
+COMPRESS_REPETITIVE_PPM = 300_000  # ratio below this ⇒ templated/repetitive
+
+
+@query("doc_compressibility")  # zlib is Python-side ⇒ rows-only
+def doc_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal per document: zlib-compressed
+    size over raw size (ppm) — the cheap, language-agnostic
+    repetitiveness detector training pipelines run next to the Gopher
+    word-level filters (templated boilerplate and log spam compress
+    far below natural text; near-incompressible text is often binary
+    junk or ciphertext mislabeled as text). Flags ratio <
+    {COMPRESS_REPETITIVE_PPM} ppm as repetitive.
+
+    Deterministic: zlib level 6 output length on identical UTF-8
+    bytes is identical everywhere this container runs (single pinned
+    zlib); the query is rows-only by design (no SQL zlib) and pinned
+    against direct Python zlib in tests. Scale shape: one
+    Arrow-batched mapInPandas pass, embarrassingly parallel, no
+    shuffle at all — the same profile as doc_bpe_encode.
+    """
+    import pandas as pd
+    import zlib
+
+    def batches(it):
+        for pdf in it:
+            n_raw, n_comp = [], []
+            for text in pdf["text"]:
+                raw = text.encode("utf-8")
+                n_raw.append(len(raw))
+                n_comp.append(len(zlib.compress(raw, 6)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pd.Series(n_raw, dtype="int64"),
+                    "n_compressed": pd.Series(n_comp, dtype="int64"),
+                }
+            )
+
+    n = spark.sparkContext.defaultParallelism
+    out = (
+        table(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select("doc_id", "text")
+        .repartition(n, "doc_id")
+        .mapInPandas(
+            batches, "doc_id bigint, n_bytes bigint, n_compressed bigint"
+        )
+    )
+    ratio = 1000000.0 * F.col("n_compressed") / F.col("n_bytes")
+    return out.select(
+        "doc_id",
+        "n_bytes",
+        "n_compressed",
+        F.floor(ratio + F.lit(0.5)).cast("bigint").alias("ratio_ppm"),
+        (ratio < COMPRESS_REPETITIVE_PPM).alias("flagged_repetitive"),
+    )

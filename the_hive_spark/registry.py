@@ -148,6 +148,7 @@ _ADDED_R4 = [
     "doc_rake_keyphrases",
     "events_slo_burn",
     "q_duplicate_payment_audit",
+    "doc_compressibility",
 ]
 
 # Round-3 gate kept for reference/tests of rotation history.
