@@ -166,6 +166,7 @@ EXTENDED = [
     "events_slo_burn",
     "q_duplicate_payment_audit",
     "doc_compressibility",
+    "q_revenue_waterfall",
 ]
 
 

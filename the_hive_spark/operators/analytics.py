@@ -2773,3 +2773,61 @@ def q_duplicate_payment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             days.cast("bigint").alias("days_apart"),
         )
     )
+
+
+@query(
+    "q_revenue_waterfall",
+    oracle="""
+SELECT CAST(year(CAST(l_shipdate AS TIMESTAMP)) AS BIGINT) AS ship_year,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS gross_cents,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                * CAST(ROUND(l_discount * 100) AS BIGINT) // 100)
+            AS BIGINT) AS discount_cents,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                - CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                  * CAST(ROUND(l_discount * 100) AS BIGINT) // 100)
+            AS BIGINT) AS net_cents,
+       CAST(SUM((CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                 - CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                   * CAST(ROUND(l_discount * 100) AS BIGINT) // 100)
+                * CAST(ROUND(l_tax * 100) AS BIGINT) // 100)
+            AS BIGINT) AS tax_cents
+FROM lineitem
+GROUP BY ship_year
+""",
+)
+def q_revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue waterfall per ship year: gross → discount given → net →
+    tax collected, every step in EXACT integer cents with per-row
+    quantization BEFORE the sum (the round-3 review rule: quantize
+    each row, then integer-sum — a float Σprice·(1−disc)·(1+tax)
+    drifts with merge order). Discounts and tax apply as integer
+    basis-point products floor-divided back to cents, identically on
+    both engines. One map-side-combined pass over the fact; the
+    waterfall a finance dashboard draws left-to-right.
+    """
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    disc_bp = F.round(F.col("l_discount") * 100).cast("bigint")
+    tax_bp = F.round(F.col("l_tax") * 100).cast("bigint")
+    disc_cents = F.expr(
+        "(CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+        " * CAST(ROUND(l_discount * 100) AS BIGINT)) div 100"
+    )
+    net_cents = cents - disc_cents
+    tax_cents = F.expr(
+        "((CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+        "  - (CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+        "     * CAST(ROUND(l_discount * 100) AS BIGINT)) div 100)"
+        " * CAST(ROUND(l_tax * 100) AS BIGINT)) div 100"
+    )
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy(F.year("l_shipdate").cast("bigint").alias("ship_year"))
+        .agg(
+            F.sum(cents).cast("bigint").alias("gross_cents"),
+            F.sum(disc_cents).cast("bigint").alias("discount_cents"),
+            F.sum(net_cents).cast("bigint").alias("net_cents"),
+            F.sum(tax_cents).cast("bigint").alias("tax_cents"),
+        )
+    )

@@ -149,6 +149,7 @@ _ADDED_R4 = [
     "events_slo_burn",
     "q_duplicate_payment_audit",
     "doc_compressibility",
+    "q_revenue_waterfall",
 ]
 
 # Round-3 gate kept for reference/tests of rotation history.
