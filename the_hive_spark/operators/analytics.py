@@ -2808,8 +2808,6 @@ def q_revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
     waterfall a finance dashboard draws left-to-right.
     """
     cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
-    disc_bp = F.round(F.col("l_discount") * 100).cast("bigint")
-    tax_bp = F.round(F.col("l_tax") * 100).cast("bigint")
     disc_cents = F.expr(
         "(CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
         " * CAST(ROUND(l_discount * 100) AS BIGINT)) div 100"
