@@ -2612,7 +2612,8 @@ def q_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     baskets = (
         li.select("l_orderkey", "l_partkey")
-        .distinct()
+        # no .distinct(): collect_set dedups within each basket, and a
+        # pre-distinct is a full extra shuffle of the fact projection
         .groupBy("l_orderkey")
         .agg(F.collect_set("l_partkey").alias("items"))
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -2626,9 +2627,11 @@ def q_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         minConfidence=0.5,
     )
-    model = fp.fit(baskets)  # fit materializes the FP-tree job
-    baskets.unpersist()
-    return (
+    model = fp.fit(baskets)
+    # freqItemsets is LAZY (fit only runs the count + frequent-item
+    # scan); eagerly checkpoint the small filtered result so the
+    # FP-tree job runs WHILE baskets is still cached, then release it
+    out = (
         model.freqItemsets.filter(F.size("items") <= 2)
         .filter(F.col("freq") >= FREQ_ITEMSET_MIN_COUNT)
         .select(
@@ -2638,7 +2641,10 @@ def q_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("items").cast("bigint").alias("set_size"),
             F.col("freq").cast("bigint").alias("freq"),
         )
+        .localCheckpoint(eager=True)
     )
+    baskets.unpersist()
+    return out
 
 
 @query(

@@ -2037,11 +2037,16 @@ def doc_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
             batches, "doc_id bigint, n_bytes bigint, n_compressed bigint"
         )
     )
-    ratio = 1000000.0 * F.col("n_compressed") / F.col("n_bytes")
+    ratio_ppm = F.floor(
+        1000000.0 * F.col("n_compressed") / F.col("n_bytes") + F.lit(0.5)
+    ).cast("bigint")
     return out.select(
         "doc_id",
         "n_bytes",
         "n_compressed",
-        F.floor(ratio + F.lit(0.5)).cast("bigint").alias("ratio_ppm"),
-        (ratio < COMPRESS_REPETITIVE_PPM).alias("flagged_repetitive"),
+        ratio_ppm.alias("ratio_ppm"),
+        # flag from the ROUNDED value the row reports — flagging on the
+        # raw ratio could contradict the displayed ratio_ppm at the
+        # threshold boundary
+        (ratio_ppm < COMPRESS_REPETITIVE_PPM).alias("flagged_repetitive"),
     )

@@ -1431,6 +1431,8 @@ def events_frequent_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    from pyspark import StorageLevel
+
     seqs = (
         ev.withColumn("_rn", F.row_number().over(w))
         .groupBy("user_id")
@@ -1442,8 +1444,12 @@ def events_frequent_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda s: F.array(s["event_type"]),
             ).alias("sequence")
         )
+        # PrefixSpan runs SEVERAL internal actions over its input
+        # (count, frequent-item collect, per-level expansion) — uncached
+        # it re-executes the window+groupBy over the fact per action
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    n_users = seqs.count()  # scalar job
+    n_users = seqs.count()  # scalar job (also materializes the cache)
     # clamp: with fewer users than the absolute threshold the ratio
     # exceeds 1 (rejected by the library); 1.0 + the freq post-filter
     # below yields the same (empty) answer the oracle computes
@@ -1453,7 +1459,7 @@ def events_frequent_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         maxLocalProjDBSize=32_000_000,
     )
     found = ps.findFrequentSequentialPatterns(seqs)
-    return (
+    out = (
         found.filter(F.col("freq") >= SEQ_MIN_USERS)
         .select(
             F.concat_ws(
@@ -1463,4 +1469,7 @@ def events_frequent_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("sequence").cast("bigint").alias("length"),
             F.col("freq").cast("bigint").alias("n_users"),
         )
+        .localCheckpoint(eager=True)  # run the mining while seqs is hot
     )
+    seqs.unpersist()
+    return out
