@@ -245,8 +245,12 @@ def main() -> None:
     }
     if errors:
         detail["errors"] = errors
-    here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "BENCH_EXTENDED.json"), "w") as fh:
+    # SPARK_GRAFT_BENCH_OUT lets tests exercise the full script
+    # without clobbering the committed sf0.1 detail artifact
+    out_dir = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT", os.path.dirname(os.path.abspath(__file__))
+    )
+    with open(os.path.join(out_dir, "BENCH_EXTENDED.json"), "w") as fh:
         json.dump(detail, fh, indent=1)
 
     line: dict = {
