@@ -167,6 +167,7 @@ EXTENDED = [
     "q_duplicate_payment_audit",
     "doc_compressibility",
     "q_revenue_waterfall",
+    "emb_matryoshka_recall",
 ]
 
 

@@ -1561,3 +1561,55 @@ def emb_component_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_components"))
     )
+
+
+MATRYOSHKA_PREFIXES = [8, 16, 32]  # truncated dims evaluated vs full
+
+
+@query("emb_matryoshka_recall")  # self-eval harness ⇒ rows-only
+def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation evaluation (Kusupati et al., NeurIPS'22):
+    retrieval recall@{KNN_K} using only the FIRST d dimensions of each
+    embedding, against the full-dimension exact top-k as ground truth
+    — the measurement behind the serve-short/store-full deployment
+    (prefix dims in hot RAM, full vectors re-rank), and the regression
+    gate when switching to an MRL-trained embedder: a non-MRL embedder
+    shows recall collapsing at small prefixes, an MRL one degrades
+    gracefully.
+
+    Per prefix d the corpus pass scores ``F.slice(embedding, 1, d)``
+    — same scan → project → TakeOrdered(k) shape as cosine_topk, one
+    pass per evaluated prefix, vectors never shuffled. Rows-only by
+    design (a self-evaluation harness, like emb_ann_recall); recall
+    floors are pinned in tests/test_similarity_extra.py.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    q_row = emb.filter(F.col("vec_id") == 0).select("embedding").collect()
+    qv = [float(x) for x in q_row[0]["embedding"]]
+    corpus = emb.filter(F.col("vec_id") != 0)
+
+    truth = {
+        r["vec_id"]
+        for r in cosine_topk(corpus, qv, k=KNN_K).select("vec_id").collect()
+    }
+
+    dim = len(qv)
+    rows = []
+    for d in MATRYOSHKA_PREFIXES + [dim]:
+        d = min(d, dim)
+        sliced = corpus.select(
+            "vec_id", F.slice("embedding", 1, d).alias("embedding")
+        )
+        got = {
+            r["vec_id"]
+            for r in cosine_topk(sliced, qv[:d], k=KNN_K)
+            .select("vec_id")
+            .collect()
+        }
+        hits = len(got & truth)
+        rows.append(
+            (d, KNN_K, hits, (1000000 * hits) // len(truth) if truth else 0)
+        )
+    return spark.createDataFrame(
+        rows, "prefix_dim int, k int, n_hits bigint, recall_ppm bigint"
+    )

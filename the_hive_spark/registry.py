@@ -150,6 +150,7 @@ _ADDED_R4 = [
     "q_duplicate_payment_audit",
     "doc_compressibility",
     "q_revenue_waterfall",
+    "emb_matryoshka_recall",
 ]
 
 # Round-3 gate kept for reference/tests of rotation history.
@@ -254,14 +255,14 @@ def load_all() -> None:
 
     Round-5 rotation plan: with every pre-round-4 query driver-proven
     (assuming CORRECTNESS_r04 lands green), the budget flips to
-    (a) the 27 queries in ``_ADDED_R4`` (registered after the r4 gate
-    froze — no driver row yet; 23 oracled + 4 rows-only:
+    (a) the 28 queries in ``_ADDED_R4`` (registered after the r4 gate
+    froze — no driver row yet; 23 oracled + 5 rows-only:
     doc_bpe_encode, media_phash_near_dup, media_silence_runs,
-    doc_compressibility), then (b) re-attests of whatever round-5
-    edits touch, then (c) rolling re-attestation of the oldest green
-    rows (r1 families first: analytics, dedup, graph, rules, media)
-    so long-unverified code keeps earning fresh driver rows. That is
-    27 + ~23 — exactly one 50-slot budget.
+    doc_compressibility, emb_matryoshka_recall), then (b) re-attests
+    of whatever round-5 edits touch, then (c) rolling re-attestation
+    of the oldest green rows (r1 families first: analytics, dedup,
+    graph, rules, media) so long-unverified code keeps earning fresh
+    driver rows. That is 28 + ~22 — exactly one 50-slot budget.
     """
     from the_hive_spark.operators import (  # noqa: F401
         timeline,
