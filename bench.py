@@ -44,6 +44,23 @@ HEADLINE = [
     "emb_knn_topk",
 ]
 
+# HEAVY tier: genuinely iterative / multi-job pipelines (MLlib tree
+# mining, unrolled graph iterations, LSH→verify→CC, PQ training, BPE
+# merge loops). Their cost is the algorithm's, not a plan smell, and
+# together they were ~30% of round 4's extended total — timed and
+# reported in their own group so the EXTENDED total stays comparable
+# round-over-round as more of them land.
+HEAVY = [
+    "q_frequent_itemsets",
+    "graph_bfs_3hop",
+    "graph_pagerank3",
+    "doc_dup_clusters",
+    "dup_modality_agreement",
+    "emb_ivfpq_recall",
+    "doc_bpe_train",
+    "emb_kmeans_stats",
+]
+
 # Heavier multi-stage pipelines, timed and reported but kept out of
 # the headline total so round-over-round totals stay comparable.
 EXTENDED = [
@@ -168,6 +185,13 @@ EXTENDED = [
     "doc_compressibility",
     "q_revenue_waterfall",
     "emb_matryoshka_recall",
+    # round-5 additions
+    "doc_ngram_novelty",
+    "doc_split_leakage",
+    "doc_dedup_canonical",
+    "doc_quality_prune_sweep",
+    "graph_jaccard_neighbors",
+    "events_value_winsorized",
 ]
 
 
@@ -181,7 +205,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     names = [n for n in HEADLINE if n in registry.QUERIES]
-    ext_names = [n for n in EXTENDED if n in registry.QUERIES]
+    ext_names = [
+        n for n in EXTENDED if n in registry.QUERIES and n not in HEAVY
+    ]
+    heavy_names = [n for n in HEAVY if n in registry.QUERIES]
 
     # Warm-up (excluded from timings, caches NO table data):
     # 1. metadata-only count() per table = file listing + parquet footers;
@@ -195,7 +222,7 @@ def main() -> None:
             spark.read.parquet(path).count()
     warm_sf = "/root/testdata/sf0.001"
     if os.path.isdir(warm_sf):
-        for name in names + ext_names:
+        for name in names + ext_names + heavy_names:
             try:
                 registry.QUERIES[name](spark, warm_sf).write.mode(
                     "overwrite"
@@ -220,8 +247,10 @@ def main() -> None:
 
     raw = {name: _time(name) for name in names}
     raw_ext = {name: _time(name) for name in ext_names}
+    raw_heavy = {name: _time(name) for name in heavy_names}
     timings = {k: v for k, v in raw.items() if v is not None}
     ext_timings = {k: v for k, v in raw_ext.items() if v is not None}
+    heavy_timings = {k: v for k, v in raw_heavy.items() if v is not None}
 
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
     try:
@@ -242,6 +271,8 @@ def main() -> None:
         "queries": timings,
         "extended_queries": ext_timings,
         "extended_total": round(sum(ext_timings.values()), 4),
+        "heavy_queries": heavy_timings,
+        "heavy_total": round(sum(heavy_timings.values()), 4),
         "sf": sf_val,
     }
     if errors:
@@ -260,6 +291,7 @@ def main() -> None:
         "sf": sf_val,
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "n_extended_ok": len(ext_timings),
+        "n_heavy_ok": len(heavy_timings),
         "n_errors": len(errors),
         "value": round(sum(timings.values()), 2),
     }

@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Full Spark-vs-DuckDB oracle sweep at an arbitrary sf_dir — the same
+comparison the driver's correctness gate runs (column-sorted,
+order-insensitive value hash), but over EVERY oracled registry query.
+
+Usage: python scripts/oracle_sweep.py [SF_DIR] [--out FILE]
+Exit code 0 iff every oracled query matches.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from the_hive_spark import registry
+from the_hive_spark.session import get_spark
+from the_hive_spark.tables import TABLE_NAMES
+
+
+def _hash(df) -> tuple[int, str]:
+    rows = ["\t".join(map(str, r)) for r in df.itertuples(index=False)]
+    rows.sort()
+    return len(rows), hashlib.sha256("\n".join(rows).encode()).hexdigest()[:16]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_path = None
+    if "--out" in sys.argv:
+        out_path = sys.argv[sys.argv.index("--out") + 1]
+    registry.load_all()
+    spark = get_spark(app_name="oracle-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.cpu_count() or 8}")
+    for t in TABLE_NAMES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+            )
+
+    results: dict[str, dict] = {}
+    bad = 0
+    for name in registry.QUERIES:
+        if name not in registry.ORACLES:
+            continue
+        t0 = time.perf_counter()
+        try:
+            a = registry.QUERIES[name](spark, sf_dir).toPandas()
+            a = a.reindex(sorted(a.columns), axis=1)
+            b = con.execute(registry.ORACLES[name]).fetchdf()
+            b = b.reindex(sorted(b.columns), axis=1)
+            na, ha = _hash(a)
+            nb, hb = _hash(b)
+            ok = (
+                na == nb
+                and ha == hb
+                and [c.lower() for c in a.columns] == [c.lower() for c in b.columns]
+            )
+            results[name] = {
+                "match": ok,
+                "rows": na,
+                "oracle_rows": nb,
+                "sec": round(time.perf_counter() - t0, 2),
+            }
+        except Exception as exc:  # noqa: BLE001
+            results[name] = {
+                "match": False,
+                "err": f"{type(exc).__name__}: {str(exc)[:200]}",
+                "sec": round(time.perf_counter() - t0, 2),
+            }
+        if not results[name]["match"]:
+            bad += 1
+            print(f"MISMATCH {name}: {results[name]}", flush=True)
+        else:
+            print(f"ok {name} ({results[name]['sec']}s)", flush=True)
+
+    n = len(results)
+    summary = {
+        "sf_dir": sf_dir,
+        "n_oracled": n,
+        "n_match": n - bad,
+        "n_bad": bad,
+        "total_sec": round(sum(r["sec"] for r in results.values()), 1),
+    }
+    print(json.dumps(summary), flush=True)
+    if out_path:
+        with open(out_path, "w") as fh:
+            json.dump({"summary": summary, "results": results}, fh, indent=1)
+    try:
+        spark.stop()
+    except Exception:  # noqa: BLE001
+        pass
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -213,3 +213,35 @@ def test_ann_bucket_layout_prunes_partitions(spark, tmp_path):
         F.col("_bucket").isin([q_sig, q_sig ^ 1])
     ).count()
     assert probed.count() == want
+
+
+def test_engine_contradiction_strategy_switches_on_measured_stats(plan_engine):
+    """The advisor wiring (round-4 verdict ask #6): the batch path's
+    plan SHAPE is chosen from the batch's measured size vs the
+    session's broadcast threshold. Small batch → exact broadcast
+    nested-loop top-k; batch bigger than the threshold → banded-LSH
+    index path (an equi-join plan with NO nested loop), restricted to
+    the batch's sources. AQE can demote a shuffle to a broadcast but
+    can never make this logical switch — hence advise_relation."""
+    spark = plan_engine.spark
+    some_doc = plan_engine.read_table("documents").limit(1).collect()[0]["id"]
+
+    # default threshold (10 MB): tiny batch → exact broadcast path
+    df_small = plan_engine.contradiction_candidates(new_doc_ids=[some_doc])
+    assert "BroadcastNestedLoopJoin" in executed_plan(df_small)
+
+    # force the measured decision the other way: any batch is now
+    # "too big to broadcast" → LSH index path
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1b")
+    try:
+        df_big = plan_engine.contradiction_candidates(new_doc_ids=[some_doc])
+        plan = executed_plan(df_big)
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        # still restricted to the batch's sources
+        assert {
+            r["source_doc_id"] for r in df_big.collect()
+        } <= {some_doc}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -10,19 +10,35 @@ fails here instead of silently costing driver-oracle rows.
 
 from __future__ import annotations
 
+import json
+import os
+
 from the_hive_spark import registry
 
 registry.load_all()
 
-# Round-4 top-50 budget: registry._GATE_R4 is the single source of
-# truth (explicit rotation list, no longer import-order-encoded). This
-# test asserts load_all() actually imposes it in a fresh interpreter.
+_ROOT = os.path.join(os.path.dirname(__file__), "..")
+
+
+def _driver_checked(rounds=("01", "02", "03", "04")) -> set[str]:
+    """Names with a GREEN driver CORRECTNESS row in the given rounds
+    (a ``no_oracle`` err row is not a verification — round 4's
+    lesson)."""
+    checked: set[str] = set()
+    for r in rounds:
+        path = os.path.join(_ROOT, f"CORRECTNESS_r{r}.json")
+        if os.path.exists(path):
+            with open(path) as fh:
+                rows = json.load(fh)
+            checked |= {n for n, v in rows.items() if v.get("hash_match")}
+    return checked
+
+
 def test_top50_budget():
     # Must run in a FRESH interpreter: in the shared pytest process,
     # earlier test modules import operator modules directly and
     # pollute the global registration order. The driver imports
     # __spark_entry__ fresh, which is what this asserts.
-    import json
     import subprocess
     import sys
 
@@ -40,63 +56,61 @@ def test_top50_budget():
     )
     names = json.loads(out.stdout.strip().splitlines()[-1])
     assert len(names) >= 50
-    assert names[: len(registry._GATE_R4)] == registry._GATE_R4
-    # slots 39-50 are the re-attests of round-4-edited code (broadcast
-    # hygiene fixes: chat path, analytics de-hinting, tfidf/modality)
-    assert names[38:42] == [
-        "hive_chat_citations",
-        "hive_chat_answer",
-        "dup_modality_agreement",
-        "doc_tfidf_topk",
+    assert names[: len(registry._GATE_R5)] == registry._GATE_R5
+
+
+def test_gate_r5_all_oracled():
+    """EVERY gate slot must have a DuckDB oracle. The driver returns
+    ``err: "no_oracle"`` for rows-only queries — it does NOT fall back
+    to a rows+schema check — so a rows-only slot verifies nothing
+    (round 4 burned 11 of 50 slots this way, CORRECTNESS_r04.json).
+    This makes the mistake structurally impossible for all future
+    rotations."""
+    assert len(registry._GATE_R5) == 50
+    unoracled = [n for n in registry._GATE_R5 if n not in registry.ORACLES]
+    assert not unoracled, unoracled
+
+
+def test_gate_r5_slots():
+    """Slots 1-23: the oracled _ADDED_R4 queries (no driver row yet by
+    construction). Slots 24-50: re-attests whose only green row is
+    from round 1 — or queries added/edited during round 5."""
+    oracled_added_r4 = [
+        n for n in registry._ADDED_R4 if n in registry.ORACLES
     ]
-    # every ORACLED slot is hash-checkable; the 11 rows-only slots are
-    # the ANN/sketch evals whose driver check is rows+schema by design
-    rows_only = [n for n in names[:50] if n not in registry.ORACLES]
-    assert set(rows_only) <= {
-        "emb_ann_lsh_topk",
-        "emb_ann_ivf_topk",
-        "emb_ann_recall",
-        "emb_pq_eval",
-        "emb_ivfpq_recall",
-        "emb_spectrum_diagnostics",
-        "events_approx_value_percentiles",
-        "events_approx_user_count",
-        "emb_mmr_diverse_topk",
-        "emb_kmeans_stats",
-        "doc_bpe_train",
-    }, rows_only
-
-
-def test_gate_r4_covers_all_never_checked():
-    """Slots 1-38 must be exactly the queries with no driver
-    CORRECTNESS row in rounds 1-3 — a green round 4 then closes the
-    loop: every registered query has had a driver row in some round."""
-    import json
-    import os
-
-    checked: set[str] = set()
-    for f in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json",
-              "CORRECTNESS_r03.json"):
-        path = os.path.join(os.path.dirname(__file__), "..", f)
-        if os.path.exists(path):
-            with open(path) as fh:
-                checked |= set(json.load(fh))
+    assert registry._GATE_R5[:23] == oracled_added_r4
+    checked = _driver_checked()
     if not checked:
         return  # fresh clone without driver artifacts
-    stale = [n for n in registry._GATE_R4[:38] if n in checked]
-    assert not stale, stale
-    never = [n for n in registry.QUERIES
-             if n not in checked
-             and n not in registry._GATE_R4[:38]
-             and n not in registry._ADDED_R4]
+    r1_only = _driver_checked(("01",)) - _driver_checked(("02", "03", "04"))
+    added_r5 = set(getattr(registry, "_ADDED_R5", []))
+    for n in registry._GATE_R5[23:]:
+        assert n in r1_only or n in added_r5, (
+            f"re-attest slot {n} is neither an r1-only row nor a "
+            "round-5 addition"
+        )
+
+
+def test_no_green_query_left_behind():
+    """Every registered ORACLED query either has a green driver row
+    already or is in the current gate / declared as a post-freeze
+    addition (so next round's rotation picks it up)."""
+    checked = _driver_checked()
+    if not checked:
+        return
+    added_r5 = set(getattr(registry, "_ADDED_R5", []))
+    never = [
+        n
+        for n in registry.ORACLES
+        if n not in checked
+        and n not in registry._GATE_R5
+        and n not in added_r5
+    ]
     assert not never, (
-        "queries with no driver row missing from the r4 gate (and not "
-        "declared in _ADDED_R4 for the round-5 rotation): " + str(never)
+        "oracled queries with no driver row missing from the r5 gate "
+        "(and not declared in _ADDED_R5 for the round-6 rotation): "
+        + str(never)
     )
-    # _ADDED_R4 must be exactly the post-freeze additions (a query
-    # listed there but driver-checked means the list went stale)
-    assert not [n for n in registry._ADDED_R4 if n in checked]
-    assert set(registry._ADDED_R4) <= set(registry.QUERIES)
 
 
 def test_every_query_has_callable_and_unique_name():

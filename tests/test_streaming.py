@@ -786,3 +786,87 @@ def test_rate_limiter_token_bucket(spark, tmp_path):
     # the burst admits exactly DEFAULT_BURST of the first five
     first_five = [got[i][0] for i in range(5)]
     assert sum(first_five) == DEFAULT_BURST
+
+
+def test_streaming_sources_no_driver_side_batch_work():
+    """Round-4 verdict scale wart: nothing under streaming/ may do
+    per-batch driver-side work — no ``.collect()`` of row sets and no
+    unpartitioned ``Window.orderBy`` (a single-partition stage). The
+    availableNow backlog-replay path makes ONE batch the entire
+    backlog, so these patterns are O(backlog) on the driver."""
+    import re
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parent.parent / "the_hive_spark" / "streaming"
+    for src in sorted(pkg.glob("*.py")):
+        text = src.read_text()
+        # strip comments so docstring mentions don't trip the net
+        code = "\n".join(
+            line.split("#")[0] for line in text.splitlines()
+        )
+        assert ".collect()" not in code, f"{src.name} collects a row set"
+        assert not re.search(r"Window\s*\.\s*orderBy", code), (
+            f"{src.name} uses an unpartitioned window"
+        )
+
+
+def test_analyze_batch_backlog_scale(spark, tmp_path):
+    """analyze_batch on a backlog-sized batch (every doc in one batch,
+    the availableNow replay shape): event ids must be dense and
+    correctly based without any driver-side id list, and rule matches
+    must be restricted to the batch via semi-join."""
+    from the_hive_spark.streaming.pipeline import analyze_batch
+
+    eng = HiveEngine(spark, str(tmp_path / "wh"), embedding_dim=16)
+    eng.add_rule(1, "Does this document contain confidential pricing?")
+    n = 300
+    docs = [
+        (
+            f"doc{i:04d}",
+            "has CONFIDENTIAL pricing" if i % 7 == 0 else "harmless text",
+            "",
+            {},
+        )
+        for i in range(n)
+    ]
+    eng.ingest_batch(
+        spark.createDataFrame(
+            docs,
+            "path string, content string, organization_id string, "
+            "metadata map<string,string>",
+        )
+    )
+    base = eng._next_id("events")
+    completed = spark.createDataFrame(
+        [(p, 1, c, "count") for (p, c, _o, _m) in docs],
+        "document_id string, n_chunks long, full_text string, "
+        "completion_reason string",
+    ).repartition(8)
+    analyze_batch(eng, completed)
+
+    ev = (
+        eng.read_table("events")
+        .filter(F.col("details").contains("Document complete"))
+        .select("id", "document_name")
+        .collect()
+    )
+    assert len(ev) == n
+    ids = sorted(r["id"] for r in ev)
+    assert ids == list(range(base, base + n))  # dense, correctly based
+    # ids assigned in document_id order (parity with the old
+    # single-partition row_number form)
+    by_doc = {r["document_name"]: r["id"] for r in ev}
+    ordered = sorted(by_doc)
+    assert [by_doc[d] for d in ordered] == ids
+    # rule matches: exactly the keyword docs in the batch
+    matched = {
+        r["uploaded_doc"]
+        for r in eng.read_table("rule_matches").collect()
+    }
+    assert matched == {f"doc{i:04d}" for i in range(0, n, 7)}
+    # alerts fired for keyword docs (batch leg already fired its own;
+    # the analyze_batch leg adds the same set again)
+    alert_docs = {
+        r["document_id"] for r in eng.read_table("alerts").collect()
+    }
+    assert {f"doc{i:04d}" for i in range(0, n, 7)} <= alert_docs

@@ -445,9 +445,17 @@ class HiveEngine:
             rules = rules.filter(F.col("organization_id") == organization_id)
         return rules
 
-    def evaluate_rules(self, document_ids: list[str] | None = None) -> DataFrame:
+    def evaluate_rules(
+        self, document_ids: list[str] | DataFrame | None = None
+    ) -> DataFrame:
         """J3 rule × document cross-apply with the U5 deterministic
         fallback evaluator (keyword contains ⇒ YES).
+
+        ``document_ids`` may be a small explicit list (API calls) or a
+        single-column ``document_id`` DataFrame (streaming batches) —
+        the DataFrame form is restricted by semi-join, so an
+        ``availableNow`` backlog batch never round-trips millions of
+        ids through the driver as an ``isin`` literal.
 
         Returns rule_matches rows; also persists them."""
         docs = (
@@ -464,8 +472,7 @@ class HiveEngine:
                 ).alias("full_text")
             )
         )
-        if document_ids is not None:
-            docs = docs.filter(F.col("document_id").isin(document_ids))
+        docs = _restrict_to_ids(docs, "document_id", document_ids)
         rules = self.active_rules()
         kw_hits = [
             F.when(
@@ -501,7 +508,9 @@ class HiveEngine:
     # audit row too — rule_events() advertises the COMPLETE evaluation
     # trail, both evaluator modes.
     def evaluate_rules_cross_doc(
-        self, document_ids: list[str] | None = None, top_k: int = 10
+        self,
+        document_ids: list[str] | DataFrame | None = None,
+        top_k: int = 10,
     ) -> DataFrame:
         """J4: cross-doc rules (query text hits a P9 keyword,
         analyst.go:381-400) evaluate each new doc against its top-k
@@ -516,8 +525,7 @@ class HiveEngine:
             F.col("id").alias("rule_id"), F.col("query").alias("rule_query")
         )
         pairs = self._neighbor_pairs(top_k)
-        if document_ids is not None:
-            pairs = pairs.filter(F.col("source_doc_id").isin(document_ids))
+        pairs = _restrict_to_ids(pairs, "source_doc_id", document_ids)
 
         kw_hit_both = F.lit(False)
         for kw in RULE_FALLBACK_KEYWORDS:
@@ -868,9 +876,16 @@ class HiveEngine:
         Two scale paths, neither a cartesian:
 
         - ``new_doc_ids`` given (the per-ingest-batch shape the
-          reference actually runs): the small batch of query vectors
-          broadcasts against one corpus pass — exact top-k, zero
-          shuffles of the corpus side.
+          reference actually runs): the batch's MEASURED size decides
+          the strategy (plans/advisor.advise_relation — the ANALYZE
+          consumer). A batch whose query vectors fit the session's
+          broadcast threshold broadcasts against one corpus pass —
+          exact top-k, zero shuffles of the corpus side. A batch too
+          big to broadcast (a backlog replay) would make the
+          nested-loop quadratic AND overflow the broadcast, so it
+          falls back to the banded-LSH index path below, restricted to
+          the batch's sources. This is a logical-plan switch AQE
+          cannot make at runtime — hence the explicit measurement.
         - corpus-wide sweep (``new_doc_ids=None``): banded SRP-LSH
           candidate pairs (the AND-OR construction from
           functions/lsh.py) then per-source top-k within candidates.
@@ -903,13 +918,24 @@ class HiveEngine:
         )
         flags = doc_vecs.select("document_id", "_alert")
 
+        exact_batch = False
         if new_doc_ids is not None:
-            # Broadcast the new batch; one pass over the corpus.
+            from the_hive_spark.plans.advisor import advise_relation
+
             q = doc_vecs.filter(F.col("document_id").isin(new_doc_ids)).select(
                 F.col("document_id").alias("source_doc_id"),
                 F.col("embedding").alias("qvec"),
                 F.col("_alert").alias("_alert_a"),
             )
+            # measured stats pick the strategy: float vectors dominate
+            # the row (4 B/component) plus id/flag overhead
+            decision = advise_relation(
+                q, bytes_per_row=64 + 4 * self.embedding_dim
+            )
+            exact_batch = decision.broadcast
+
+        if exact_batch:
+            # Broadcast the new batch; one pass over the corpus.
             scored = (
                 doc_vecs.select(
                     F.col("document_id").alias("target_doc_id"),
@@ -955,6 +981,11 @@ class HiveEngine:
                     "target_doc_id",
                 )
             )
+            if new_doc_ids is not None:
+                # too-big-to-broadcast batch: index path, batch sources
+                scored = scored.filter(
+                    F.col("source_doc_id").isin(new_doc_ids)
+                )
 
         w = Window.partitionBy("source_doc_id").orderBy(
             F.desc("score"), F.asc("target_doc_id")
@@ -1170,6 +1201,27 @@ class HiveEngine:
                 "client_ip string, action string, details string, organization_id string",
             )
         )
+
+
+def _restrict_to_ids(
+    df: DataFrame, col: str, ids: list[str] | DataFrame | None
+) -> DataFrame:
+    """Restrict ``df`` to rows whose ``col`` is in ``ids``.
+
+    List form → ``isin`` literal (explicit API arguments, tiny by
+    nature). DataFrame form → LEFT SEMI join on the ids' single
+    column — the scalable path for per-batch row sets: ids never
+    leave the cluster, AQE broadcasts the small side at runtime."""
+    if ids is None:
+        return df
+    if isinstance(ids, DataFrame):
+        (id_col,) = ids.columns
+        return df.join(
+            ids.withColumnRenamed(id_col, col).distinct(),
+            on=col,
+            how="left_semi",
+        )
+    return df.filter(F.col(col).isin(ids))
 
 
 def _order_all(col: str):

@@ -2050,3 +2050,187 @@ def doc_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
         # threshold boundary
         (ratio_ppm < COMPRESS_REPETITIVE_PPM).alias("flagged_repetitive"),
     )
+
+
+NOVELTY_N = 4  # words per gram, matching the dedup family's shingles
+
+
+@query(
+    "doc_ngram_novelty",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, source,
+         list_filter(string_split(text, ' '), t -> length(t) > 0) AS words
+  FROM documents WHERE length(text) > 0
+), g AS (
+  SELECT doc_id, source,
+         unnest(list_distinct(list_transform(range(1, len(words) - {NOVELTY_N - 2}),
+                i -> array_to_string(list_slice(words, i, i + {NOVELTY_N - 1}), ' ')))) AS gram
+  FROM w WHERE len(words) >= {NOVELTY_N}
+), first AS (
+  SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram
+)
+SELECT g.source,
+       CAST(COUNT(DISTINCT g.doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       CAST(FLOOR(1000000.0 * SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                  / COUNT(*) + 0.5) AS BIGINT) AS novelty_ppm
+FROM g JOIN first f USING (gram)
+GROUP BY g.source
+""",
+)
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marginal-novelty profile per source: of each document's distinct
+    word {NOVELTY_N}-grams, the fraction whose FIRST corpus occurrence
+    (min doc_id — the canonical "crawl order" stand-in) is that
+    document, aggregated per source. This is the diminishing-returns
+    curve behind "does adding this source still buy new text?"
+    (the data-mixing question): a source whose novelty_ppm collapses
+    is re-crawling what the corpus already holds, and dedup will eat
+    most of its tokens.
+
+    Plan: in-row distinct gram arrays → repartitioned explode → ONE
+    (gram → min doc_id) map-side-combined aggregation → join back on
+    gram (co-partitioned with the agg, no extra exchange) → per-source
+    rollup (source cardinality is bounded). Same two-shuffle shape as
+    doc_dup_gram_coverage; no all-pairs, no window.
+    """
+    n = spark.sparkContext.defaultParallelism
+    base = (
+        table(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select("doc_id", "source", F.expr(_WORDS).alias("words"))
+        .filter(F.size("words") >= NOVELTY_N)
+        .repartition(n, "doc_id")
+    )
+    grams = base.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, size(words) - {NOVELTY_N - 1}),"
+                    f" i -> concat_ws(' ', slice(words, i, {NOVELTY_N})))"
+                )
+            )
+        ).alias("gram"),
+    )
+    first = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    novel = (F.col("first_doc") == F.col("doc_id")).cast("long")
+    nov_ppm = 1000000.0 * F.sum(novel) / F.count(F.lit(1))
+    return (
+        grams.join(first, "gram")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(novel).cast("bigint").alias("n_novel"),
+            F.floor(nov_ppm + F.lit(0.5)).cast("bigint").alias("novelty_ppm"),
+        )
+    )
+
+
+LEAK_COVERAGE_PPM = 500_000  # flag eval docs with ≥50% train-gram cover
+
+
+@query(
+    "doc_split_leakage",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id,
+         CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80
+              THEN 'train'
+              WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90
+              THEN 'val' ELSE 'test' END AS split,
+         list_filter(string_split(text, ' '), t -> length(t) > 0) AS words
+  FROM documents WHERE length(text) > 0
+), g AS (
+  SELECT doc_id, split,
+         unnest(list_distinct(list_transform(range(1, len(words) - {NOVELTY_N - 2}),
+                i -> array_to_string(list_slice(words, i, i + {NOVELTY_N - 1}), ' ')))) AS gram
+  FROM w WHERE len(words) >= {NOVELTY_N}
+), train_grams AS (
+  SELECT DISTINCT gram FROM g WHERE split = 'train'
+)
+SELECT g.doc_id, g.split,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN t.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_in_train,
+       CAST(FLOOR(1000000.0 * SUM(CASE WHEN t.gram IS NOT NULL THEN 1 ELSE 0 END)
+                  / COUNT(*) + 0.5) AS BIGINT) AS coverage_ppm,
+       (1000000.0 * SUM(CASE WHEN t.gram IS NOT NULL THEN 1 ELSE 0 END) / COUNT(*)
+          >= {LEAK_COVERAGE_PPM}) AS leaked
+FROM g LEFT JOIN train_grams t USING (gram)
+WHERE g.split != 'train'
+GROUP BY g.doc_id, g.split
+""",
+)
+def doc_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→eval contamination check for the hash split
+    (doc_split_assignment's 80/10/10): per val/test document, the
+    fraction of its distinct word {NOVELTY_N}-grams that also occur in
+    ANY train-split document, with a ≥50% "leaked" flag. Exact-dup and
+    near-dup documents that straddle the split boundary show up here
+    at coverage ≈ 1 — the leak that silently inflates held-out
+    metrics (the split is uniform over docs, so duplicate clusters
+    almost always straddle it). Run after dedup, this should be ~flat
+    background overlap; spikes mean dedup missed cross-split pairs.
+
+    Plan: one gram explode per side of the split predicate (same
+    corpus scan, codegen-filtered), distinct train grams via map-side
+    combined aggregate, then a LEFT equi-join on gram — co-partitioned
+    with the distinct, no broadcast of anything corpus-sized — and a
+    per-doc rollup. The split predicate is a pure row function
+    (md5(doc_id)), so no split table is stored or shuffled.
+    """
+    n = spark.sparkContext.defaultParallelism
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    base = (
+        table(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select(
+            "doc_id",
+            F.when(bucket < 80, "train")
+            .when(bucket < 90, "val")
+            .otherwise("test")
+            .alias("split"),
+            F.expr(_WORDS).alias("words"),
+        )
+        .filter(F.size("words") >= NOVELTY_N)
+        .repartition(n, "doc_id")
+    )
+    grams = base.select(
+        "doc_id",
+        "split",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, size(words) - {NOVELTY_N - 1}),"
+                    f" i -> concat_ws(' ', slice(words, i, {NOVELTY_N})))"
+                )
+            )
+        ).alias("gram"),
+    )
+    train = (
+        grams.filter(F.col("split") == "train").select("gram").distinct()
+        .withColumn("_in_train", F.lit(1))
+    )
+    hit = F.col("_in_train").isNotNull().cast("long")
+    cov = 1000000.0 * F.sum(hit) / F.count(F.lit(1))
+    return (
+        grams.filter(F.col("split") != "train")
+        .join(train, "gram", "left")
+        .groupBy("doc_id", "split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(hit).cast("bigint").alias("n_in_train"),
+            F.floor(cov + F.lit(0.5)).cast("bigint").alias("coverage_ppm"),
+            (cov >= LEAK_COVERAGE_PPM).alias("leaked"),
+        )
+    )

@@ -1210,3 +1210,62 @@ def doc_dup_rates_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("dup_ppm"),
         )
     )
+
+
+@query(
+    "doc_dedup_canonical",
+    oracle="""
+WITH groups AS (
+  SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper
+  FROM documents GROUP BY text_hash
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN d.doc_id = g.keeper THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(SUM(CASE WHEN d.doc_id = g.keeper THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_dropped,
+       CAST(SUM(CASE WHEN d.doc_id = g.keeper THEN 0 ELSE d.n_chars END) AS BIGINT)
+         AS chars_dropped,
+       CAST(FLOOR(1000000.0 * SUM(CASE WHEN d.doc_id = g.keeper THEN 0 ELSE 1 END)
+                  / COUNT(*) + 0.5) AS BIGINT) AS drop_ppm
+FROM documents d JOIN groups g ON md5(d.text) = g.text_hash
+GROUP BY d.source
+""",
+)
+def doc_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTION stage of exact dedup (doc_dedup_exact is the
+    detection stage): pick the canonical representative per duplicate
+    group (min doc_id — deterministic, so retries and re-runs keep the
+    same docs) and report the per-source keep/drop census, including
+    characters dropped — the number a curation pipeline reports as
+    "dedup saved X% of the corpus" and the guardrail that a source
+    isn't being hollowed out by cross-source duplication.
+
+    Plan: ONE digest-keyed map-side-combined aggregation for the
+    keeper set, then a join back keyed by the same digest — AQE plans
+    it against the (usually much smaller) group side — and a
+    bounded-cardinality source rollup. No windows, no driver state;
+    the keeper rule being min(doc_id) makes the decision a pure
+    function of the group, mergeable at any parallelism.
+    """
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars", F.md5("text").alias("text_hash")
+    )
+    groups = docs.groupBy("text_hash").agg(F.min("doc_id").alias("keeper"))
+    kept = (F.col("doc_id") == F.col("keeper")).cast("long")
+    dropped = (F.col("doc_id") != F.col("keeper")).cast("long")
+    return (
+        docs.join(groups, "text_hash")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(kept).cast("bigint").alias("n_kept"),
+            F.sum(dropped).cast("bigint").alias("n_dropped"),
+            F.sum(dropped * F.col("n_chars")).cast("bigint")
+            .alias("chars_dropped"),
+            F.floor(
+                1000000.0 * F.sum(dropped) / F.count(F.lit(1)) + F.lit(0.5)
+            ).cast("bigint").alias("drop_ppm"),
+        )
+    )

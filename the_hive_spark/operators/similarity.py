@@ -1595,8 +1595,10 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     dim = len(qv)
     rows = []
-    for d in MATRYOSHKA_PREFIXES + [dim]:
-        d = min(d, dim)
+    # dedupe AFTER clamping: with dim <= max(MATRYOSHKA_PREFIXES) the
+    # clamp maps several prefixes onto the same d, and emitting the
+    # same prefix_dim row twice reads as nondeterminism downstream
+    for d in sorted({min(d, dim) for d in MATRYOSHKA_PREFIXES + [dim]}):
         sliced = corpus.select(
             "vec_id", F.slice("embedding", 1, d).alias("embedding")
         )

@@ -1439,3 +1439,108 @@ def doc_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_milli"), F.asc("phrase"))
         .limit(RAKE_TOP_K)
     )
+
+
+SWEEP_STEP_PPM = 100_000  # threshold grid: 0, 100k, …, 900k
+
+
+@query(
+    "doc_quality_prune_sweep",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS n_tokens,
+         len(list_filter(string_split(lower(text), ' '),
+             t -> list_contains(['the','a','and','of','to','in','is','that','it','for'], t))) AS n_stop
+  FROM documents WHERE length(text) > 0
+), scored AS (
+  SELECT doc_id, n_tokens,
+         LEAST(CAST(FLOOR(1000000.0 * n_stop / greatest(n_tokens, 1) + 0.5) AS BIGINT)
+               // {SWEEP_STEP_PPM}, 9) AS bucket
+  FROM m
+), per_bucket AS (
+  SELECT g.b AS bucket,
+         COALESCE(SUM(CASE WHEN s.bucket IS NOT NULL THEN 1 END), 0) AS n_docs,
+         COALESCE(SUM(s.n_tokens), 0) AS n_tokens
+  FROM (SELECT unnest(range(0, 10)) AS b) g
+  LEFT JOIN scored s ON s.bucket = g.b
+  GROUP BY g.b
+)
+SELECT CAST(bucket * {SWEEP_STEP_PPM} AS BIGINT) AS threshold_ppm,
+       CAST(SUM(n_docs) OVER (ORDER BY bucket DESC) AS BIGINT) AS n_docs_kept,
+       CAST(SUM(n_tokens) OVER (ORDER BY bucket DESC) AS BIGINT) AS n_tokens_kept,
+       CAST(FLOOR(1000000.0 * SUM(n_docs) OVER (ORDER BY bucket DESC)
+                  / greatest(SUM(n_docs) OVER (), 1) + 0.5) AS BIGINT) AS docs_share_ppm,
+       CAST(FLOOR(1000000.0 * SUM(n_tokens) OVER (ORDER BY bucket DESC)
+                  / greatest(SUM(n_tokens) OVER (), 1) + 0.5) AS BIGINT) AS tokens_share_ppm
+FROM per_bucket
+""",
+)
+def doc_quality_prune_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-sweep retention curve for the stopword-ratio quality
+    gate: for every candidate threshold t in {0, 100k, …, 900k} ppm,
+    how many documents and tokens survive "keep if stopword_ppm ≥ t"
+    — the tuning table a curation pipeline reads BEFORE committing to
+    a cut-off, instead of re-running the filter once per candidate
+    (10 corpus passes collapsed into one).
+
+    Plan: one corpus scan computes each doc's (stopword bucket,
+    n_tokens); a map-side-combined aggregate reduces the corpus to ≤10
+    bucket rows; the cumulative "kept at threshold" sums and total
+    shares run as windows over that 10-row aggregate — bounded by the
+    grid size, not the data (the same bounded-window rationale as the
+    funnel queries). Missing buckets are restored from a static grid
+    so the sweep always emits all 10 thresholds.
+    """
+    docs = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    toks = F.expr("filter(split(text, ' '), t -> length(t) > 0)")
+    stop_arr = "'the','a','and','of','to','in','is','that','it','for'"
+    n_stop = F.expr(
+        f"size(filter(split(lower(text), ' '),"
+        f" t -> array_contains(array({stop_arr}), t)))"
+    )
+    n_tokens = F.size(toks)
+    stop_ppm = F.floor(
+        1000000.0 * n_stop / F.greatest(n_tokens, F.lit(1)) + F.lit(0.5)
+    ).cast("bigint")
+    scored = docs.select(
+        F.least(
+            F.floor(stop_ppm / SWEEP_STEP_PPM).cast("bigint"), F.lit(9)
+        ).alias("bucket"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+    )
+    agg = scored.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+    )
+    grid = spark.range(10).select(F.col("id").alias("bucket"))
+    per_bucket = (
+        grid.join(agg, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        )
+    )
+    from pyspark.sql import Window
+
+    # windows over the 10-row bucket aggregate only — grid-bounded
+    w_desc = Window.orderBy(F.desc("bucket")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    kept_docs = F.sum("n_docs").over(w_desc)
+    kept_toks = F.sum("n_tokens").over(w_desc)
+    tot_docs = F.greatest(F.sum("n_docs").over(w_all), F.lit(1))
+    tot_toks = F.greatest(F.sum("n_tokens").over(w_all), F.lit(1))
+    return per_bucket.select(
+        (F.col("bucket") * SWEEP_STEP_PPM).cast("bigint").alias("threshold_ppm"),
+        kept_docs.cast("bigint").alias("n_docs_kept"),
+        kept_toks.cast("bigint").alias("n_tokens_kept"),
+        F.floor(1000000.0 * kept_docs / tot_docs + F.lit(0.5))
+        .cast("bigint").alias("docs_share_ppm"),
+        F.floor(1000000.0 * kept_toks / tot_toks + F.lit(0.5))
+        .cast("bigint").alias("tokens_share_ppm"),
+    )

@@ -1473,3 +1473,102 @@ def events_frequent_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     seqs.unpersist()
     return out
+
+
+@query(
+    "events_value_winsorized",
+    oracle="""
+WITH ranked AS (
+  SELECT event_type,
+         CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS v,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT),
+                                     event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+), bounds AS (
+  SELECT event_type,
+         MAX(CASE WHEN rn = (5 * n + 99) // 100 THEN v END) AS lo_v,
+         MAX(CASE WHEN rn = (95 * n + 99) // 100 THEN v END) AS hi_v,
+         MAX((5 * n + 99) // 100) AS lo_rn,
+         MAX((95 * n + 99) // 100) AS hi_rn
+  FROM ranked GROUP BY event_type
+)
+SELECT r.event_type,
+       CAST(MAX(r.n) AS BIGINT) AS n_events,
+       CAST(SUM(r.v) // MAX(r.n) AS BIGINT) AS mean_micros,
+       CAST(SUM(GREATEST(LEAST(r.v, b.hi_v), b.lo_v)) // MAX(r.n) AS BIGINT)
+         AS winsorized_mean_micros,
+       CAST(SUM(CASE WHEN r.rn > b.lo_rn AND r.rn <= b.hi_rn THEN r.v END)
+            // SUM(CASE WHEN r.rn > b.lo_rn AND r.rn <= b.hi_rn THEN 1 END)
+            AS BIGINT) AS trimmed_mean_micros
+FROM ranked r JOIN bounds b USING (event_type)
+GROUP BY r.event_type
+""",
+)
+def events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust central-tendency stats per event type: plain mean next
+    to the 5/95 winsorized mean (outliers clamped to the percentile
+    bounds) and the 5/95 trimmed mean (outliers dropped) — the
+    heavy-tail-proof aggregates a metrics pipeline publishes when a
+    handful of whale values would otherwise move the daily average
+    (revenue-per-user being the canonical victim).
+
+    Determinism contract: values in integer micros; percentile bounds
+    picked by exact nearest rank (ceil(q·n), row_number tie-broken by
+    event_id); means are integer floor-divisions of micro sums (all
+    values non-negative, so truncation == floor in both engines) —
+    no IEEE arithmetic in any compared column.
+
+    Plan: one rank window per type (the same single shuffle the exact
+    percentile query pays), bound rows reduced per type and joined
+    back by type — a 5-row build side AQE broadcasts — then one
+    map-side-combinable aggregation. At 100 TB the bounds would come
+    from the t-digest sketch instead; the clamp/trim algebra is
+    unchanged."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("v"),
+    )
+    w = Window.partitionBy("event_type").orderBy("v", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "v",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    lo_rn = (5 * F.col("n") + 99) / 100
+    hi_rn = (95 * F.col("n") + 99) / 100
+    bounds = ranked.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("rn") == F.floor(lo_rn), F.col("v"))
+        ).alias("lo_v"),
+        F.max(
+            F.when(F.col("rn") == F.floor(hi_rn), F.col("v"))
+        ).alias("hi_v"),
+        F.max(F.floor(lo_rn)).cast("bigint").alias("lo_rn"),
+        F.max(F.floor(hi_rn)).cast("bigint").alias("hi_rn"),
+    )
+    r = ranked.join(bounds, "event_type")
+    in_trim = (F.col("rn") > F.col("lo_rn")) & (F.col("rn") <= F.col("hi_rn"))
+    clamped = F.greatest(F.least(F.col("v"), F.col("hi_v")), F.col("lo_v"))
+    # integer `div` only — a double division here could land on the
+    # wrong side of the truncation boundary and break hash parity
+    return (
+        r.withColumn("clamped", clamped)
+        .withColumn("trim_v", F.when(in_trim, F.col("v")))
+        .withColumn("trim_1", F.when(in_trim, F.lit(1)))
+        .groupBy("event_type")
+        .agg(
+            F.max("n").cast("bigint").alias("n_events"),
+            F.expr("sum(v) div max(n)").cast("bigint").alias("mean_micros"),
+            F.expr("sum(clamped) div max(n)").cast("bigint")
+            .alias("winsorized_mean_micros"),
+            F.expr("sum(trim_v) div sum(trim_1)").cast("bigint")
+            .alias("trimmed_mean_micros"),
+        )
+    )

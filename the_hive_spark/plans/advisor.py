@@ -65,3 +65,44 @@ def join_advice(
             "advice"
         ),
     )
+
+
+class JoinDecision:
+    """Measured broadcast-vs-shuffle verdict for one relation."""
+
+    __slots__ = ("broadcast", "n_rows", "est_bytes", "threshold_bytes")
+
+    def __init__(self, broadcast: bool, n_rows: int, est_bytes: int,
+                 threshold_bytes: int) -> None:
+        self.broadcast = broadcast
+        self.n_rows = n_rows
+        self.est_bytes = est_bytes
+        self.threshold_bytes = threshold_bytes
+
+    def __repr__(self) -> str:  # shows up in plan-report logs
+        return (
+            f"JoinDecision(broadcast={self.broadcast}, n_rows={self.n_rows},"
+            f" est_bytes={self.est_bytes},"
+            f" threshold_bytes={self.threshold_bytes})"
+        )
+
+
+def advise_relation(
+    df: DataFrame, bytes_per_row: int = DEFAULT_BYTES_PER_ROW
+) -> JoinDecision:
+    """Runtime form of :func:`join_advice` for ONE concrete relation:
+    count it (a single tiny aggregate job — the ANALYZE cost, paid
+    once before the expensive join it informs) and compare the
+    estimated serialized size with the session's broadcast threshold.
+
+    This exists for decisions AQE cannot make: AQE can demote a
+    shuffle join to broadcast at runtime, but it can never swap one
+    LOGICAL plan for another — e.g. an exact broadcast nested-loop
+    top-k for a banded-LSH index pass. Callers that pick between such
+    plan *shapes* need the measurement up front.
+    """
+    spark = df.sparkSession
+    threshold = _broadcast_threshold_bytes(spark)
+    n = int(df.count())
+    est = n * bytes_per_row
+    return JoinDecision(est <= threshold, n, est, threshold)

@@ -44,20 +44,102 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-# Round-4 gate budget (the driver hash-checks the FIRST 50 entries of
-# QUERIES): slots 1-38 are ALL remaining queries that have never had a
-# driver CORRECTNESS row (r1 ∪ r2 ∪ r3 covered 146 of 184) — the
-# emb_* index/diagnostic family, the round-3 additions, and the
-# rows-only ANN/sketch evals (which surface via the driver's
-# rows+schema check). Slots 39-50 re-attest queries whose code or plan
-# changed this round: the chat-path broadcast fix (hive_chat_*), the
-# de-hinted sf-scaling-dimension joins in operators/analytics.py, the
-# emb_ids de-hint in dup_modality_agreement, and the vocabulary-join
-# de-hint in doc_tfidf_topk. A green CORRECTNESS_r04.json closes the
-# loop: every one of the 184 registered queries will then have had a
-# driver row in some round.
+# Round-5 gate budget (the driver hash-checks the FIRST 50 entries of
+# QUERIES). Round 4 taught an expensive lesson: the driver returns
+# ``err: "no_oracle"`` for rows-only queries — it does NOT do a
+# rows+schema check — so the 11 rows-only slots in _GATE_R4 verified
+# nothing (CORRECTNESS_r04.json), and r4's "full closure" was really
+# closure of the ORACLED surface only (173 oracled queries green
+# across r1-r4, 0 hash failures; the 16 rows-only queries are attested
+# locally — see ROWS_ONLY.md). From round 5 on, every gate slot MUST
+# be in ORACLES (enforced by tests/test_registry.py).
+#
+# Slots 1-23: the oracled _ADDED_R4 queries (registered after the r4
+# gate froze, so no driver row exists by construction).
+# Slots 24-50: rolling re-attestation, oldest rows first — these 27
+# queries' only driver row is from ROUND 1 (rules, graph, media,
+# dedup families, then TPC-H analytics), and three rounds of shared-
+# helper edits have happened since. Queries added DURING round 5 are
+# swapped into the tail of this block (displacing the youngest
+# analytics re-attests) so new work gets a driver row the same round
+# it lands.
 # (Locally, tests/test_oracle_parity.py still sweeps ALL oracled
 # queries every round regardless of this ordering.)
+_GATE_R5 = [
+    # --- slots 1-23: oracled _ADDED_R4, never driver-checked ---
+    "doc_temperature_mix",
+    "q_constraint_audit",
+    "doc_dup_spans",
+    "cust_linkage_fs_scores",
+    "events_peak_concurrency",
+    "q_kanonymity_audit",
+    "doc_dup_span_coverage",
+    "events_rollup_multigrain",
+    "events_dau_wau_mau",
+    "doc_source_overlap",
+    "graph_bfs_3hop",
+    "doc_term_cooccurrence_lift",
+    "q_join_skew_profile",
+    "emb_component_histogram",
+    "events_attribution_ushape",
+    "q_frequent_itemsets",
+    "events_frequent_sequences",
+    "q_price_quantity_correlation",
+    "events_bot_regularity",
+    "doc_rake_keyphrases",
+    "events_slo_burn",
+    "q_duplicate_payment_audit",
+    "q_revenue_waterfall",
+    # --- slots 24-50: re-attest the oldest r1-only driver rows ---
+    # reference-parity families first (VERDICT r4 ask #4)
+    "rule_cross_apply",
+    "keyword_alerts",
+    "keyword_autotags",
+    "graph_nodes",
+    "graph_neighborhood",
+    "graph_degree_topk",
+    "media_inventory",
+    "media_frame_sample",
+    "media_dedup_fingerprint",
+    # dedup family
+    "doc_dedup_exact",
+    "doc_dedup_corpus",
+    "doc_corpus_filtered",
+    "doc_simhash",
+    "doc_simhash_hamming_pairs",
+    "doc_ngram_jaccard_pairs",
+    # TPC-H analytics, oldest first (the remaining r1-only q_* roll
+    # into round 6)
+    "q1_pricing_summary",
+    "q4_order_priority",
+    "q6_revenue_forecast",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    # --- round-5 additions (oracled, no driver row yet — new work
+    # earns its row the round it lands; the six analytics re-attests
+    # they displaced are unchanged-since-r1-green and roll to r6) ---
+    "doc_ngram_novelty",
+    "doc_split_leakage",
+    "doc_dedup_canonical",
+    "doc_quality_prune_sweep",
+    "graph_jaccard_neighbors",
+    "events_value_winsorized",
+]
+
+# Queries ADDED in round 5. Oracled ones are swapped into _GATE_R5's
+# re-attest tail when feasible (same-round driver row); any that miss
+# the gate are the front of the round-6 rotation.
+_ADDED_R5: list[str] = [
+    "doc_ngram_novelty",
+    "doc_split_leakage",
+    "doc_dedup_canonical",
+    "doc_quality_prune_sweep",
+    "graph_jaccard_neighbors",
+    "events_value_winsorized",
+]
+
+# Round-4 gate kept for reference/tests of rotation history.
 _GATE_R4 = [
     # --- slots 1-38: never driver-checked (27 oracled, 11 rows-only) ---
     # emb_* index/diagnostic family (pre-staged at r3 slots 51-66)
@@ -241,28 +323,33 @@ def load_all() -> None:
     The driver's correctness gate hash-checks the first 50 entries of
     ``QUERIES`` only, so registration order is a verification budget.
     Rather than encode the budget in fragile import order, imports stay
-    alphabetical-ish and ``_GATE_R4`` (above) pins the explicit
+    alphabetical-ish and ``_GATE_R5`` (above) pins the explicit
     rotation: QUERIES is rebuilt with the listed names first, then all
     remaining registrations in their original order. Pinned by
-    tests/test_registry.py.
+    tests/test_registry.py, which also asserts every gate slot has a
+    DuckDB oracle (rows-only slots come back ``err: no_oracle`` — 11
+    slots were wasted that way in round 4; never again).
 
     History: round 1's top-50 was TPC-H-ish analytics + dedup + graph +
     rules + media; round 2's was timeline events_* + text_analysis
     doc_* + hive parity; round 3 rotated in the round-2 additions with
-    no driver row plus 4 re-attests; round 4 (this one) takes the LAST
-    38 never-driver-checked queries plus 12 re-attests of round-4-
-    edited code — full 184/184 closure once CORRECTNESS_r04.json lands.
+    no driver row plus 4 re-attests; round 4 took the last 38
+    never-driver-checked queries plus 12 re-attests — closing the
+    ORACLED surface (every oracled query registered before that gate
+    froze now has a green driver row; 0 hash failures in 4 rounds).
 
-    Round-5 rotation plan: with every pre-round-4 query driver-proven
-    (assuming CORRECTNESS_r04 lands green), the budget flips to
-    (a) the 28 queries in ``_ADDED_R4`` (registered after the r4 gate
-    froze — no driver row yet; 23 oracled + 5 rows-only:
-    doc_bpe_encode, media_phash_near_dup, media_silence_runs,
-    doc_compressibility, emb_matryoshka_recall), then (b) re-attests
-    of whatever round-5 edits touch, then (c) rolling re-attestation
-    of the oldest green rows (r1 families first: analytics, dedup,
-    graph, rules, media) so long-unverified code keeps earning fresh
-    driver rows. That is 28 + ~22 — exactly one 50-slot budget.
+    Round-6 rotation plan: (a) any queries added during round 5 that
+    did not make the r5 gate, (b) re-attests of whatever round-6 edits
+    touch, then (c) the next-oldest rows — the 20 remaining r1-only
+    analytics (q2_min_acctbal_supplier, q11_important_parts,
+    q12_late_priority_lines, q13_order_count_distribution,
+    q14_promo_revenue, q15_top_supplier, q16_part_supplier_variety,
+    q17_small_quantity_revenue, q18_large_volume_customers, q19/q20/
+    q22, q_active_parts_semi, q_brand_volume,
+    q_cube_returnflag_status, q_mktsegment_yearly,
+    q_order_interarrival, q_rollup_revenue, q_running_monthly_revenue,
+    q_top_supplier_per_nation) and then the oldest r2-only rows
+    (hive_* parity, events_* timeline, doc_* text-analysis families).
     """
     from the_hive_spark.operators import (  # noqa: F401
         timeline,
@@ -281,11 +368,14 @@ def load_all() -> None:
         warehouse,
     )
 
-    missing = [n for n in _GATE_R4 if n not in QUERIES]
+    missing = [n for n in _GATE_R5 if n not in QUERIES]
     if missing:  # defensive: a renamed query must fail loudly, not
         # silently shift every later gate slot by one.
         raise RuntimeError(f"gate rotation names not registered: {missing}")
-    rotated = {n: QUERIES[n] for n in _GATE_R4}
+    unoracled = [n for n in _GATE_R5 if n not in ORACLES]
+    if unoracled:  # rows-only slots verify nothing (driver: no_oracle)
+        raise RuntimeError(f"gate slots without an oracle: {unoracled}")
+    rotated = {n: QUERIES[n] for n in _GATE_R5}
     rotated.update((n, fn) for n, fn in QUERIES.items() if n not in rotated)
     QUERIES.clear()
     QUERIES.update(rotated)

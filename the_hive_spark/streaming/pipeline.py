@@ -15,23 +15,40 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
 from the_hive_spark.engine import ALERT_KEYWORD, HiveEngine
+from the_hive_spark.functions.ids import dense_sequential_ids
 from the_hive_spark.streaming.completion import completed_documents
 
 
 def analyze_batch(engine: HiveEngine, completed: DataFrame) -> None:
-    """Analyst reactions for one micro-batch of completed documents."""
+    """Analyst reactions for one micro-batch of completed documents.
+
+    Scale note: a micro-batch is usually small, but on an
+    ``availableNow`` backlog replay (the "process existing files"
+    path, S1) ONE batch is the entire backlog. So nothing here may be
+    proportional-to-batch-size on the driver: document ids stay in
+    DataFrames (semi-joined downstream, never ``collect()``-ed into an
+    ``isin`` literal) and event ids come from
+    :func:`~the_hive_spark.functions.ids.dense_sequential_ids` (range-
+    partitioned two-pass numbering) instead of a ``row_number`` over an
+    unpartitioned window.
+    """
     completed = completed.cache()
-    doc_ids = [r["document_id"] for r in completed.select("document_id").collect()]
-    if not doc_ids:
+    if completed.isEmpty():
         return
 
     # completion events (events.go:36-62)
     base = engine._next_id("events")
-    from pyspark.sql import Window
-
-    events = completed.select(
-        (F.lit(base) + F.row_number().over(Window.orderBy("document_id")) - 1)
-        .alias("id"),
+    events = dense_sequential_ids(
+        completed.select(
+            F.col("document_id"),
+            F.col("n_chunks"),
+            F.col("completion_reason"),
+        ),
+        "document_id",
+        base=base,
+        id_col="id",
+    ).select(
+        "id",
         F.current_timestamp().alias("timestamp"),
         F.lit("ingest").alias("event_type"),
         F.col("document_id").alias("document_name"),
@@ -58,9 +75,10 @@ def analyze_batch(engine: HiveEngine, completed: DataFrame) -> None:
         engine._append("alerts", alerts)
 
     # standing rules against the completed docs (J3 single-doc mode;
-    # chunks were upserted by the ingest leg of the pipeline)
+    # chunks were upserted by the ingest leg of the pipeline) —
+    # restricted by semi-join on the batch's ids, not a driver list
     if not engine.active_rules().isEmpty():
-        engine.evaluate_rules(document_ids=doc_ids)
+        engine.evaluate_rules(document_ids=completed.select("document_id"))
 
 
 def chunk_pipeline(

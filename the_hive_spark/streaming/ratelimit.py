@@ -65,6 +65,13 @@ def admit_events(
     events (ts before the bucket's last seen ts) refill nothing but
     still contend for tokens — the deterministic convention for
     out-of-order replay.
+
+    State expiry uses a PROCESSING-time timeout (wall clock), so the
+    exact point state drops can differ across replays with different
+    micro-batch pacing — but the timeout floor (≥ burst/rate seconds
+    idle) guarantees the event-time refill law would have returned the
+    bucket to full burst over any expired gap, so admissions are
+    replay-identical regardless.
     """
     user_id = int(key[0])
     if state.hasTimedOut:  # idle key: drop the bucket, full on return
@@ -102,7 +109,18 @@ def admit_events(
         out["tokens_after_milli"].append(tokens_milli)
 
     state.update((tokens_milli, -1 if last_ts_us is None else last_ts_us))
-    state.setTimeoutDuration(60_000)
+    # State may only expire once the idle period is long enough that
+    # event-time refill would have refilled the bucket to full burst
+    # anyway (burst/rate seconds) — a shorter processing-time timeout
+    # would hand slow-rate keys a fresh burst earlier than the rate
+    # allows. Caveat: this is a PROCESSING-time timeout (wall clock),
+    # so replays with different micro-batch pacing can drop state at
+    # different points; the floor above makes that difference
+    # admission-neutral (the refill law reaches the same full bucket),
+    # which is what the module's determinism claim rests on.
+    state.setTimeoutDuration(
+        max(60_000, int(1000 * burst / rate_per_sec))
+    )
     if rows:
         yield pd.DataFrame(out)
 
