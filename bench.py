@@ -192,6 +192,11 @@ EXTENDED = [
     "doc_quality_prune_sweep",
     "graph_jaccard_neighbors",
     "events_value_winsorized",
+    "q_trade_flow_matrix",
+    "q_part_substitution_candidates",
+    "events_funnel_latency",
+    "graph_label_propagation3",
+    "cust_er_clusters3",
 ]
 
 

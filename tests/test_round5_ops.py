@@ -161,3 +161,134 @@ def test_winsorized_means_bounded_by_clamp(spark):
         for c in ("mean_micros", "winsorized_mean_micros",
                   "trimmed_mean_micros"):
             assert vmin <= r[c] <= vmax, (r["event_type"], c, r[c])
+
+
+def test_trade_flow_matrix_shape(spark):
+    rows = QUERIES["q_trade_flow_matrix"](spark, SF).collect()
+    assert 0 < len(rows) <= 625
+    assert len({(r["supplier_nation"], r["customer_nation"]) for r in rows}) \
+        == len(rows)
+    for r in rows:
+        assert r["n_lineitems"] > 0 and r["revenue_cents"] > 0
+
+
+def test_part_substitution_equals_brute_force(spark):
+    """The banded range join must return EXACTLY what the naive
+    all-pairs predicate returns (this is the test that catches a
+    band-orientation bug: a pair whose lower-priced part has the
+    larger key must still be generated)."""
+    rows = QUERIES["q_part_substitution_candidates"](spark, SF).collect()
+    parts = table(spark, SF, "part").select(
+        "p_partkey", "p_brand", "p_retailprice"
+    ).collect()
+    import math
+
+    by_brand: dict[str, list] = {}
+    for p in parts:
+        by_brand.setdefault(p["p_brand"], []).append(
+            (p["p_partkey"], math.floor(p["p_retailprice"] * 100 + 0.5))
+        )
+    want = []
+    for brand, ps in by_brand.items():
+        for i, (ka, ca) in enumerate(ps):
+            for kb, cb in ps[i + 1:]:
+                d, lo = abs(ca - cb), min(ca, cb)
+                if d * 500 <= lo:
+                    a, b = sorted((ka, kb))
+                    want.append(
+                        (math.floor(1e6 * d / lo + 0.5), a, b, brand, d)
+                    )
+    want.sort()
+    got = [
+        (r["rel_diff_ppm"], r["part_a"], r["part_b"], r["p_brand"],
+         r["price_diff_cents"])
+        for r in rows
+    ]
+    assert got == [(p, a, b, br, d) for (p, a, b, br, d) in want[:50]]
+
+
+def test_funnel_latency_consistent_with_funnel(spark):
+    lat = {
+        r["step"]: r for r in QUERIES["events_funnel_latency"](spark, SF).collect()
+    }
+    fun = QUERIES["events_funnel"](spark, SF).collect()[0]
+    assert lat["view_to_click"]["n_users"] == fun["n_click_after_view"]
+    assert lat["click_to_purchase"]["n_users"] == fun["n_full_funnel"]
+    for r in lat.values():
+        assert 0 <= r["p50_us"] <= r["p90_us"]
+        assert r["mean_us"] >= 0
+
+
+def test_label_propagation_matches_python_reference(spark):
+    """3 synchronous min-label rounds recomputed in pure Python on the
+    collected edge list must give the identical top-30 census."""
+    from the_hive_spark.functions.matstore import materialized
+    from the_hive_spark.functions.partitioning import persist_right_sized
+    from the_hive_spark.operators.analytics import copurchase_pairs_cached
+
+    e = materialized(
+        spark,
+        ("triangle_edges_min2", SF),
+        lambda: persist_right_sized(
+            copurchase_pairs_cached(spark, SF)
+            .filter(F.col("n_orders") >= 2)
+            .select(F.col("part_a").alias("u"), F.col("part_b").alias("v"))
+        )[0],
+    ).collect()
+    nbrs: dict[int, set] = {}
+    for r in e:
+        nbrs.setdefault(r["u"], set()).add(r["v"])
+        nbrs.setdefault(r["v"], set()).add(r["u"])
+    lbl = {n: n for n in nbrs}
+    for _ in range(3):
+        lbl = {
+            n: min([lbl[n]] + [lbl[m] for m in nbrs[n]]) for n in nbrs
+        }
+    census: dict[int, int] = {}
+    for v in lbl.values():
+        census[v] = census.get(v, 0) + 1
+    want = sorted(census.items(), key=lambda t: (-t[1], t[0]))[:30]
+    got = [
+        (r["community"], r["n_nodes"])
+        for r in QUERIES["graph_label_propagation3"](spark, SF).collect()
+    ]
+    assert got == want
+
+
+def test_er_clusters_census_matches_python_closure(spark):
+    """Transitive closure of the fuzzy-match pairs recomputed with a
+    pure-Python union-find must give the identical size census (typo
+    clusters are tiny, so 3 LP rounds == full closure here)."""
+    from the_hive_spark.operators.entity_resolution import (
+        cust_fuzzy_match_pairs,
+    )
+
+    pairs = cust_fuzzy_match_pairs(spark, SF).collect()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        a, b = r["custkey_a"], r["custkey_b"]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    sizes: dict[int, int] = {}
+    for n in parent:
+        root = find(n)
+        sizes[root] = sizes.get(root, 0) + 1
+    census: dict[int, list] = {}
+    for s in sizes.values():
+        census[s] = census.get(s, 0) + 1
+    got = {
+        r["cluster_size"]: (r["n_clusters"], r["n_records"])
+        for r in QUERIES["cust_er_clusters3"](spark, SF).collect()
+    }
+    want = {s: (c, s * c) for s, c in census.items()}
+    assert got == want

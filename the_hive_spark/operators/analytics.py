@@ -2835,3 +2835,145 @@ def q_revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(tax_cents).cast("bigint").alias("tax_cents"),
         )
     )
+
+
+@query(
+    "q_trade_flow_matrix",
+    oracle=f"""
+SELECT ns.n_name AS supplier_nation,
+       nc.n_name AS customer_nation,
+       CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+       CAST(SUM({_REV_SQL}) AS BIGINT) AS revenue_cents
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+GROUP BY ns.n_name, nc.n_name
+""",
+)
+def q_trade_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full supplier-nation → customer-nation trade matrix (Q7's
+    two-nation volume generalized to all 25×25 flows) — the
+    trade-balance / internationalization dashboard behind "which
+    corridors carry the revenue".
+
+    Plan: the fact stream joins orders (its one fact-fact shuffle),
+    then picks up customer/supplier (AQE-planned) and the two nation
+    ROLES as two broadcasts of the same 25-row dim — one scan each,
+    aliased, never shuffled. Output is grouped on the two nation
+    names: at most 625 rows from any corpus size, so the final
+    aggregation collapses map-side."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    ns = nation.select(
+        F.col("n_nationkey").alias("ns_key"),
+        F.col("n_name").alias("supplier_nation"),
+    )
+    nc = nation.select(
+        F.col("n_nationkey").alias("nc_key"),
+        F.col("n_name").alias("customer_nation"),
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .groupBy("supplier_nation", "customer_nation")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lineitems"),
+            F.sum(_rev()).cast("bigint").alias("revenue_cents"),
+        )
+    )
+
+
+SUBST_BAND_CENTS = 200  # price-band bucket width (== max match distance)
+
+
+@query(
+    "q_part_substitution_candidates",
+    oracle=f"""
+WITH p AS (
+  SELECT p_partkey, p_brand,
+         CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM part
+)
+SELECT a.p_partkey AS part_a, b.p_partkey AS part_b, a.p_brand,
+       CAST(abs(a.cents - b.cents) AS BIGINT) AS price_diff_cents,
+       CAST(FLOOR(1000000.0 * abs(a.cents - b.cents)
+                  / LEAST(a.cents, b.cents) + 0.5) AS BIGINT) AS rel_diff_ppm
+FROM p a JOIN p b
+  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE abs(a.cents - b.cents) * 500 <= LEAST(a.cents, b.cents)
+ORDER BY rel_diff_ppm ASC, part_a ASC, part_b ASC
+LIMIT 50
+""",
+)
+def q_part_substitution_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substitution candidates: same-brand part pairs priced within
+    0.2% of each other, closest 50 — the interchangeable-SKU detector
+    behind assortment pruning and price-anomaly review.
+
+    The point is the JOIN SHAPE: "same brand AND |price_a − price_b| ≤
+    ε·price" is a range predicate, and range joins degenerate to
+    per-key cross products at scale. The scalable form BANDS the
+    range: bucket = cents / {SUBST_BAND_CENTS} (the band width equals
+    the maximum possible match distance, ≤ {SUBST_BAND_CENTS} cents at
+    these prices), each row also probes its RIGHT-neighbor bucket, and
+    the join becomes a plain equi-join on (brand, bucket) — candidate
+    pairs bounded by band occupancy, exact predicate re-checked after.
+    Same banding algebra as the LSH family, applied to a numeric
+    range. The a<b canonicalization plus probing only rightward keeps
+    every pair generated exactly once."""
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    a = p.select(
+        "p_brand",
+        F.col("p_partkey").alias("part_a"),
+        F.col("cents").alias("cents_a"),
+        F.explode(
+            F.array(
+                (F.col("cents") / SUBST_BAND_CENTS).cast("bigint"),
+                (F.col("cents") / SUBST_BAND_CENTS).cast("bigint") + 1,
+            )
+        ).alias("band"),
+    )
+    b = p.select(
+        "p_brand",
+        F.col("p_partkey").alias("part_b"),
+        F.col("cents").alias("cents_b"),
+        (F.col("cents") / SUBST_BAND_CENTS).cast("bigint").alias("band"),
+    )
+    diff = F.abs(F.col("cents_a") - F.col("cents_b"))
+    least = F.least("cents_a", "cents_b")
+    # a cross-band pair is generated in ONE orientation only (the
+    # lower-bucket row is always the probing side), so canonicalize by
+    # partkey AFTER the join — diff and least are orientation-
+    # symmetric — then dedupe the same-band pairs that arrive twice
+    return (
+        a.join(b, ["p_brand", "band"])
+        .filter(F.col("part_a") != F.col("part_b"))
+        .filter(diff * 500 <= least)
+        .select(
+            F.least("part_a", "part_b").alias("part_a"),
+            F.greatest("part_a", "part_b").alias("part_b"),
+            "p_brand",
+            diff.cast("bigint").alias("price_diff_cents"),
+            F.floor(1000000.0 * diff / least + F.lit(0.5))
+            .cast("bigint")
+            .alias("rel_diff_ppm"),
+        )
+        .dropDuplicates(["part_a", "part_b"])
+        .orderBy(F.asc("rel_diff_ppm"), F.asc("part_a"), F.asc("part_b"))
+        .limit(50)
+    )

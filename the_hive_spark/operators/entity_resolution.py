@@ -259,3 +259,116 @@ def cust_linkage_fs_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(weight(False, False)))
     )
     return scored.withColumn("weight_ppm", w.cast("bigint"))
+
+
+_ER_LP_ROUNDS = 3
+
+_ER_PAIRS_CTE = """
+WITH m AS (
+  SELECT c_custkey, c_name, i,
+         substring(c_name, 1, i - 1) || chr(1) || substring(c_name, i + 1)
+           AS masked,
+         length(c_name) AS len
+  FROM customer, unnest(range(1, length(c_name) + 1)) AS t(i)
+), cand AS (
+  SELECT DISTINCT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b
+  FROM m a JOIN m b
+    ON a.len = b.len AND a.i = b.i AND a.masked = b.masked
+   AND a.c_custkey < b.c_custkey
+), pairs AS (
+  SELECT c.custkey_a, c.custkey_b
+  FROM cand c
+  JOIN customer ca ON ca.c_custkey = c.custkey_a
+  JOIN customer cb ON cb.c_custkey = c.custkey_b
+  WHERE levenshtein(ca.c_name, cb.c_name) <= 1
+), adj AS (
+  SELECT custkey_a AS u, custkey_b AS v FROM pairs
+  UNION ALL
+  SELECT custkey_b AS u, custkey_a AS v FROM pairs
+), l0 AS (
+  SELECT DISTINCT u AS node, u AS lbl FROM adj
+)"""
+
+
+def _er_lp_round_sql(i: int) -> str:
+    prev = f"l{i - 1}"
+    return f"""
+, nb{i} AS (
+  SELECT a.u AS node, MIN(l.lbl) AS nbr
+  FROM adj a JOIN {prev} l ON l.node = a.v GROUP BY a.u
+)
+, l{i} AS (
+  SELECT p.node, LEAST(p.lbl, COALESCE(n.nbr, p.lbl)) AS lbl
+  FROM {prev} p LEFT JOIN nb{i} n ON n.node = p.node
+)"""
+
+
+@query(
+    "cust_er_clusters3",
+    oracle=_ER_PAIRS_CTE
+    + "".join(_er_lp_round_sql(i) for i in range(1, _ER_LP_ROUNDS + 1))
+    + f"""
+, sized AS (
+  SELECT lbl, COUNT(*) AS cluster_size FROM l{_ER_LP_ROUNDS} GROUP BY lbl
+)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(cluster_size) AS BIGINT) AS n_records
+FROM sized
+GROUP BY cluster_size
+""",
+)
+def cust_er_clusters3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTION stage of record linkage (cust_fuzzy_match_pairs is
+    detection, cust_linkage_fs_scores is scoring): transitively close
+    the match-pair graph into entity clusters — A~B and B~C merge into
+    one entity even when A~C was never scored — and report the cluster
+    SIZE DISTRIBUTION, the number a steward reads before approving an
+    automated merge (a fat tail of large clusters means the matcher is
+    chaining unrelated records through hub typos).
+
+    Closure runs as 3 synchronous min-label propagation rounds over
+    the pair graph (deterministic, oracle-checkable — the same
+    bounded-iteration shape as graph_label_propagation3). Typo
+    clusters have tiny diameters, so 3 rounds is exact connected
+    components here; at a larger diameter this hands off to the
+    star-contraction CC in operators/dedup.py. Only custkeys flow
+    through the propagation joins — never names."""
+    pairs = cust_fuzzy_match_pairs(spark, sf_dir).select(
+        "custkey_a", "custkey_b"
+    )
+    adj = pairs.select(
+        F.col("custkey_a").alias("u"), F.col("custkey_b").alias("v")
+    ).unionAll(
+        pairs.select(
+            F.col("custkey_b").alias("u"), F.col("custkey_a").alias("v")
+        )
+    )
+    lbl = adj.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(_ER_LP_ROUNDS):
+        nbr = (
+            adj.join(
+                lbl.withColumnsRenamed({"node": "v", "lbl": "nbr_lbl"}), "v"
+            )
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.min("nbr_lbl").alias("nbr"))
+        )
+        lbl = lbl.join(nbr, "node", "left").select(
+            "node",
+            F.least(F.col("lbl"), F.coalesce("nbr", F.col("lbl"))).alias(
+                "lbl"
+            ),
+        )
+    sized = lbl.groupBy("lbl").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sized.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum("cluster_size").cast("bigint").alias("n_records"),
+    ).select(
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        "n_clusters",
+        "n_records",
+    )

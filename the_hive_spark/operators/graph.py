@@ -754,3 +754,103 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard_ppm"), F.asc("u"), F.asc("v"))
         .limit(JACCARD_TOP_K)
     )
+
+
+_LP_ROUNDS = 3
+
+
+def _lp_round_sql(i: int) -> str:
+    prev = f"l{i - 1}"
+    return f"""
+, nb{i} AS (
+  SELECT a.u AS node, MIN(l.lbl) AS nbr
+  FROM adj a JOIN {prev} l ON l.node = a.v GROUP BY a.u
+)
+, l{i} AS (
+  SELECT p.node, LEAST(p.lbl, COALESCE(n.nbr, p.lbl)) AS lbl
+  FROM {prev} p LEFT JOIN nb{i} n ON n.node = p.node
+)"""
+
+
+@query(
+    "graph_label_propagation3",
+    oracle="""
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), e AS (
+  SELECT part_a AS u, part_b AS v
+  FROM pairs GROUP BY part_a, part_b HAVING COUNT(*) >= 2
+), adj AS (
+  SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+), l0 AS (
+  SELECT DISTINCT u AS node, u AS lbl FROM adj
+)"""
+    + "".join(_lp_round_sql(i) for i in range(1, _LP_ROUNDS + 1))
+    + f"""
+SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM l{_LP_ROUNDS}
+GROUP BY lbl
+ORDER BY n_nodes DESC, community ASC
+LIMIT 30
+""",
+)
+def graph_label_propagation3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by {_LP_ROUNDS} synchronous min-label
+    propagation rounds on the co-purchase graph, top-30 communities by
+    size — the cheap first-pass clustering (a bounded prefix of
+    connected components) used to size communities before committing
+    to a full CC or Louvain run. Synchronous min-label rounds are
+    DETERMINISTIC (unlike classic random-order label propagation), so
+    the result is oracle-checkable.
+
+    Plan: each round is one neighbor equi-join + a map-side-combined
+    min aggregation + a left join back — the same bounded-iteration
+    shape as graph_pagerank3/graph_kcore3 (unrolled, no driver loop
+    state beyond the fixed round count; at larger diameters this
+    becomes the localCheckpoint frontier pattern of graph_bfs_3hop).
+    Labels are node ids, so no label table is materialized anywhere.
+    """
+    from the_hive_spark.functions.matstore import materialized
+    from the_hive_spark.functions.partitioning import persist_right_sized
+    from the_hive_spark.operators.analytics import copurchase_pairs_cached
+
+    e = materialized(
+        spark,
+        ("triangle_edges_min2", sf_dir),
+        lambda: persist_right_sized(
+            copurchase_pairs_cached(spark, sf_dir)
+            .filter(F.col("n_orders") >= 2)
+            .select(F.col("part_a").alias("u"), F.col("part_b").alias("v"))
+        )[0],
+    )
+    adj = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    lbl = adj.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(_LP_ROUNDS):
+        nbr = (
+            adj.join(
+                lbl.withColumnsRenamed({"node": "v", "lbl": "nbr_lbl"}), "v"
+            )
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.min("nbr_lbl").alias("nbr"))
+        )
+        lbl = (
+            lbl.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lbl"), F.coalesce("nbr", F.col("lbl"))
+                ).alias("lbl"),
+            )
+        )
+    return (
+        lbl.groupBy(F.col("lbl").alias("community"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        .orderBy(F.desc("n_nodes"), F.asc("community"))
+        .limit(30)
+    )

@@ -1572,3 +1572,101 @@ def events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("trimmed_mean_micros"),
         )
     )
+
+
+@query(
+    "events_funnel_latency",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END) AS first_view,
+         MIN(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END) AS first_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS first_purchase
+  FROM events GROUP BY user_id
+), lat AS (
+  SELECT 'view_to_click' AS step, user_id,
+         epoch_us(first_click - first_view) AS us
+  FROM per_user WHERE first_view IS NOT NULL AND first_click > first_view
+  UNION ALL
+  SELECT 'click_to_purchase' AS step, user_id,
+         epoch_us(first_purchase - first_click) AS us
+  FROM per_user
+  WHERE first_view IS NOT NULL AND first_click > first_view
+    AND first_purchase > first_click
+), ranked AS (
+  SELECT step, us,
+         ROW_NUMBER() OVER (PARTITION BY step ORDER BY us, user_id) AS rn,
+         COUNT(*) OVER (PARTITION BY step) AS n
+  FROM lat
+)
+SELECT step,
+       CAST(MAX(n) AS BIGINT) AS n_users,
+       CAST(SUM(us) // MAX(n) AS BIGINT) AS mean_us,
+       CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN us END) AS BIGINT) AS p50_us,
+       CAST(MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN us END) AS BIGINT) AS p90_us
+FROM ranked GROUP BY step
+""",
+)
+def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOW LONG the funnel takes, not just how many convert
+    (events_funnel counts): per step transition (first view → first
+    click, first click → first purchase), the converting users' mean /
+    median / p90 latency — the metric that localizes WHERE a funnel
+    slows down when conversion counts alone look healthy.
+
+    Determinism contract matches events_value_percentiles: latencies
+    in integer µs, percentiles by exact nearest rank with user_id
+    tie-break, mean as integer floor-division (non-negative by the
+    step ordering predicate). Plan: ONE user-keyed shuffle builds the
+    per-user first-occurrence triple (same shape as events_funnel);
+    the two step legs are a union over that small conversion set; the
+    rank window partitions by step."""
+    ev = table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        ),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+            "first_click"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    conv1 = per_user.filter(
+        F.col("first_view").isNotNull()
+        & (F.col("first_click") > F.col("first_view"))
+    )
+    leg1 = conv1.select(
+        F.lit("view_to_click").alias("step"),
+        "user_id",
+        (F.unix_micros("first_click") - F.unix_micros("first_view")).alias(
+            "us"
+        ),
+    )
+    leg2 = conv1.filter(F.col("first_purchase") > F.col("first_click")).select(
+        F.lit("click_to_purchase").alias("step"),
+        "user_id",
+        (F.unix_micros("first_purchase") - F.unix_micros("first_click")).alias(
+            "us"
+        ),
+    )
+    lat = leg1.unionByName(leg2)
+    w = Window.partitionBy("step").orderBy("us", "user_id")
+    wn = Window.partitionBy("step")
+    ranked = lat.select(
+        "step",
+        "us",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return ranked.groupBy("step").agg(
+        F.max("n").cast("bigint").alias("n_users"),
+        F.expr("sum(us) div max(n)").cast("bigint").alias("mean_us"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("us"))
+        ).cast("bigint").alias("p50_us"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(9 * n + 9) div 10"), F.col("us"))
+        ).cast("bigint").alias("p90_us"),
+    )

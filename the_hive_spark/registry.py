@@ -56,13 +56,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #
 # Slots 1-23: the oracled _ADDED_R4 queries (registered after the r4
 # gate froze, so no driver row exists by construction).
-# Slots 24-50: rolling re-attestation, oldest rows first — these 27
+# Slots 24-39: rolling re-attestation, oldest rows first — these
 # queries' only driver row is from ROUND 1 (rules, graph, media,
-# dedup families, then TPC-H analytics), and three rounds of shared-
-# helper edits have happened since. Queries added DURING round 5 are
-# swapped into the tail of this block (displacing the youngest
-# analytics re-attests) so new work gets a driver row the same round
-# it lands.
+# dedup families, plus the oldest analytics), and three rounds of
+# shared-helper edits have happened since.
+# Slots 40-50: the round-5 additions (_ADDED_R5) — new work earns its
+# driver row the same round it lands; the analytics re-attests they
+# displaced are unchanged-since-their-r1-green-row and roll to r6.
 # (Locally, tests/test_oracle_parity.py still sweeps ALL oracled
 # queries every round regardless of this ordering.)
 _GATE_R5 = [
@@ -111,20 +111,21 @@ _GATE_R5 = [
     # TPC-H analytics, oldest first (the remaining r1-only q_* roll
     # into round 6)
     "q1_pricing_summary",
-    "q4_order_priority",
-    "q6_revenue_forecast",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q10_returned_items",
     # --- round-5 additions (oracled, no driver row yet — new work
-    # earns its row the round it lands; the six analytics re-attests
-    # they displaced are unchanged-since-r1-green and roll to r6) ---
+    # earns its row the round it lands; the eleven analytics
+    # re-attests they displaced are unchanged-since-r1-green and roll
+    # to r6) ---
     "doc_ngram_novelty",
     "doc_split_leakage",
     "doc_dedup_canonical",
     "doc_quality_prune_sweep",
     "graph_jaccard_neighbors",
     "events_value_winsorized",
+    "q_trade_flow_matrix",
+    "q_part_substitution_candidates",
+    "events_funnel_latency",
+    "graph_label_propagation3",
+    "cust_er_clusters3",
 ]
 
 # Queries ADDED in round 5. Oracled ones are swapped into _GATE_R5's
@@ -137,6 +138,11 @@ _ADDED_R5: list[str] = [
     "doc_quality_prune_sweep",
     "graph_jaccard_neighbors",
     "events_value_winsorized",
+    "q_trade_flow_matrix",
+    "q_part_substitution_candidates",
+    "events_funnel_latency",
+    "graph_label_propagation3",
+    "cust_er_clusters3",
 ]
 
 # Round-4 gate kept for reference/tests of rotation history.
@@ -340,13 +346,15 @@ def load_all() -> None:
 
     Round-6 rotation plan: (a) any queries added during round 5 that
     did not make the r5 gate, (b) re-attests of whatever round-6 edits
-    touch, then (c) the next-oldest rows — the 20 remaining r1-only
-    analytics (q2_min_acctbal_supplier, q11_important_parts,
-    q12_late_priority_lines, q13_order_count_distribution,
-    q14_promo_revenue, q15_top_supplier, q16_part_supplier_variety,
-    q17_small_quantity_revenue, q18_large_volume_customers, q19/q20/
-    q22, q_active_parts_semi, q_brand_volume,
-    q_cube_returnflag_status, q_mktsegment_yearly,
+    touch, then (c) the next-oldest rows — the 25 remaining r1-only
+    analytics (q2_min_acctbal_supplier, q4_order_priority,
+    q6_revenue_forecast,
+    q7_volume_shipping, q8_market_share, q10_returned_items,
+    q11_important_parts, q12_late_priority_lines,
+    q13_order_count_distribution, q14_promo_revenue, q15_top_supplier,
+    q16_part_supplier_variety, q17_small_quantity_revenue,
+    q18_large_volume_customers, q19/q20/q22, q_active_parts_semi,
+    q_brand_volume, q_cube_returnflag_status, q_mktsegment_yearly,
     q_order_interarrival, q_rollup_revenue, q_running_monthly_revenue,
     q_top_supplier_per_nation) and then the oldest r2-only rows
     (hive_* parity, events_* timeline, doc_* text-analysis families).
