@@ -197,6 +197,11 @@ EXTENDED = [
     "events_funnel_latency",
     "graph_label_propagation3",
     "cust_er_clusters3",
+    "q_nation_yoy_growth",
+    "q_order_fulfillment_latency",
+    "q_weighted_median_price",
+    "graph_clustering_coefficient",
+    "events_survival_curve",
 ]
 
 

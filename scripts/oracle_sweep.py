@@ -47,6 +47,56 @@ def main() -> None:
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
             )
 
+    def _spark_dead(s) -> bool:
+        try:
+            return s.sparkContext._jsc.sc().isStopped()
+        except Exception:  # noqa: BLE001
+            return True
+
+    def _fresh_spark():
+        # A crashed JVM (one lost task kills the job in local mode —
+        # there are no task retries on local[*]) leaves a stopped
+        # SparkContext behind; getOrCreate() would hand it right back.
+        # Drop the singleton and rebuild, and clear the matstore,
+        # whose entries hold DataFrames bound to the dead session.
+        from pyspark.sql import SparkSession
+
+        try:
+            SparkSession.builder.getOrCreate().stop()
+        except Exception:  # noqa: BLE001
+            pass
+        SparkSession._instantiatedSession = None
+        SparkSession._activeSession = None
+        try:
+            from the_hive_spark.functions import matstore
+
+            matstore.clear()
+        except Exception:  # noqa: BLE001
+            pass
+        s = get_spark(app_name="oracle-sweep")
+        s.sparkContext.setLogLevel("ERROR")
+        return s
+
+    def _run_one(s, name: str) -> dict:
+        t0 = time.perf_counter()
+        a = registry.QUERIES[name](s, sf_dir).toPandas()
+        a = a.reindex(sorted(a.columns), axis=1)
+        b = con.execute(registry.ORACLES[name]).fetchdf()
+        b = b.reindex(sorted(b.columns), axis=1)
+        na, ha = _hash(a)
+        nb, hb = _hash(b)
+        ok = (
+            na == nb
+            and ha == hb
+            and [c.lower() for c in a.columns] == [c.lower() for c in b.columns]
+        )
+        return {
+            "match": ok,
+            "rows": na,
+            "oracle_rows": nb,
+            "sec": round(time.perf_counter() - t0, 2),
+        }
+
     results: dict[str, dict] = {}
     bad = 0
     for name in registry.QUERIES:
@@ -54,29 +104,33 @@ def main() -> None:
             continue
         t0 = time.perf_counter()
         try:
-            a = registry.QUERIES[name](spark, sf_dir).toPandas()
-            a = a.reindex(sorted(a.columns), axis=1)
-            b = con.execute(registry.ORACLES[name]).fetchdf()
-            b = b.reindex(sorted(b.columns), axis=1)
-            na, ha = _hash(a)
-            nb, hb = _hash(b)
-            ok = (
-                na == nb
-                and ha == hb
-                and [c.lower() for c in a.columns] == [c.lower() for c in b.columns]
-            )
-            results[name] = {
-                "match": ok,
-                "rows": na,
-                "oracle_rows": nb,
-                "sec": round(time.perf_counter() - t0, 2),
-            }
+            results[name] = _run_one(spark, name)
         except Exception as exc:  # noqa: BLE001
-            results[name] = {
-                "match": False,
-                "err": f"{type(exc).__name__}: {str(exc)[:200]}",
-                "sec": round(time.perf_counter() - t0, 2),
-            }
+            err1 = f"{type(exc).__name__}: {str(exc)[:200]}"
+            if _spark_dead(spark):
+                # session died (task OOM etc) — rebuild and retry ONCE
+                # so one crash can't zero out the rest of the sweep
+                print(f"RESTART after {name}: {err1}", flush=True)
+                spark = _fresh_spark()
+                try:
+                    results[name] = _run_one(spark, name)
+                    results[name]["restarted"] = True
+                except Exception as exc2:  # noqa: BLE001
+                    if _spark_dead(spark):
+                        spark = _fresh_spark()
+                    results[name] = {
+                        "match": False,
+                        "err": err1,
+                        "err_retry": f"{type(exc2).__name__}: "
+                        f"{str(exc2)[:200]}",
+                        "sec": round(time.perf_counter() - t0, 2),
+                    }
+            else:
+                results[name] = {
+                    "match": False,
+                    "err": err1,
+                    "sec": round(time.perf_counter() - t0, 2),
+                }
         if not results[name]["match"]:
             bad += 1
             print(f"MISMATCH {name}: {results[name]}", flush=True)

@@ -292,3 +292,139 @@ def test_er_clusters_census_matches_python_closure(spark):
     }
     want = {s: (c, s * c) for s, c in census.items()}
     assert got == want
+
+
+def test_nation_yoy_growth_internally_consistent(spark):
+    """Within each nation the rows chain: this year's revenue minus
+    the delta must equal the previous returned year's revenue, and
+    growth_ppm must be floor(1e6*delta/prev + 0.5) of those integers."""
+    import math
+
+    rows = QUERIES["q_nation_yoy_growth"](spark, SF).collect()
+    assert rows
+    by_nation: dict[str, list] = {}
+    for r in rows:
+        by_nation.setdefault(r["nation"], []).append(r)
+    for nation, rs in by_nation.items():
+        rs.sort(key=lambda r: r["year"])
+        for prev, cur in zip(rs, rs[1:]):
+            if cur["year"] == prev["year"] + 1:
+                assert cur["revenue_cents"] - cur["delta_cents"] \
+                    == prev["revenue_cents"], (nation, cur["year"])
+        for r in rs:
+            prev_rev = r["revenue_cents"] - r["delta_cents"]
+            assert r["growth_ppm"] == math.floor(
+                1e6 * r["delta_cents"] / prev_rev + 0.5
+            )
+
+
+def test_fulfillment_latency_covers_all_shipped_orders(spark):
+    rows = QUERIES["q_order_fulfillment_latency"](spark, SF).collect()
+    assert len(rows) == 5  # the five TPC-H priorities
+    li = table(spark, SF, "lineitem").select("l_orderkey").distinct()
+    n_shipped = li.count()
+    assert sum(r["n_orders"] for r in rows) == n_shipped
+    for r in rows:
+        assert r["p50_days"] <= r["p90_days"]
+
+
+def test_weighted_median_matches_python_brute_force(spark):
+    """Exact weighted-median recomputation from the raw rows: smallest
+    unit price whose cumulative quantity reaches half the brand
+    total."""
+    import math
+
+    li = table(spark, SF, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    ).collect()
+    parts = {
+        r["p_partkey"]: r["p_brand"]
+        for r in table(spark, SF, "part").select(
+            "p_partkey", "p_brand"
+        ).collect()
+    }
+    acc: dict[str, dict[int, int]] = {}
+    for r in li:
+        brand = parts[r["l_partkey"]]
+        cents = math.floor(
+            r["l_extendedprice"] / r["l_quantity"] * 100 + 0.5
+        )
+        acc.setdefault(brand, {})
+        acc[brand][cents] = acc[brand].get(cents, 0) + int(r["l_quantity"])
+    want = {}
+    for brand, prices in acc.items():
+        tw = sum(prices.values())
+        cw = 0
+        for cents in sorted(prices):
+            cw += prices[cents]
+            if 2 * cw >= tw:
+                want[brand] = (tw, cents)
+                break
+    got = {
+        r["p_brand"]: (r["total_weight"], r["weighted_median_cents"])
+        for r in QUERIES["q_weighted_median_price"](spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_clustering_coefficient_matches_python(spark):
+    """Per-node triangle/degree recomputation on the collected edge
+    list must reproduce the top-30 exactly."""
+    import math
+
+    from the_hive_spark.functions.matstore import materialized
+    from the_hive_spark.functions.partitioning import persist_right_sized
+    from the_hive_spark.operators.analytics import copurchase_pairs_cached
+
+    e = materialized(
+        spark,
+        ("triangle_edges_min2", SF),
+        lambda: persist_right_sized(
+            copurchase_pairs_cached(spark, SF)
+            .filter(F.col("n_orders") >= 2)
+            .select(F.col("part_a").alias("u"), F.col("part_b").alias("v"))
+        )[0],
+    ).collect()
+    nbrs: dict[int, set] = {}
+    edges = set()
+    for r in e:
+        nbrs.setdefault(r["u"], set()).add(r["v"])
+        nbrs.setdefault(r["v"], set()).add(r["u"])
+        edges.add((r["u"], r["v"]))
+    want = []
+    for n, ns in nbrs.items():
+        d = len(ns)
+        if d < 2:
+            continue
+        sorted_ns = sorted(ns)
+        t = sum(
+            1
+            for i, a in enumerate(sorted_ns)
+            for b in sorted_ns[i + 1:]
+            if (min(a, b), max(a, b)) in edges
+        )
+        want.append(
+            (n, d, t, math.floor(1e6 * 2 * t / (d * (d - 1)) + 0.5))
+        )
+    want.sort(key=lambda r: (-r[3], -r[1], r[0]))
+    got = [
+        (r["node"], r["degree"], r["n_triangles"], r["clustering_ppm"])
+        for r in QUERIES["graph_clustering_coefficient"](spark, SF).collect()
+    ]
+    assert got == want[:30]
+
+
+def test_survival_curve_monotone_and_anchored(spark):
+    rows = sorted(
+        QUERIES["events_survival_curve"](spark, SF).collect(),
+        key=lambda r: r["day"],
+    )
+    n_users_total = (
+        table(spark, SF, "events").select("user_id").distinct().count()
+    )
+    assert rows[0]["day"] == 0
+    assert rows[0]["n_users"] == n_users_total
+    assert rows[0]["survival_ppm"] == 1000000
+    for a, b in zip(rows, rows[1:]):
+        assert b["day"] == a["day"] + 1
+        assert b["n_users"] <= a["n_users"]

@@ -2977,3 +2977,222 @@ def q_part_substitution_candidates(spark: SparkSession, sf_dir: str) -> DataFram
         .orderBy(F.asc("rel_diff_ppm"), F.asc("part_a"), F.asc("part_b"))
         .limit(50)
     )
+
+
+@query(
+    "q_nation_yoy_growth",
+    oracle=f"""
+WITH rev AS (
+  SELECT n_name AS nation,
+         CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS year,
+         CAST(SUM({_REV_SQL}) AS BIGINT) AS revenue_cents
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+), lagged AS (
+  SELECT nation, year, revenue_cents,
+         LAG(revenue_cents) OVER (PARTITION BY nation ORDER BY year)
+           AS prev_cents
+  FROM rev
+)
+SELECT nation, year, revenue_cents,
+       CAST(revenue_cents - prev_cents AS BIGINT) AS delta_cents,
+       CAST(FLOOR(1000000.0 * (revenue_cents - prev_cents) / prev_cents
+                  + 0.5) AS BIGINT) AS growth_ppm
+FROM lagged
+WHERE prev_cents IS NOT NULL
+""",
+)
+def q_nation_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per customer nation — the trend
+    read behind every regional dashboard: which markets are growing,
+    which are stalling, by how many ppm.
+
+    Plan: revenue collapses to one (nation, year) row per pair —
+    ~25×|years| rows from ANY corpus size — via a single
+    map-side-combined aggregation of the fact stream (orders join is
+    the one fact-fact shuffle; customer AQE-planned; nation
+    broadcast). The LAG window then runs on that tiny grid, so the
+    window is free. Growth is floor(1e6·Δ/prev + 0.5) computed in
+    IEEE doubles — the identical mul/div/add/floor sequence in both
+    engines — because Δ may be negative and integer-division
+    semantics on negatives differ across engines (Spark `div`
+    truncates, ANSI `//` floors); the double form is engine-stable.
+    First observed year per nation is dropped (no prior to grow
+    from)."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("year"),
+        )
+        .agg(F.sum(_rev()).cast("bigint").alias("revenue_cents"))
+    )
+    w = Window.partitionBy("nation").orderBy("year")
+    lagged = rev.withColumn(
+        "prev_cents", F.lag("revenue_cents").over(w)
+    ).filter(F.col("prev_cents").isNotNull())
+    delta = F.col("revenue_cents") - F.col("prev_cents")
+    return lagged.select(
+        "nation",
+        "year",
+        "revenue_cents",
+        delta.cast("bigint").alias("delta_cents"),
+        F.floor(1000000.0 * delta / F.col("prev_cents") + F.lit(0.5))
+        .cast("bigint")
+        .alias("growth_ppm"),
+    )
+
+
+_US_PER_DAY = 86_400_000_000.0
+
+
+@query(
+    "q_order_fulfillment_latency",
+    oracle=f"""
+WITH per_order AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(FLOOR(epoch_us(MAX(l_shipdate) - o_orderdate)
+                    / {_US_PER_DAY}) AS BIGINT) AS days
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  GROUP BY o_orderkey, o_orderpriority, o_orderdate
+), ranked AS (
+  SELECT o_orderpriority, days,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY days, o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM per_order
+)
+SELECT o_orderpriority,
+       CAST(MAX(n) AS BIGINT) AS n_orders,
+       CAST(FLOOR(SUM(days) * 1.0 / MAX(n)) AS BIGINT) AS mean_days,
+       CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN days END) AS BIGINT) AS p50_days,
+       CAST(MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN days END) AS BIGINT) AS p90_days
+FROM ranked GROUP BY o_orderpriority
+""",
+)
+def q_order_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-last-shipment latency distribution per order priority
+    (n, mean, exact p50/p90 in whole days) — the SLA read: do URGENT
+    orders actually ship faster, and by how much at the tail?
+
+    Completion = MAX(l_shipdate) over the order's lines, computed in
+    the same groupBy that carries priority — ONE orderkey shuffle
+    shared with the join. Percentiles follow the repo's exact
+    nearest-rank contract (rank window per priority — 5 groups — with
+    o_orderkey tie-break). Day counts use floor(Δµs / 86.4e9) in
+    doubles, identical in both engines and correct for the NEGATIVE
+    latencies this corpus contains (ship before order), where
+    truncating integer division would disagree with floor."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    per_order = (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.floor(
+                (
+                    F.unix_micros(F.col("last_ship").cast("timestamp"))
+                    - F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+                )
+                / F.lit(_US_PER_DAY)
+            ).cast("bigint").alias("days"),
+        )
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("days", "o_orderkey")
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = per_order.select(
+        "o_orderpriority",
+        "days",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return ranked.groupBy("o_orderpriority").agg(
+        F.max("n").cast("bigint").alias("n_orders"),
+        F.floor(F.sum("days") * 1.0 / F.max("n")).cast("bigint").alias("mean_days"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("days"))
+        ).cast("bigint").alias("p50_days"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(9 * n + 9) div 10"), F.col("days"))
+        ).cast("bigint").alias("p90_days"),
+    )
+
+
+@query(
+    "q_weighted_median_price",
+    oracle="""
+WITH px AS (
+  SELECT p_brand,
+         CAST(FLOOR(l_extendedprice / l_quantity * 100 + 0.5) AS BIGINT)
+           AS unit_cents,
+         CAST(l_quantity AS BIGINT) AS w
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), grp AS (
+  SELECT p_brand, unit_cents, SUM(w) AS w
+  FROM px GROUP BY p_brand, unit_cents
+), cum AS (
+  SELECT p_brand, unit_cents, w,
+         SUM(w) OVER (PARTITION BY p_brand ORDER BY unit_cents) AS cw,
+         SUM(w) OVER (PARTITION BY p_brand) AS tw
+  FROM grp
+)
+SELECT p_brand,
+       CAST(MAX(tw) AS BIGINT) AS total_weight,
+       CAST(MIN(CASE WHEN 2 * cw >= tw THEN unit_cents END) AS BIGINT)
+         AS weighted_median_cents
+FROM cum GROUP BY p_brand
+""",
+)
+def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-WEIGHTED median unit price per brand — the inventory-
+    valuation median ("half the UNITS sold cost more than this"),
+    which an unweighted median over line items gets wrong whenever
+    cheap parts ship in bigger quantities. Weighted percentiles are a
+    distinct primitive from events_value_percentiles' rank-counting:
+    the pick is the smallest value whose CUMULATIVE weight reaches
+    half the total (2·cw ≥ tw in integers — no halving division).
+
+    Scale shape: the fact stream collapses to DISTINCT (brand,
+    unit_cents) rows first — one well-distributed shuffle keyed far
+    finer than the 25 brands — so the cumulative-sum windows run over
+    the collapsed price table (bounded by price cardinality, not row
+    count), sidestepping the 25-partition skew a direct per-brand
+    window over line items would have. Unit price is
+    floor(extprice/qty·100 + 0.5): identical IEEE div/mul/add/floor
+    in both engines; quantities are integral doubles, cast exactly."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    px = li.join(part, F.col("l_partkey") == F.col("p_partkey")).select(
+        "p_brand",
+        F.floor(F.col("l_extendedprice") / F.col("l_quantity") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("unit_cents"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+    )
+    grp = px.groupBy("p_brand", "unit_cents").agg(F.sum("w").alias("w"))
+    wc = Window.partitionBy("p_brand").orderBy("unit_cents")
+    wt = Window.partitionBy("p_brand")
+    cum = grp.select(
+        "p_brand",
+        "unit_cents",
+        F.sum("w").over(wc).alias("cw"),
+        F.sum("w").over(wt).alias("tw"),
+    )
+    return cum.groupBy("p_brand").agg(
+        F.max("tw").cast("bigint").alias("total_weight"),
+        F.min(
+            F.when(2 * F.col("cw") >= F.col("tw"), F.col("unit_cents"))
+        ).cast("bigint").alias("weighted_median_cents"),
+    )

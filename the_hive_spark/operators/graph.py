@@ -854,3 +854,101 @@ def graph_label_propagation3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_nodes"), F.asc("community"))
         .limit(30)
     )
+
+
+@query(
+    "graph_clustering_coefficient",
+    oracle="""
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), e AS (
+  SELECT part_a AS u, part_b AS v
+  FROM pairs GROUP BY part_a, part_b HAVING COUNT(*) >= 2
+), adj AS (
+  SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+), deg AS (
+  SELECT u AS node, COUNT(*) AS degree FROM adj GROUP BY u
+), tri AS (
+  SELECT a1.u AS node, COUNT(*) AS n_triangles
+  FROM adj a1
+  JOIN adj a2 ON a2.u = a1.u AND a1.v < a2.v
+  JOIN e t ON t.u = a1.v AND t.v = a2.v
+  GROUP BY a1.u
+)
+SELECT d.node, CAST(d.degree AS BIGINT) AS degree,
+       CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CAST(FLOOR(1000000.0 * 2 * COALESCE(t.n_triangles, 0)
+                  / (d.degree * (d.degree - 1)) + 0.5) AS BIGINT)
+         AS clustering_ppm
+FROM deg d LEFT JOIN tri t ON t.node = d.node
+WHERE d.degree >= 2
+ORDER BY clustering_ppm DESC, degree DESC, d.node ASC
+LIMIT 30
+""",
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node on the co-purchase graph
+    (graph_triangle_count gives the global numerator; this localizes
+    it): triangles(v) / C(deg(v), 2) in ppm, top-30 — the "is this
+    node's neighborhood a clique or a star" read that separates
+    bundle-like parts from hub parts.
+
+    Plan: per-node triangles come from the wedge join — adj ⋈ adj on
+    the center with v1 < v2, closed against the CANONICAL edge list
+    (u < v), so each triangle is counted exactly once per corner and
+    no orientation is double-counted. Degrees are one aggregation of
+    adj. Both joins are equi-joins on the persisted (matstore-routed)
+    thresholded edge list, the same base as triangle count / k-core —
+    at 100 TB the standard hub refinement is degree-ordering the
+    wedge side; the join shape is unchanged. Top-30 is a
+    TakeOrdered."""
+    from the_hive_spark.functions.matstore import materialized
+    from the_hive_spark.functions.partitioning import persist_right_sized
+    from the_hive_spark.operators.analytics import copurchase_pairs_cached
+
+    e = materialized(
+        spark,
+        ("triangle_edges_min2", sf_dir),
+        lambda: persist_right_sized(
+            copurchase_pairs_cached(spark, sf_dir)
+            .filter(F.col("n_orders") >= 2)
+            .select(F.col("part_a").alias("u"), F.col("part_b").alias("v"))
+        )[0],
+    )
+    adj = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = adj.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    a1 = adj.select(F.col("u").alias("node"), F.col("v").alias("v1"))
+    a2 = adj.select(F.col("u").alias("node"), F.col("v").alias("v2"))
+    tri = (
+        a1.join(a2, "node")
+        .filter(F.col("v1") < F.col("v2"))
+        .join(
+            e.select(F.col("u").alias("v1"), F.col("v").alias("v2")),
+            ["v1", "v2"],
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    t = F.coalesce("n_triangles", F.lit(0))
+    return (
+        deg.filter(F.col("degree") >= 2)
+        .join(tri, "node", "left")
+        .select(
+            "node",
+            F.col("degree").cast("bigint").alias("degree"),
+            t.cast("bigint").alias("n_triangles"),
+            F.floor(
+                1000000.0 * 2 * t
+                / (F.col("degree") * (F.col("degree") - 1))
+                + F.lit(0.5)
+            ).cast("bigint").alias("clustering_ppm"),
+        )
+        .orderBy(F.desc("clustering_ppm"), F.desc("degree"), F.asc("node"))
+        .limit(30)
+    )

@@ -1670,3 +1670,75 @@ def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("rn") == F.expr("(9 * n + 9) div 10"), F.col("us"))
         ).cast("bigint").alias("p90_us"),
     )
+
+
+_SURVIVAL_MAX_DAY = 13
+_US_PER_DAY_F = 86_400_000_000.0
+
+
+@query(
+    "events_survival_curve",
+    oracle=f"""
+WITH life AS (
+  SELECT user_id,
+         CAST(FLOOR(epoch_us(MAX(ts) - MIN(ts)) / {_US_PER_DAY_F})
+              AS BIGINT) AS lifetime_days
+  FROM events GROUP BY user_id
+), grid AS (
+  SELECT t.day
+  FROM life, unnest(range(0, LEAST(lifetime_days, {_SURVIVAL_MAX_DAY}) + 1))
+         AS t(day)
+), surv AS (
+  SELECT day, COUNT(*) AS n_users FROM grid GROUP BY day
+)
+SELECT CAST(day AS BIGINT) AS day,
+       CAST(n_users AS BIGINT) AS n_users,
+       CAST(FLOOR(1000000.0 * n_users / (SELECT COUNT(*) FROM life) + 0.5)
+            AS BIGINT) AS survival_ppm
+FROM surv
+""",
+)
+def events_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-lifetime survival curve: for each day offset d (0..13),
+    how many users were still active d or more days after their first
+    event, and what fraction of the base that is — the
+    Kaplan-Meier-style retention read (no censoring model: lifetime =
+    last observed minus first observed activity).
+
+    Scale shape: the survival count "users with lifetime ≥ d" is NOT
+    computed as a per-d filter sweep (14 fact scans) nor as a window —
+    each user CONTRIBUTES one row per day they survived (explode of a
+    0..min(lifetime, 13) sequence, ≤14 rows per user), and one
+    aggregation counts the grid. One user_id shuffle for lifetimes,
+    one tiny day-keyed aggregation after. The base count rides a
+    1-row broadcast cross join. Day arithmetic is floor(Δµs/86.4e9)
+    in doubles — engine-identical IEEE ops."""
+    ev = table(spark, sf_dir, "events")
+    life = ev.groupBy("user_id").agg(
+        F.floor(
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+            / F.lit(_US_PER_DAY_F)
+        ).cast("bigint").alias("lifetime_days")
+    )
+    from the_hive_spark.functions.partitioning import persist_right_sized
+
+    life_p, _ = persist_right_sized(life)
+    total = life_p.agg(F.count(F.lit(1)).alias("n_total"))
+    grid = life_p.select(
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.least(F.col("lifetime_days"), F.lit(_SURVIVAL_MAX_DAY)),
+            )
+        ).alias("day")
+    )
+    surv = grid.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    return surv.crossJoin(F.broadcast(total)).select(
+        F.col("day").cast("bigint").alias("day"),
+        "n_users",
+        F.floor(1000000.0 * F.col("n_users") / F.col("n_total") + F.lit(0.5))
+        .cast("bigint")
+        .alias("survival_ppm"),
+    )

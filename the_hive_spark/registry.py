@@ -143,6 +143,11 @@ _ADDED_R5: list[str] = [
     "events_funnel_latency",
     "graph_label_propagation3",
     "cust_er_clusters3",
+    "q_nation_yoy_growth",
+    "q_order_fulfillment_latency",
+    "q_weighted_median_price",
+    "graph_clustering_coefficient",
+    "events_survival_curve",
 ]
 
 # Round-4 gate kept for reference/tests of rotation history.

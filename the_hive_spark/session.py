@@ -67,7 +67,13 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         # quieter local runs
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local-mode heap: the "driver" JVM IS the whole cluster here
+        # (all 32 task threads + block manager + any collected result
+        # share it), so size it like an executor fleet, not a driver.
+        # 20g keeps a full sf1 sweep (6M-row facts, FP-growth, multi-
+        # million-row result hashing) inside one session; override
+        # with SPARK_DRIVER_MEMORY for bigger/smaller boxes.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "20g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
