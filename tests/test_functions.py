@@ -323,3 +323,30 @@ def test_zorder2_matches_reference_interleave(spark):
     zs = [r["z"] for r in seq.select(
         zorder2(F.col("a"), F.col("b")).alias("z")).orderBy("z").collect()]
     assert zs == sorted(zs) and len(set(zs)) == 1000
+
+
+def test_distributed_prefix_sum_composite_key_huge_ids(spark):
+    """Composite (group, id) order with ids far beyond any fixed shift
+    width (~9e12, the sf1 replica-offset regime): the multi-column
+    range partition must order (group ASC, id ASC) exactly — the r5
+    sf1 sweep caught a packed group*2^40+id key silently interleaving
+    groups once ids outgrew the shift."""
+    import random
+
+    from the_hive_spark.functions.ids import distributed_prefix_sum
+
+    rng = random.Random(7)
+    rows = [
+        (k, i * 1_000_000_000_000 + rng.randrange(10**9), rng.randrange(100))
+        for k in range(3)
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "grp int, id long, v long")
+    got = {
+        (r["grp"], r["id"]): r["p"]
+        for r in distributed_prefix_sum(df, ["grp", "id"], "v", out_col="p").collect()
+    }
+    acc = 0
+    for grp, id_, v in sorted(rows):
+        assert got[(grp, id_)] == acc, (grp, id_)
+        acc += v

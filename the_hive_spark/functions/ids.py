@@ -123,23 +123,29 @@ def ntile_from_rank(rank_col: str, n_rows: int, k: int):
 
 
 def distributed_prefix_sum(
-    df, order_col: str, value_col: str, out_col: str = "prefix_sum"
+    df, order_col: str | list[str], value_col: str, out_col: str = "prefix_sum"
 ):
     """Exclusive running sum of ``value_col`` in ``order_col`` order at
     cluster scale (row i gets the sum of all values strictly before it).
+    ``order_col`` may be a list for a composite (lexicographic) order —
+    range partitioning and windows both take multi-column keys natively,
+    so callers must NEVER pack two keys into one integer arithmetically
+    (a fixed shift silently reorders once ids outgrow it; the sf1 scale
+    sweep caught exactly that in media_shard_manifest's kind+id key).
 
     Same two-pass scheme as :func:`dense_sequential_ids` — a bare
     ``SUM() OVER (ORDER BY …)`` is a single-partition funnel. Here:
-    range-partition on the order column, running-sum *within* each
+    range-partition on the order column(s), running-sum *within* each
     partition, then add per-partition totals from one O(partitions)
     collect. Global order holds because range partitions are ordered.
     """
     from pyspark.sql import Window
 
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     spark = df.sparkSession
     n = spark.sparkContext.defaultParallelism
     ranged = (
-        df.repartitionByRange(n, F.col(order_col))
+        df.repartitionByRange(n, *[F.col(c) for c in order_cols])
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
@@ -158,7 +164,7 @@ def distributed_prefix_sum(
     )
     w = (
         Window.partitionBy("_pid")
-        .orderBy(order_col)
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     return (

@@ -2892,7 +2892,7 @@ def q_trade_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SUBST_BAND_CENTS = 200  # price-band bucket width (== max match distance)
+SUBST_BAND_CENTS = 200  # price-band width FLOOR (never narrower than this)
 
 
 @query(
@@ -2922,14 +2922,21 @@ def q_part_substitution_candidates(spark: SparkSession, sf_dir: str) -> DataFram
     The point is the JOIN SHAPE: "same brand AND |price_a − price_b| ≤
     ε·price" is a range predicate, and range joins degenerate to
     per-key cross products at scale. The scalable form BANDS the
-    range: bucket = cents / {SUBST_BAND_CENTS} (the band width equals
-    the maximum possible match distance, ≤ {SUBST_BAND_CENTS} cents at
-    these prices), each row also probes its RIGHT-neighbor bucket, and
-    the join becomes a plain equi-join on (brand, bucket) — candidate
-    pairs bounded by band occupancy, exact predicate re-checked after.
-    Same banding algebra as the LSH family, applied to a numeric
-    range. The a<b canonicalization plus probing only rightward keeps
-    every pair generated exactly once."""
+    range: bucket = cents / W, each row also probes its RIGHT-neighbor
+    bucket, and the join becomes a plain equi-join on (brand, bucket)
+    — candidate pairs bounded by band occupancy, exact predicate
+    re-checked after. Same banding algebra as the LSH family, applied
+    to a numeric range; probing rightward + post-join canonicalization
+    generates every pair exactly once.
+
+    Completeness requires W ≥ the maximum match distance, which is
+    price-dependent (ε·max_price = max_cents/500), so W is DERIVED
+    from a one-row max() over the part dim (the ANALYZE-stat pattern —
+    a hardcoded width silently drops cross-band pairs the day prices
+    outgrow it), floored at {SUBST_BAND_CENTS}. On dense price ranges
+    the candidate set is genuinely large (sf1: ~50 occupied bands →
+    ~6.4e9 candidates, 12× fewer than all-pairs — see SCALE_SF1.md);
+    banding prunes what the data allows, never drops a pair."""
     p = table(spark, sf_dir, "part").select(
         "p_partkey",
         "p_brand",
@@ -2937,14 +2944,16 @@ def q_part_substitution_candidates(spark: SparkSession, sf_dir: str) -> DataFram
         .cast("bigint")
         .alias("cents"),
     )
+    max_cents = (p.agg(F.max("cents").alias("m")).collect()[0]["m"]) or 0
+    band_w = max(SUBST_BAND_CENTS, -(-int(max_cents) // 500) + 1)
     a = p.select(
         "p_brand",
         F.col("p_partkey").alias("part_a"),
         F.col("cents").alias("cents_a"),
         F.explode(
             F.array(
-                (F.col("cents") / SUBST_BAND_CENTS).cast("bigint"),
-                (F.col("cents") / SUBST_BAND_CENTS).cast("bigint") + 1,
+                (F.col("cents") / band_w).cast("bigint"),
+                (F.col("cents") / band_w).cast("bigint") + 1,
             )
         ).alias("band"),
     )
@@ -2952,7 +2961,7 @@ def q_part_substitution_candidates(spark: SparkSession, sf_dir: str) -> DataFram
         "p_brand",
         F.col("p_partkey").alias("part_b"),
         F.col("cents").alias("cents_b"),
-        (F.col("cents") / SUBST_BAND_CENTS).cast("bigint").alias("band"),
+        (F.col("cents") / band_w).cast("bigint").alias("band"),
     )
     diff = F.abs(F.col("cents_a") - F.col("cents_b"))
     least = F.least("cents_a", "cents_b")

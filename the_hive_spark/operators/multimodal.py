@@ -373,12 +373,15 @@ def media_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle's per-kind ``SUM() OVER (ORDER BY)`` is the
     single-partition funnel Spark must not run at scale (3 kinds = 3
     partitions would serialize the corpus). Instead ONE
-    distributed_prefix_sum over a kind-major composite order key
-    (kind_idx·2⁴⁰ + media_id — range-partitioned, per-partition
-    windows, O(partitions) offset collect) yields the global running
-    sum, and each kind's exclusive prefix is that minus the kind's
-    start offset (a min over the kind — 3 tiny groups). Fully
-    parallel, deterministic, rerun-stable.
+    distributed_prefix_sum over the composite (kind_idx, media_id)
+    order key — range-partitioned, per-partition windows,
+    O(partitions) offset collect — yields the global running sum, and
+    each kind's exclusive prefix is that minus the kind's start offset
+    (a min over the kind — 3 tiny groups). Fully parallel,
+    deterministic, rerun-stable. The composite key is passed as TWO
+    range-partition columns, never packed into one integer: the r5
+    sf1 sweep caught the packed form (kind·2⁴⁰ + id) silently
+    interleaving kinds once replica ids outgrew the shift width.
     """
     from pyspark.sql import Window
 
@@ -389,11 +392,11 @@ def media_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
         "kind",
         F.length("content").cast("bigint").alias("n_bytes"),
-        (
-            (F.col("media_id") % 3) * F.lit(1 << 40) + F.col("media_id")
-        ).alias("_ord"),
+        (F.col("media_id") % 3).alias("_kind_idx"),
     )
-    p = distributed_prefix_sum(t, "_ord", "n_bytes", out_col="gprev")
+    p = distributed_prefix_sum(
+        t, ["_kind_idx", "media_id"], "n_bytes", out_col="gprev"
+    )
     return (
         p.withColumn(
             "kind_start", F.min("gprev").over(Window.partitionBy("kind"))
