@@ -202,6 +202,8 @@ EXTENDED = [
     "q_weighted_median_price",
     "graph_clustering_coefficient",
     "events_survival_curve",
+    "events_time_weighted_value",
+    "q_equidepth_histogram",
 ]
 
 

@@ -428,3 +428,55 @@ def test_survival_curve_monotone_and_anchored(spark):
     for a, b in zip(rows, rows[1:]):
         assert b["day"] == a["day"] + 1
         assert b["n_users"] <= a["n_users"]
+
+
+def test_time_weighted_value_matches_python(spark):
+    """Exact recomputation: per user sort by (ts, event_id), each
+    value holds until the next event; per-type Σv·Δt / ΣΔt."""
+    import math
+
+    ev = sorted(
+        table(spark, SF, "events")
+        .select("user_id", "ts", "event_id", "event_type", "value")
+        .collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    acc: dict[str, list] = {}
+    for a, b in zip(ev, ev[1:]):
+        if a["user_id"] != b["user_id"]:
+            continue
+        d = b["ts"] - a["ts"]
+        dt = (d.days * 86_400 + d.seconds) * 1_000_000 + d.microseconds
+        if dt <= 0:
+            continue
+        v = math.floor(a["value"] * 1_000_000 + 0.5)
+        s = acc.setdefault(a["event_type"], [0, 0, 0])
+        s[0] += 1
+        s[1] += dt
+        s[2] += v * dt
+    want = {
+        t: (n, held, math.floor(float(vdt) / float(held)))
+        for t, (n, held, vdt) in acc.items()
+    }
+    got = {
+        r["event_type"]: (r["n_intervals"], r["held_us"], r["twap_micros"])
+        for r in QUERIES["events_time_weighted_value"](spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_equidepth_histogram_is_equidepth_and_ordered(spark):
+    rows = sorted(
+        QUERIES["q_equidepth_histogram"](spark, SF).collect(),
+        key=lambda r: r["bin"],
+    )
+    assert [r["bin"] for r in rows] == list(range(1, 11))
+    n_total = table(spark, SF, "lineitem").count()
+    assert sum(r["n_rows"] for r in rows) == n_total
+    # equal heights within 1 row (NTILE remainder rule)
+    heights = [r["n_rows"] for r in rows]
+    assert max(heights) - min(heights) <= 1
+    # boundaries are ordered and non-overlapping (ties may touch)
+    for a, b in zip(rows, rows[1:]):
+        assert a["lo_cents"] <= a["hi_cents"]
+        assert a["hi_cents"] <= b["lo_cents"]

@@ -3205,3 +3205,70 @@ def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(2 * F.col("cw") >= F.col("tw"), F.col("unit_cents"))
         ).cast("bigint").alias("weighted_median_cents"),
     )
+
+
+HISTOGRAM_BINS = 10
+
+
+@query(
+    "q_equidepth_histogram",
+    oracle=f"""
+WITH v AS (
+  SELECT CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+         l_orderkey, l_linenumber
+  FROM lineitem
+), banded AS (
+  SELECT cents,
+         NTILE({HISTOGRAM_BINS}) OVER (ORDER BY cents, l_orderkey,
+                                       l_linenumber) AS bin
+  FROM v
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(cents) AS BIGINT) AS lo_cents,
+       CAST(MAX(cents) AS BIGINT) AS hi_cents
+FROM banded GROUP BY bin
+""",
+)
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-height) histogram of line price: 10 bins of
+    equal row count with their value boundaries — the ANALYZE-stats
+    primitive every optimizer's selectivity estimation rests on, and
+    the natural partner to q_table_stats_profile's scalar column
+    stats.
+
+    A bare NTILE over the fact table is THE single-partition funnel —
+    the oracle states it, the engine must not run it. Instead the
+    exact global rank comes from functions/ids.py::
+    dense_sequential_ids (range-partition + per-partition row_number +
+    O(partitions) offsets) banded by ids.ntile_from_rank's integer
+    arithmetic — hash-identical to the window form (same machinery as
+    events_rfm_segments' quintiles), then ONE 10-group aggregation.
+    Ranks carry the (orderkey, linenumber) tie-break so equal prices
+    band identically in both engines."""
+    from the_hive_spark.functions.ids import (
+        dense_sequential_ids,
+        ntile_from_rank,
+    )
+
+    li = table(spark, sf_dir, "lineitem").select(
+        cents(F.col("l_extendedprice")).alias("cents"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    n = li.count()
+    ranked = dense_sequential_ids(
+        li, ["cents", "l_orderkey", "l_linenumber"], id_col="_rank"
+    )
+    return (
+        ranked.select(
+            "cents", ntile_from_rank("_rank", n, HISTOGRAM_BINS).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("cents").cast("bigint").alias("lo_cents"),
+            F.max("cents").cast("bigint").alias("hi_cents"),
+        )
+        .select(F.col("bin").cast("bigint").alias("bin"), "n_rows", "lo_cents", "hi_cents")
+    )

@@ -1742,3 +1742,66 @@ def events_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("survival_ppm"),
     )
+
+
+@query(
+    "events_time_weighted_value",
+    oracle="""
+WITH seq AS (
+  SELECT event_type,
+         CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS v_micros,
+         epoch_us(LEAD(CAST(ts AS TIMESTAMP))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  - CAST(ts AS TIMESTAMP)) AS dt_us
+  FROM events
+), held AS (
+  SELECT event_type, v_micros, dt_us FROM seq
+  WHERE dt_us IS NOT NULL AND dt_us > 0
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       CAST(SUM(dt_us) AS BIGINT) AS held_us,
+       CAST(FLOOR(CAST(SUM(CAST(v_micros AS HUGEINT)
+                           * CAST(dt_us AS HUGEINT)) AS DOUBLE)
+                  / CAST(SUM(dt_us) AS DOUBLE)) AS BIGINT) AS twap_micros
+FROM held GROUP BY event_type
+""",
+)
+def events_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per event type (TWAP): each event's
+    value HOLDS from its timestamp until the same user's next event,
+    and the average weights by held duration — the right mean for
+    sampled state (price ticks, gauge readings, session quality),
+    where the arithmetic mean over-counts burst periods that emit many
+    short-lived samples.
+
+    One user-keyed window (LEAD) assigns each event its holding
+    interval — no self-join; a user's last event holds nothing and
+    drops out. The v·Δt products (µs-scaled value × µs duration)
+    overflow int64 at ~10⁶ events·days, so the weighted sum
+    accumulates in decimal(38,0) — the exact-moment pattern of
+    q_price_quantity_correlation — and only the final per-group
+    division happens in doubles (same decimal→double cast and
+    floor in both engines)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("v_micros"),
+        (
+            F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")
+        ).alias("dt_us"),
+    ).filter(F.col("dt_us").isNotNull() & (F.col("dt_us") > 0))
+    return seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        F.sum("dt_us").cast("bigint").alias("held_us"),
+        F.floor(
+            F.sum(
+                F.col("v_micros").cast("decimal(38,0)")
+                * F.col("dt_us").cast("decimal(38,0)")
+            ).cast("double")
+            / F.sum("dt_us").cast("double")
+        ).cast("bigint").alias("twap_micros"),
+    )

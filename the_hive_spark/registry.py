@@ -148,6 +148,8 @@ _ADDED_R5: list[str] = [
     "q_weighted_median_price",
     "graph_clustering_coefficient",
     "events_survival_curve",
+    "events_time_weighted_value",
+    "q_equidepth_histogram",
 ]
 
 # Round-4 gate kept for reference/tests of rotation history.
