@@ -101,3 +101,56 @@ def test_sweepline_peak_matches_brute_force(spark, tmp_path):
     assert len(got) == 1
     assert got[0]["peak_concurrent"] == want
     assert got[0]["sessions_started"] == 25
+
+
+def test_banded_substitution_complete_at_any_price_scale(spark):
+    """Property: the banded range join returns EXACTLY the brute-force
+    qualifying set even when prices exceed the 200-cent band floor's
+    completeness envelope ($1000) — the derived band width must keep
+    cross-band pairs (the sf1-hardening regression)."""
+    import random
+
+    from the_hive_spark.operators.analytics import banded_substitution_pairs
+
+    rng = random.Random(11)
+    rows = []
+    k = 0
+    for brand in ["B1", "B2", "B3"]:
+        # clusters around $45, $999, $4990 — the last far past the
+        # fixed-width envelope, with gaps that straddle band edges
+        for center in (4500, 99900, 499000):
+            for _ in range(40):
+                k += 1
+                rows.append(
+                    (k, brand, center + rng.randrange(-1200, 1201))
+                )
+    df = spark.createDataFrame(rows, "p_partkey long, p_brand string, cents long")
+    got = sorted(
+        (r["part_a"], r["part_b"], r["price_diff_cents"], r["rel_diff_ppm"])
+        for r in banded_substitution_pairs(df).collect()
+    )
+    want = []
+    by_brand: dict[str, list] = {}
+    for pk, brand, cents in rows:
+        by_brand.setdefault(brand, []).append((pk, cents))
+    import math
+
+    for brand, ps in by_brand.items():
+        for i, (ka, ca) in enumerate(ps):
+            for kb, cb in ps[i + 1:]:
+                d, lo = abs(ca - cb), min(ca, cb)
+                if d * 500 <= lo:
+                    want.append(
+                        (min(ka, kb), max(ka, kb), d,
+                         math.floor(1e6 * d / lo + 0.5))
+                    )
+    assert got == sorted(want)
+    # the adversarial premise actually holds: some qualifying pair
+    # spans non-adjacent 200-cent bands
+    assert any(
+        abs(ca // 200 - cb // 200) > 1
+        for brand, ps in by_brand.items()
+        for i, (ka, ca) in enumerate(ps)
+        for kb, cb in ps[i + 1:]
+        if abs(ca - cb) * 500 <= min(ca, cb)
+    )

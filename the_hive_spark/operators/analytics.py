@@ -2944,6 +2944,19 @@ def q_part_substitution_candidates(spark: SparkSession, sf_dir: str) -> DataFram
         .cast("bigint")
         .alias("cents"),
     )
+    return (
+        banded_substitution_pairs(p)
+        .orderBy(F.asc("rel_diff_ppm"), F.asc("part_a"), F.asc("part_b"))
+        .limit(50)
+    )
+
+
+def banded_substitution_pairs(p: DataFrame) -> DataFrame:
+    """The banding core of q_part_substitution_candidates, exposed on
+    an arbitrary (p_partkey, p_brand, cents) frame so the property
+    test can drive it with price ranges the parquet corpus doesn't
+    have (>$1000, where a fixed band width would silently drop
+    cross-band pairs). Returns the full qualifying pair set."""
     max_cents = (p.agg(F.max("cents").alias("m")).collect()[0]["m"]) or 0
     band_w = max(SUBST_BAND_CENTS, -(-int(max_cents) // 500) + 1)
     a = p.select(
@@ -2983,8 +2996,6 @@ def q_part_substitution_candidates(spark: SparkSession, sf_dir: str) -> DataFram
             .alias("rel_diff_ppm"),
         )
         .dropDuplicates(["part_a", "part_b"])
-        .orderBy(F.asc("rel_diff_ppm"), F.asc("part_a"), F.asc("part_b"))
-        .limit(50)
     )
 
 

@@ -1714,15 +1714,25 @@ def events_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row broadcast cross join. Day arithmetic is floor(Δµs/86.4e9)
     in doubles — engine-identical IEEE ops."""
     ev = table(spark, sf_dir, "events")
-    life = ev.groupBy("user_id").agg(
-        F.floor(
-            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
-            / F.lit(_US_PER_DAY_F)
-        ).cast("bigint").alias("lifetime_days")
-    )
+    from the_hive_spark.functions.matstore import materialized
     from the_hive_spark.functions.partitioning import persist_right_sized
 
-    life_p, _ = persist_right_sized(life)
+    # matstore-routed (the shared persist discipline): the total and
+    # the grid both read the lifetimes, and repeated invocations in
+    # one session must reuse the LRU-bounded cached copy instead of
+    # accreting one persisted DF per call
+    life_p = materialized(
+        spark,
+        ("user_lifetimes", sf_dir),
+        lambda: persist_right_sized(
+            ev.groupBy("user_id").agg(
+                F.floor(
+                    (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+                    / F.lit(_US_PER_DAY_F)
+                ).cast("bigint").alias("lifetime_days")
+            )
+        )[0],
+    )
     total = life_p.agg(F.count(F.lit(1)).alias("n_total"))
     grid = life_p.select(
         F.explode(
