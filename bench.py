@@ -221,6 +221,12 @@ def main() -> None:
         n for n in EXTENDED if n in registry.QUERIES and n not in HEAVY
     ]
     heavy_names = [n for n in HEAVY if n in registry.QUERIES]
+    # SPARK_GRAFT_BENCH_TIER=headline skips the extended/heavy tiers —
+    # for scale-trend runs at big SF dirs where 130+ extended queries
+    # would take hours; the driver never sets it, so the default run
+    # (and its JSON line) is unchanged.
+    if os.environ.get("SPARK_GRAFT_BENCH_TIER") == "headline":
+        ext_names, heavy_names = [], []
 
     # Warm-up (excluded from timings, caches NO table data):
     # 1. metadata-only count() per table = file listing + parquet footers;
