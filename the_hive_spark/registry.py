@@ -351,9 +351,13 @@ def load_all() -> None:
     ORACLED surface (every oracled query registered before that gate
     froze now has a green driver row; 0 hash failures in 4 rounds).
 
-    Round-6 rotation plan: (a) any queries added during round 5 that
-    did not make the r5 gate, (b) re-attests of whatever round-6 edits
-    touch, then (c) the next-oldest rows — the 25 remaining r1-only
+    Round-6 rotation plan: (a) the 7 round-5 additions that missed the
+    r5 gate (q_nation_yoy_growth, q_order_fulfillment_latency,
+    q_weighted_median_price, graph_clustering_coefficient,
+    events_survival_curve, events_time_weighted_value,
+    q_equidepth_histogram — all oracled, all green in the local sf0.01
+    sweep and the sf1 scale sweep), (b) re-attests of whatever round-6
+    edits touch, then (c) the next-oldest rows — the 25 remaining r1-only
     analytics (q2_min_acctbal_supplier, q4_order_priority,
     q6_revenue_forecast,
     q7_volume_shipping, q8_market_share, q10_returned_items,
