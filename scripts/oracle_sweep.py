@@ -135,8 +135,11 @@ def main() -> None:
         try:
             if name in spark_only:
                 n_rows = registry.QUERIES[name](spark, sf_dir).count()
+                # match stays None: a spark-only run is COMPLETION
+                # evidence, not verification — conflating it with a
+                # hash-verified True would make the summary lie
                 results[name] = {
-                    "match": True,
+                    "match": None,
                     "oracle": "skipped_spark_only",
                     "rows": n_rows,
                     "sec": round(time.perf_counter() - t0, 2),
@@ -169,17 +172,24 @@ def main() -> None:
                     "err": err1,
                     "sec": round(time.perf_counter() - t0, 2),
                 }
-        if not results[name]["match"]:
+        if results[name]["match"] is False:
             bad += 1
             print(f"MISMATCH {name}: {results[name]}", flush=True)
+        elif results[name]["match"] is None:
+            print(
+                f"spark-only {name} rows={results[name]['rows']}"
+                f" ({results[name]['sec']}s)", flush=True
+            )
         else:
             print(f"ok {name} ({results[name]['sec']}s)", flush=True)
 
     n = len(results)
+    n_spark_only = sum(1 for r in results.values() if r["match"] is None)
     summary = {
         "sf_dir": sf_dir,
         "n_oracled": n,
-        "n_match": n - bad,
+        "n_match": n - bad - n_spark_only,
+        "n_spark_only": n_spark_only,
         "n_bad": bad,
         "total_sec": round(sum(r["sec"] for r in results.values()), 1),
     }

@@ -222,19 +222,9 @@ def test_funnel_latency_consistent_with_funnel(spark):
 def test_label_propagation_matches_python_reference(spark):
     """3 synchronous min-label rounds recomputed in pure Python on the
     collected edge list must give the identical top-30 census."""
-    from the_hive_spark.functions.matstore import materialized
-    from the_hive_spark.functions.partitioning import persist_right_sized
-    from the_hive_spark.operators.analytics import copurchase_pairs_cached
+    from the_hive_spark.operators.analytics import copurchase_edges_min2
 
-    e = materialized(
-        spark,
-        ("triangle_edges_min2", SF),
-        lambda: persist_right_sized(
-            copurchase_pairs_cached(spark, SF)
-            .filter(F.col("n_orders") >= 2)
-            .select(F.col("part_a").alias("u"), F.col("part_b").alias("v"))
-        )[0],
-    ).collect()
+    e = copurchase_edges_min2(spark, SF).collect()
     nbrs: dict[int, set] = {}
     for r in e:
         nbrs.setdefault(r["u"], set()).add(r["v"])
@@ -372,19 +362,9 @@ def test_clustering_coefficient_matches_python(spark):
     list must reproduce the top-30 exactly."""
     import math
 
-    from the_hive_spark.functions.matstore import materialized
-    from the_hive_spark.functions.partitioning import persist_right_sized
-    from the_hive_spark.operators.analytics import copurchase_pairs_cached
+    from the_hive_spark.operators.analytics import copurchase_edges_min2
 
-    e = materialized(
-        spark,
-        ("triangle_edges_min2", SF),
-        lambda: persist_right_sized(
-            copurchase_pairs_cached(spark, SF)
-            .filter(F.col("n_orders") >= 2)
-            .select(F.col("part_a").alias("u"), F.col("part_b").alias("v"))
-        )[0],
-    ).collect()
+    e = copurchase_edges_min2(spark, SF).collect()
     nbrs: dict[int, set] = {}
     edges = set()
     for r in e:

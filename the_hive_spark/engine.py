@@ -920,17 +920,22 @@ class HiveEngine:
 
         exact_batch = False
         if new_doc_ids is not None:
-            from the_hive_spark.plans.advisor import advise_relation
+            from the_hive_spark.plans.advisor import advise_rowcount
 
             q = doc_vecs.filter(F.col("document_id").isin(new_doc_ids)).select(
                 F.col("document_id").alias("source_doc_id"),
                 F.col("embedding").alias("qvec"),
                 F.col("_alert").alias("_alert_a"),
             )
-            # measured stats pick the strategy: float vectors dominate
-            # the row (4 B/component) plus id/flag overhead
-            decision = advise_relation(
-                q, bytes_per_row=64 + 4 * self.embedding_dim
+            # stats pick the strategy: float vectors dominate the row
+            # (4 B/component) plus id/flag overhead. len(new_doc_ids)
+            # is a free driver-side upper bound on the batch rows —
+            # counting q would scan the chunks table once per ingest
+            # batch just to learn a number the caller already holds
+            decision = advise_rowcount(
+                self.spark,
+                len(new_doc_ids),
+                bytes_per_row=64 + 4 * self.embedding_dim,
             )
             exact_batch = decision.broadcast
 
@@ -1215,9 +1220,12 @@ def _restrict_to_ids(
     if ids is None:
         return df
     if isinstance(ids, DataFrame):
+        # no distinct(): LEFT SEMI already emits each left row at most
+        # once whatever the right side's duplication — a pre-distinct
+        # is a whole extra shuffle per micro-batch for nothing
         (id_col,) = ids.columns
         return df.join(
-            ids.withColumnRenamed(id_col, col).distinct(),
+            ids.withColumnRenamed(id_col, col),
             on=col,
             how="left_semi",
         )

@@ -44,7 +44,11 @@ def digest_chunk_id(doc_id: Column, chunk_index: Column) -> Column:
 
 
 def dense_sequential_ids(
-    df, order_col: str | list[str], base: int = 1, id_col: str = "id"
+    df,
+    order_col: str | list[str],
+    base: int = 1,
+    id_col: str = "id",
+    with_total: bool = False,
 ):
     """AUTOINCREMENT-parity ids at cluster scale: dense, starting at
     ``base``, assigned in ``order_col`` order (a column name or a list
@@ -59,8 +63,10 @@ def dense_sequential_ids(
     job (the DataFrame image of RDD.zipWithIndex's two-pass scheme).
     Global order holds because range partitions are themselves ordered.
 
-    Returns df plus ``id_col``. Two extra shuffles of df + one
-    O(partitions) collect; no single-partition stage anywhere.
+    Returns df plus ``id_col`` — or ``(df, total_rows)`` when
+    ``with_total=True``: the numbering pass already collects every
+    partition's count, so callers that need n (NTILE banding) must not
+    pay another full input scan for it.
     """
     from pyspark.sql import Window
 
@@ -90,13 +96,14 @@ def dense_sequential_ids(
         else F.lit(base)
     )
     w = Window.partitionBy("_pid").orderBy(*cols)
-    return (
+    out = (
         ranged.withColumn(
             id_col,
             (off + F.row_number().over(w) - 1).cast("long"),
         )
         .drop("_pid")
     )
+    return (out, acc - base) if with_total else out
 
 
 def ntile_from_rank(rank_col: str, n_rows: int, k: int):

@@ -1390,6 +1390,28 @@ def copurchase_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def copurchase_edges_min2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thresholded (co-ordered ≥2 times) canonically-oriented (u < v)
+    co-purchase edge list — the ONE shared graph base for triangle
+    count, k-core, Jaccard neighbors, label propagation, and the
+    clustering coefficient. Right-size-persisted and matstore-routed
+    under a single key so every consumer reads the identical cached
+    edge set; the threshold lives HERE and nowhere else (a forked
+    copy with a different filter would silently split the cache)."""
+    from the_hive_spark.functions.matstore import materialized
+    from the_hive_spark.functions.partitioning import persist_right_sized
+
+    return materialized(
+        spark,
+        ("triangle_edges_min2", sf_dir),
+        lambda: persist_right_sized(
+            copurchase_pairs_cached(spark, sf_dir)
+            .filter(F.col("n_orders") >= 2)
+            .select(F.col("part_a").alias("u"), F.col("part_b").alias("v"))
+        )[0],
+    )
+
+
 @query(
     "q_copurchase_pairs",
     oracle=_COPURCHASE_PAIRS_SQL
@@ -3267,9 +3289,11 @@ def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
     )
-    n = li.count()
-    ranked = dense_sequential_ids(
-        li, ["cents", "l_orderkey", "l_linenumber"], id_col="_rank"
+    # with_total rides the numbering pass's own per-partition counts —
+    # a separate li.count() would be a second full fact scan
+    ranked, n = dense_sequential_ids(
+        li, ["cents", "l_orderkey", "l_linenumber"], id_col="_rank",
+        with_total=True,
     )
     return (
         ranked.select(

@@ -261,6 +261,8 @@ def cust_linkage_fs_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("weight_ppm", w.cast("bigint"))
 
 
+from the_hive_spark.operators.graph import lp_round_sql
+
 _ER_LP_ROUNDS = 3
 
 _ER_PAIRS_CTE = """
@@ -290,23 +292,10 @@ WITH m AS (
 )"""
 
 
-def _er_lp_round_sql(i: int) -> str:
-    prev = f"l{i - 1}"
-    return f"""
-, nb{i} AS (
-  SELECT a.u AS node, MIN(l.lbl) AS nbr
-  FROM adj a JOIN {prev} l ON l.node = a.v GROUP BY a.u
-)
-, l{i} AS (
-  SELECT p.node, LEAST(p.lbl, COALESCE(n.nbr, p.lbl)) AS lbl
-  FROM {prev} p LEFT JOIN nb{i} n ON n.node = p.node
-)"""
-
-
 @query(
     "cust_er_clusters3",
     oracle=_ER_PAIRS_CTE
-    + "".join(_er_lp_round_sql(i) for i in range(1, _ER_LP_ROUNDS + 1))
+    + "".join(lp_round_sql(i) for i in range(1, _ER_LP_ROUNDS + 1))
     + f"""
 , sized AS (
   SELECT lbl, COUNT(*) AS cluster_size FROM l{_ER_LP_ROUNDS} GROUP BY lbl
@@ -334,6 +323,8 @@ def cust_er_clusters3(spark: SparkSession, sf_dir: str) -> DataFrame:
     components here; at a larger diameter this hands off to the
     star-contraction CC in operators/dedup.py. Only custkeys flow
     through the propagation joins — never names."""
+    from the_hive_spark.operators.graph import min_label_propagation
+
     pairs = cust_fuzzy_match_pairs(spark, sf_dir).select(
         "custkey_a", "custkey_b"
     )
@@ -344,23 +335,7 @@ def cust_er_clusters3(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("custkey_b").alias("u"), F.col("custkey_a").alias("v")
         )
     )
-    lbl = adj.select(F.col("u").alias("node")).distinct().select(
-        "node", F.col("node").alias("lbl")
-    )
-    for _ in range(_ER_LP_ROUNDS):
-        nbr = (
-            adj.join(
-                lbl.withColumnsRenamed({"node": "v", "lbl": "nbr_lbl"}), "v"
-            )
-            .groupBy(F.col("u").alias("node"))
-            .agg(F.min("nbr_lbl").alias("nbr"))
-        )
-        lbl = lbl.join(nbr, "node", "left").select(
-            "node",
-            F.least(F.col("lbl"), F.coalesce("nbr", F.col("lbl"))).alias(
-                "lbl"
-            ),
-        )
+    lbl = min_label_propagation(adj, _ER_LP_ROUNDS)
     sized = lbl.groupBy("lbl").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )

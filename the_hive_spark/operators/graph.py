@@ -439,24 +439,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresholded edge list persists through persist_right_sized so the
     three-way join runs at a task count matched to the measured edge
     count, not the fact scan's partitioning."""
-    from the_hive_spark.functions.partitioning import persist_right_sized
-    from the_hive_spark.operators.analytics import copurchase_pairs_cached
+    from the_hive_spark.operators.analytics import copurchase_edges_min2
 
-    from the_hive_spark.functions.matstore import materialized
-
-    # The right-sized persist is routed through the matstore so
-    # repeated invocations in one session reuse (and the 16-entry LRU
-    # bounds) the cached edge list instead of accreting one persisted
-    # copy per call.
-    e = materialized(
-        spark,
-        ("triangle_edges_min2", sf_dir),
-        lambda: persist_right_sized(
-            copurchase_pairs_cached(spark, sf_dir)
-            .filter(F.col("n_orders") >= 2)
-            .select(F.col("part_a").alias("u"), F.col("part_b").alias("v"))
-        )[0],
-    )
+    e = copurchase_edges_min2(spark, sf_dir)
     e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
     e3 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
@@ -709,19 +694,9 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     is degree-capping or orienting wedges by (degree, id) before the
     join; this corpus's max degree keeps the wedge count far below
     the fact scan."""
-    from the_hive_spark.functions.matstore import materialized
-    from the_hive_spark.functions.partitioning import persist_right_sized
-    from the_hive_spark.operators.analytics import copurchase_pairs_cached
+    from the_hive_spark.operators.analytics import copurchase_edges_min2
 
-    e = materialized(
-        spark,
-        ("triangle_edges_min2", sf_dir),
-        lambda: persist_right_sized(
-            copurchase_pairs_cached(spark, sf_dir)
-            .filter(F.col("n_orders") >= 2)
-            .select(F.col("part_a").alias("u"), F.col("part_b").alias("v"))
-        )[0],
-    )
+    e = copurchase_edges_min2(spark, sf_dir)
     adj = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = adj.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).alias("d")
@@ -759,7 +734,13 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LP_ROUNDS = 3
 
 
-def _lp_round_sql(i: int) -> str:
+def lp_round_sql(i: int) -> str:
+    """One synchronous min-label propagation round as a SQL CTE pair
+    (reads adjacency CTE ``adj`` and labels ``l{i-1}``, defines
+    ``l{i}``) — THE shared oracle building block for every bounded
+    min-label closure (graph communities here, entity-resolution
+    clusters in operators/entity_resolution.py). One definition so the
+    two oracles cannot drift."""
     prev = f"l{i - 1}"
     return f"""
 , nb{i} AS (
@@ -770,6 +751,35 @@ def _lp_round_sql(i: int) -> str:
   SELECT p.node, LEAST(p.lbl, COALESCE(n.nbr, p.lbl)) AS lbl
   FROM {prev} p LEFT JOIN nb{i} n ON n.node = p.node
 )"""
+
+
+def min_label_propagation(adj: DataFrame, rounds: int) -> DataFrame:
+    """``rounds`` synchronous min-label rounds over a directed
+    adjacency frame (u, v) — returns (node, lbl). The Spark image of
+    :func:`lp_round_sql`: per round one neighbor equi-join + a
+    map-side-combined MIN + a left join back; deterministic (labels
+    are node ids, min is order-free), no driver state beyond the
+    fixed round count. Shared by graph_label_propagation3 and
+    cust_er_clusters3 so the engine-side algebra cannot drift from
+    the shared oracle either."""
+    lbl = adj.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(rounds):
+        nbr = (
+            adj.join(
+                lbl.withColumnsRenamed({"node": "v", "lbl": "nbr_lbl"}), "v"
+            )
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.min("nbr_lbl").alias("nbr"))
+        )
+        lbl = lbl.join(nbr, "node", "left").select(
+            "node",
+            F.least(F.col("lbl"), F.coalesce("nbr", F.col("lbl"))).alias(
+                "lbl"
+            ),
+        )
+    return lbl
 
 
 @query(
@@ -789,7 +799,7 @@ WITH op AS (
 ), l0 AS (
   SELECT DISTINCT u AS node, u AS lbl FROM adj
 )"""
-    + "".join(_lp_round_sql(i) for i in range(1, _LP_ROUNDS + 1))
+    + "".join(lp_round_sql(i) for i in range(1, _LP_ROUNDS + 1))
     + f"""
 SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes
 FROM l{_LP_ROUNDS}
@@ -814,40 +824,11 @@ def graph_label_propagation3(spark: SparkSession, sf_dir: str) -> DataFrame:
     becomes the localCheckpoint frontier pattern of graph_bfs_3hop).
     Labels are node ids, so no label table is materialized anywhere.
     """
-    from the_hive_spark.functions.matstore import materialized
-    from the_hive_spark.functions.partitioning import persist_right_sized
-    from the_hive_spark.operators.analytics import copurchase_pairs_cached
+    from the_hive_spark.operators.analytics import copurchase_edges_min2
 
-    e = materialized(
-        spark,
-        ("triangle_edges_min2", sf_dir),
-        lambda: persist_right_sized(
-            copurchase_pairs_cached(spark, sf_dir)
-            .filter(F.col("n_orders") >= 2)
-            .select(F.col("part_a").alias("u"), F.col("part_b").alias("v"))
-        )[0],
-    )
+    e = copurchase_edges_min2(spark, sf_dir)
     adj = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    lbl = adj.select(F.col("u").alias("node")).distinct().select(
-        "node", F.col("node").alias("lbl")
-    )
-    for _ in range(_LP_ROUNDS):
-        nbr = (
-            adj.join(
-                lbl.withColumnsRenamed({"node": "v", "lbl": "nbr_lbl"}), "v"
-            )
-            .groupBy(F.col("u").alias("node"))
-            .agg(F.min("nbr_lbl").alias("nbr"))
-        )
-        lbl = (
-            lbl.join(nbr, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("lbl"), F.coalesce("nbr", F.col("lbl"))
-                ).alias("lbl"),
-            )
-        )
+    lbl = min_label_propagation(adj, _LP_ROUNDS)
     return (
         lbl.groupBy(F.col("lbl").alias("community"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
@@ -906,19 +887,9 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB the standard hub refinement is degree-ordering the
     wedge side; the join shape is unchanged. Top-30 is a
     TakeOrdered."""
-    from the_hive_spark.functions.matstore import materialized
-    from the_hive_spark.functions.partitioning import persist_right_sized
-    from the_hive_spark.operators.analytics import copurchase_pairs_cached
+    from the_hive_spark.operators.analytics import copurchase_edges_min2
 
-    e = materialized(
-        spark,
-        ("triangle_edges_min2", sf_dir),
-        lambda: persist_right_sized(
-            copurchase_pairs_cached(spark, sf_dir)
-            .filter(F.col("n_orders") >= 2)
-            .select(F.col("part_a").alias("u"), F.col("part_b").alias("v"))
-        )[0],
-    )
+    e = copurchase_edges_min2(spark, sf_dir)
     adj = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = adj.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).alias("degree")

@@ -106,3 +106,19 @@ def advise_relation(
     n = int(df.count())
     est = n * bytes_per_row
     return JoinDecision(est <= threshold, n, est, threshold)
+
+
+def advise_rowcount(
+    spark, n: int, bytes_per_row: int = DEFAULT_BYTES_PER_ROW
+) -> JoinDecision:
+    """:func:`advise_relation` when the caller already KNOWS a row
+    count (or a tight upper bound) driver-side — e.g. a per-batch id
+    list's length. Same decision law, zero cluster work: counting a
+    relation the caller can bound for free is an anti-pattern (it cost
+    a full chunks-table scan per ingest batch before this existed).
+    An upper bound is conservatively safe: it can only demote a
+    broadcast to the shuffle path, never broadcast something too
+    big."""
+    threshold = _broadcast_threshold_bytes(spark)
+    est = n * bytes_per_row
+    return JoinDecision(est <= threshold, int(n), est, threshold)

@@ -33,52 +33,59 @@ def analyze_batch(engine: HiveEngine, completed: DataFrame) -> None:
     unpartitioned window.
     """
     completed = completed.cache()
-    if completed.isEmpty():
-        return
+    try:
+        if completed.isEmpty():
+            return
 
-    # completion events (events.go:36-62)
-    base = engine._next_id("events")
-    events = dense_sequential_ids(
-        completed.select(
-            F.col("document_id"),
-            F.col("n_chunks"),
-            F.col("completion_reason"),
-        ),
-        "document_id",
-        base=base,
-        id_col="id",
-    ).select(
-        "id",
-        F.current_timestamp().alias("timestamp"),
-        F.lit("ingest").alias("event_type"),
-        F.col("document_id").alias("document_name"),
-        F.format_string(
-            "Document complete: %d chunks (%s)", "n_chunks", "completion_reason"
-        ).alias("details"),
-    )
-    engine._append("events", events)
+        # completion events (events.go:36-62)
+        base = engine._next_id("events")
+        events = dense_sequential_ids(
+            completed.select(
+                F.col("document_id"),
+                F.col("n_chunks"),
+                F.col("completion_reason"),
+            ),
+            "document_id",
+            base=base,
+            id_col="id",
+        ).select(
+            "id",
+            F.current_timestamp().alias("timestamp"),
+            F.lit("ingest").alias("event_type"),
+            F.col("document_id").alias("document_name"),
+            F.format_string(
+                "Document complete: %d chunks (%s)", "n_chunks", "completion_reason"
+            ).alias("details"),
+        )
+        engine._append("events", events)
 
-    # P7 keyword alert on the assembled text
-    alerts = completed.filter(
-        F.instr(F.upper("full_text"), ALERT_KEYWORD) > 0
-    ).select(
-        F.current_timestamp().alias("timestamp"),
-        F.lit("ALERT").alias("alert_type"),
-        F.format_string(
-            "Document %s contains %s content", "document_id", F.lit(ALERT_KEYWORD)
-        ).alias("message"),
-        F.lit("warning").alias("level"),
-        F.col("document_id").alias("document_id"),
-        F.lit("").alias("organization_id"),
-    )
-    if not alerts.isEmpty():
-        engine._append("alerts", alerts)
+        # P7 keyword alert on the assembled text
+        alerts = completed.filter(
+            F.instr(F.upper("full_text"), ALERT_KEYWORD) > 0
+        ).select(
+            F.current_timestamp().alias("timestamp"),
+            F.lit("ALERT").alias("alert_type"),
+            F.format_string(
+                "Document %s contains %s content", "document_id", F.lit(ALERT_KEYWORD)
+            ).alias("message"),
+            F.lit("warning").alias("level"),
+            F.col("document_id").alias("document_id"),
+            F.lit("").alias("organization_id"),
+        )
+        if not alerts.isEmpty():
+            engine._append("alerts", alerts)
 
-    # standing rules against the completed docs (J3 single-doc mode;
-    # chunks were upserted by the ingest leg of the pipeline) —
-    # restricted by semi-join on the batch's ids, not a driver list
-    if not engine.active_rules().isEmpty():
-        engine.evaluate_rules(document_ids=completed.select("document_id"))
+        # standing rules against the completed docs (J3 single-doc mode;
+        # chunks were upserted by the ingest leg of the pipeline) —
+        # restricted by semi-join on the batch's ids, not a driver list
+        if not engine.active_rules().isEmpty():
+            engine.evaluate_rules(document_ids=completed.select("document_id"))
+    finally:
+        # release the per-batch cache entry — CacheManager holds a
+        # strong reference, so without this every micro-batch (or the
+        # WHOLE corpus on an availableNow backlog batch) stays pinned
+        # in storage memory for the life of the stream
+        completed.unpersist()
 
 
 def chunk_pipeline(

@@ -113,14 +113,20 @@ def admit_events(
     # event-time refill would have refilled the bucket to full burst
     # anyway (burst/rate seconds) — a shorter processing-time timeout
     # would hand slow-rate keys a fresh burst earlier than the rate
-    # allows. Caveat: this is a PROCESSING-time timeout (wall clock),
-    # so replays with different micro-batch pacing can drop state at
-    # different points; the floor above makes that difference
-    # admission-neutral (the refill law reaches the same full bucket),
-    # which is what the module's determinism claim rests on.
-    state.setTimeoutDuration(
-        max(60_000, int(1000 * burst / rate_per_sec))
-    )
+    # allows. Caveat: this is a PROCESSING-time timeout (wall clock)
+    # while refill is EVENT-time; for sources whose event time lags
+    # wall clock, a live run can still expire state that a
+    # back-to-back replay would have kept, so replay determinism holds
+    # exactly only while state is live — the floor removes the
+    # common faster-than-rate refresh, not every pacing artifact.
+    # rate_per_sec <= 0 means block-after-burst FOREVER: refill never
+    # adds tokens, so the state must never expire (expiry would mint a
+    # fresh burst); leaving the timeout unset keeps it immortal,
+    # bounded by key cardinality like any keyed-state operator.
+    if rate_per_sec > 0:
+        state.setTimeoutDuration(
+            max(60_000, int(1000 * burst / rate_per_sec))
+        )
     if rows:
         yield pd.DataFrame(out)
 
