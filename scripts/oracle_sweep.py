@@ -5,10 +5,14 @@ order-insensitive value hash), but over EVERY oracled registry query.
 
 Usage: python scripts/oracle_sweep.py [SF_DIR] [--out FILE]
            [--resume FILE] [--spark-only name1,name2]
+           [--only prefix1,prefix2]
 Exit code 0 iff every oracled query matches.
 
 --resume FILE     reuse the matched results of a previous --out JSON
                   (only re-runs queries that failed / never ran).
+--only a,b        restrict the sweep to queries whose name equals or
+                  starts with one of the given prefixes (family-
+                  targeted scale runs, e.g. --only doc_,emb_,graph_).
 --spark-only a,b  for these names, run ONLY the Spark side and record
                   rows+sec (no oracle hash). For clone-replicated
                   scale dirs (make_scale_data.py) a handful of
@@ -41,6 +45,25 @@ from the_hive_spark.tables import TABLE_NAMES
 
 
 def _hash(df) -> tuple[int, str]:
+    # Normalize dtypes before rendering: a NULL-bearing bigint column
+    # comes back float64 from Spark's toPandas ('1.0'/nan) but may stay
+    # int64/NA from DuckDB's fetchdf — str() then differs on IDENTICAL
+    # values, a false MISMATCH (never a false green) that wastes sweep
+    # re-runs. Round-trip integral float columns through nullable Int64
+    # so both fetch paths render the same canonical text.
+    df = df.copy()
+    for c in df.columns:
+        col = df[c]
+        try:
+            if col.dtype.kind == "f":
+                nonnull = col.dropna()
+                if (nonnull == nonnull.round()).all():  # incl. all-NULL
+                    df[c] = col.astype("Int64")
+            elif col.dtype.kind == "i":
+                df[c] = col.astype("Int64")  # match NULL-bearing form
+        except (ValueError, TypeError, OverflowError):
+            pass  # inf / out-of-int64 floats: leave as-is (worst case
+            # a false mismatch, same as before this normalization)
     rows = ["\t".join(map(str, r)) for r in df.itertuples(index=False)]
     rows.sort()
     return len(rows), hashlib.sha256("\n".join(rows).encode()).hexdigest()[:16]
@@ -61,6 +84,9 @@ def main() -> None:
         spark_only = set(
             sys.argv[sys.argv.index("--spark-only") + 1].split(",")
         )
+    only: list[str] | None = None
+    if "--only" in sys.argv:
+        only = sys.argv[sys.argv.index("--only") + 1].split(",")
     registry.load_all()
     spark = get_spark(app_name="oracle-sweep")
     spark.sparkContext.setLogLevel("ERROR")
@@ -127,6 +153,8 @@ def main() -> None:
     bad = 0
     for name in registry.QUERIES:
         if name not in registry.ORACLES:
+            continue
+        if only is not None and not any(name.startswith(p) for p in only):
             continue
         if name in resumed:
             results[name] = {**resumed[name], "resumed": True}

@@ -19,8 +19,19 @@ registry.load_all()
 
 _ROOT = os.path.join(os.path.dirname(__file__), "..")
 
+# Queries whose PLANS changed in round 6 (min_label_propagation
+# localCheckpoint fix, geometric price banding, single-pass BPE token
+# stats): a green driver row earned under the old plan does not attest
+# the new one, so these MUST re-earn rows in the r6 gate.
+_PLAN_CHANGED_R6 = [
+    "graph_label_propagation3",
+    "cust_er_clusters3",
+    "q_part_substitution_candidates",
+    "doc_bpe_token_stats",
+]
 
-def _driver_checked(rounds=("01", "02", "03", "04")) -> set[str]:
+
+def _driver_checked(rounds=("01", "02", "03", "04", "05")) -> set[str]:
     """Names with a GREEN driver CORRECTNESS row in the given rounds
     (a ``no_oracle`` err row is not a verification — round 4's
     lesson)."""
@@ -56,38 +67,45 @@ def test_top50_budget():
     )
     names = json.loads(out.stdout.strip().splitlines()[-1])
     assert len(names) >= 50
-    assert names[: len(registry._GATE_R5)] == registry._GATE_R5
+    assert names[: len(registry._GATE_R6)] == registry._GATE_R6
 
 
-def test_gate_r5_all_oracled():
+def test_gate_r6_all_oracled():
     """EVERY gate slot must have a DuckDB oracle. The driver returns
     ``err: "no_oracle"`` for rows-only queries — it does NOT fall back
     to a rows+schema check — so a rows-only slot verifies nothing
     (round 4 burned 11 of 50 slots this way, CORRECTNESS_r04.json).
     This makes the mistake structurally impossible for all future
     rotations."""
-    assert len(registry._GATE_R5) == 50
-    unoracled = [n for n in registry._GATE_R5 if n not in registry.ORACLES]
+    assert len(registry._GATE_R6) == 50
+    unoracled = [n for n in registry._GATE_R6 if n not in registry.ORACLES]
     assert not unoracled, unoracled
 
 
-def test_gate_r5_slots():
-    """Slots 1-23: the oracled _ADDED_R4 queries (no driver row yet by
-    construction). Slots 24-50: re-attests whose only green row is
-    from round 1 — or queries added/edited during round 5."""
-    oracled_added_r4 = [
-        n for n in registry._ADDED_R4 if n in registry.ORACLES
+def test_gate_r6_slots():
+    """Slots 1-7: the oracled round-5 additions that missed the r5
+    gate (no driver row by construction). Slots 8-11: the round-6
+    plan-change re-attests. The rest: re-attests whose only green row
+    is from round 1 or 2 (the oldest in the record) — or round-6
+    additions swapped into the tail."""
+    post_r5_gate = [
+        n
+        for n in registry._ADDED_R5
+        if n in registry.ORACLES and n not in registry._GATE_R5
     ]
-    assert registry._GATE_R5[:23] == oracled_added_r4
+    assert registry._GATE_R6[:7] == post_r5_gate
+    assert registry._GATE_R6[7:11] == _PLAN_CHANGED_R6
     checked = _driver_checked()
     if not checked:
         return  # fresh clone without driver artifacts
-    r1_only = _driver_checked(("01",)) - _driver_checked(("02", "03", "04"))
-    added_r5 = set(getattr(registry, "_ADDED_R5", []))
-    for n in registry._GATE_R5[23:]:
-        assert n in r1_only or n in added_r5, (
-            f"re-attest slot {n} is neither an r1-only row nor a "
-            "round-5 addition"
+    old_only = _driver_checked(("01", "02")) - _driver_checked(
+        ("03", "04", "05")
+    )
+    added_r6 = set(registry._ADDED_R6)
+    for n in registry._GATE_R6[11:]:
+        assert n in old_only or n in added_r6, (
+            f"re-attest slot {n} is neither an r1/r2-only row nor a "
+            "round-6 addition"
         )
 
 
@@ -98,19 +116,26 @@ def test_no_green_query_left_behind():
     checked = _driver_checked()
     if not checked:
         return
-    added_r5 = set(getattr(registry, "_ADDED_R5", []))
+    added_r6 = set(registry._ADDED_R6)
     never = [
         n
         for n in registry.ORACLES
         if n not in checked
-        and n not in registry._GATE_R5
-        and n not in added_r5
+        and n not in registry._GATE_R6
+        and n not in added_r6
     ]
     assert not never, (
-        "oracled queries with no driver row missing from the r5 gate "
-        "(and not declared in _ADDED_R5 for the round-6 rotation): "
+        "oracled queries with no driver row missing from the r6 gate "
+        "(and not declared in _ADDED_R6 for the round-7 rotation): "
         + str(never)
     )
+
+
+def test_plan_changed_queries_regated():
+    """The round-6 plan edits invalidated these queries' old driver
+    rows; each must hold a gate slot this round."""
+    for n in _PLAN_CHANGED_R6:
+        assert n in registry._GATE_R6, n
 
 
 def test_every_query_has_callable_and_unique_name():

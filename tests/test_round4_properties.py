@@ -104,10 +104,11 @@ def test_sweepline_peak_matches_brute_force(spark, tmp_path):
 
 
 def test_banded_substitution_complete_at_any_price_scale(spark):
-    """Property: the banded range join returns EXACTLY the brute-force
-    qualifying set even when prices exceed the 200-cent band floor's
-    completeness envelope ($1000) — the derived band width must keep
-    cross-band pairs (the sf1-hardening regression)."""
+    """Property: the geometric-banded range join returns EXACTLY the
+    brute-force qualifying set across five decades of price — clusters
+    dense enough that matches straddle log-band edges, plus the ≤ 1
+    cent corner where the log argument is clamped (zero can only match
+    zero; all clamped rows share a band)."""
     import random
 
     from the_hive_spark.operators.analytics import banded_substitution_pairs
@@ -116,14 +117,24 @@ def test_banded_substitution_complete_at_any_price_scale(spark):
     rows = []
     k = 0
     for brand in ["B1", "B2", "B3"]:
-        # clusters around $45, $999, $4990 — the last far past the
-        # fixed-width envelope, with gaps that straddle band edges
-        for center in (4500, 99900, 499000):
+        # clusters spanning $0.45 to ~$500k — geometric bands must hold
+        # completeness at every magnitude, not just the TPC-H envelope
+        for center, spread in (
+            (45, 2),
+            (4500, 1200),
+            (99900, 1200),
+            (499000, 2500),
+            (49900000, 150000),
+        ):
             for _ in range(40):
                 k += 1
                 rows.append(
-                    (k, brand, center + rng.randrange(-1200, 1201))
+                    (k, brand, center + rng.randrange(-spread, spread + 1))
                 )
+        # degenerate corner: zero/one-cent prices (log clamp path)
+        for cents in (0, 0, 1, 1, 2):
+            k += 1
+            rows.append((k, brand, cents))
     df = spark.createDataFrame(rows, "p_partkey long, p_brand string, cents long")
     got = sorted(
         (r["part_a"], r["part_b"], r["price_diff_cents"], r["rel_diff_ppm"])
@@ -142,15 +153,19 @@ def test_banded_substitution_complete_at_any_price_scale(spark):
                 if d * 500 <= lo:
                     want.append(
                         (min(ka, kb), max(ka, kb), d,
-                         math.floor(1e6 * d / lo + 0.5))
+                         0 if d == 0 else math.floor(1e6 * d / lo + 0.5))
                     )
     assert got == sorted(want)
-    # the adversarial premise actually holds: some qualifying pair
-    # spans non-adjacent 200-cent bands
-    assert any(
-        abs(ca // 200 - cb // 200) > 1
+    # the adversarial premises actually hold: some qualifying pair
+    # crosses a log-band boundary (right-neighbor probe is load-
+    # bearing), and the zero-price corner produced a pair
+    band = lambda c: math.floor(math.log(max(c, 1)) / math.log(1.003))
+    crossers = [
+        (ca, cb)
         for brand, ps in by_brand.items()
         for i, (ka, ca) in enumerate(ps)
         for kb, cb in ps[i + 1:]
         if abs(ca - cb) * 500 <= min(ca, cb)
-    )
+    ]
+    assert any(band(ca) != band(cb) for ca, cb in crossers)
+    assert any(ca == 0 and cb == 0 for ca, cb in crossers)

@@ -788,6 +788,97 @@ def test_rate_limiter_token_bucket(spark, tmp_path):
     assert sum(first_five) == DEFAULT_BURST
 
 
+def test_rate_limiter_pacing_parity_across_expiry(spark, tmp_path):
+    """Admissions are identical whether the input arrives as ONE
+    micro-batch (state never expires) or one-file-per-trigger (the
+    idle key's bucket expires mid-run and is recreated) — the
+    event-time-timeout guarantee. User 1 bursts, idles past the 60 s
+    expiry floor while user 2's steady traffic advances the watermark
+    (expiring user 1's state in the paced run only), then returns;
+    both runs must match the pure-python bucket simulation."""
+    import pandas as pd
+
+    from the_hive_spark.streaming.ratelimit import (
+        DEFAULT_BURST,
+        DEFAULT_RATE_PER_SEC,
+        rate_limited,
+    )
+
+    sec = 1_000_000  # µs
+    files = [
+        # f1: user 1's burst of 4 (3 admitted) + user 2 baseline
+        [(1, 0, 0), (1, 1, 100_000), (1, 2, 200_000), (1, 3, 300_000),
+         (2, 100, 0)],
+        # f2-f4: user 2 alone advances the watermark past user 1's
+        # timeout (0.3 s + 60 s floor); user 1 expires in the paced run
+        [(2, 101, 60 * sec)],
+        [(2, 102, 120 * sec), (2, 103, 180 * sec)],
+        [(2, 104, 240 * sec)],
+        # f5: user 1 returns after 300 s idle — fresh bucket (paced)
+        # vs refilled-to-full bucket (single batch): same 3 admissions
+        [(1, 4, 300 * sec), (1, 5, int(300.1 * sec)),
+         (1, 6, int(300.2 * sec)), (1, 7, int(300.3 * sec)),
+         (2, 105, 300 * sec)],
+    ]
+
+    def run(paced: bool, tag: str):
+        src = tmp_path / f"rlp_{tag}"
+        src.mkdir()
+        for i, rows in enumerate(files):
+            pd.DataFrame(
+                [{"user_id": u, "event_id": e, "ts_us": t}
+                 for u, e, t in rows]
+            ).astype("int64").to_parquet(src / f"f{i}.parquet")
+        reader = spark.readStream.schema(
+            spark.read.parquet(str(src)).schema
+        )
+        if paced:
+            reader = reader.option("maxFilesPerTrigger", 1)
+        q = (
+            rate_limited(reader.parquet(str(src)))
+            .writeStream.format("memory")
+            .queryName(f"rlp_{tag}")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return {
+            r["event_id"]: (r["allowed"], r["tokens_after_milli"])
+            for r in spark.sql(f"SELECT * FROM rlp_{tag}").collect()
+        }
+
+    paced = run(True, "paced")
+    single = run(False, "single")
+
+    def simulate(events):
+        out = {}
+        tokens, last = DEFAULT_BURST * 1000, None
+        for eid, ts in sorted(events, key=lambda t: (t[1], t[0])):
+            if last is not None and ts > last:
+                tokens = min(
+                    DEFAULT_BURST * 1000,
+                    tokens + int((ts - last) * DEFAULT_RATE_PER_SEC // 1000),
+                )
+            last = ts if last is None else max(last, ts)
+            allowed = 1 if tokens >= 1000 else 0
+            if allowed:
+                tokens -= 1000
+            out[eid] = (allowed, tokens)
+        return out
+
+    want = {}
+    flat = [r for rows in files for r in rows]
+    for uid in (1, 2):
+        want.update(simulate([(e, t) for u, e, t in flat if u == uid]))
+    assert paced == want, f"paced run diverged: {paced} != {want}"
+    assert single == want, f"single-batch run diverged: {single} != {want}"
+    # the scenario actually crossed the boundary: user 1 idled longer
+    # than the expiry floor
+    idle_s = (300 * sec - 300_000) / sec
+    assert idle_s > max(60, DEFAULT_BURST / DEFAULT_RATE_PER_SEC)
+
+
 def test_streaming_sources_no_driver_side_batch_work():
     """Round-4 verdict scale wart: nothing under streaming/ may do
     per-batch driver-side work — no ``.collect()`` of row sets and no

@@ -19,6 +19,7 @@ TakeOrdered(k).
 
 from __future__ import annotations
 
+import logging
 import os
 import shutil
 
@@ -30,6 +31,8 @@ from the_hive_spark.functions.chunkers import chunk_sentence_udf
 from the_hive_spark.functions.embedding import bow_embedding_np, make_embedder
 from the_hive_spark.functions.ids import sha256_hex, uuid5_chunk_id
 from the_hive_spark.operators.similarity import cosine
+
+_LOG = logging.getLogger(__name__)
 
 # P7 keyword alarm (hive_service.go:222-246)
 ALERT_KEYWORD = "CONFIDENTIAL"
@@ -863,7 +866,7 @@ class HiveEngine:
     def contradiction_candidates(
         self,
         top_k: int = 5,
-        new_doc_ids: list[str] | None = None,
+        new_doc_ids: list[str] | DataFrame | None = None,
         n_planes: int = 64,
         n_bands: int = 8,
     ) -> DataFrame:
@@ -876,7 +879,9 @@ class HiveEngine:
         Two scale paths, neither a cartesian:
 
         - ``new_doc_ids`` given (the per-ingest-batch shape the
-          reference actually runs): the batch's MEASURED size decides
+          reference actually runs; a list for explicit API calls, or a
+          single-column DataFrame so per-batch id sets never leave the
+          cluster): the batch's MEASURED size decides
           the strategy (plans/advisor.advise_relation — the ANALYZE
           consumer). A batch whose query vectors fit the session's
           broadcast threshold broadcasts against one corpus pass —
@@ -919,25 +924,53 @@ class HiveEngine:
         flags = doc_vecs.select("document_id", "_alert")
 
         exact_batch = False
+        batch_ids: DataFrame | None = None
         if new_doc_ids is not None:
-            from the_hive_spark.plans.advisor import advise_rowcount
+            from the_hive_spark.plans.advisor import (
+                advise_relation,
+                advise_rowcount,
+            )
 
-            q = doc_vecs.filter(F.col("document_id").isin(new_doc_ids)).select(
+            if isinstance(new_doc_ids, DataFrame):
+                batch_ids = new_doc_ids
+                # ids already live on the cluster: the count is the
+                # ANALYZE cost (one tiny aggregate) advise_relation
+                # exists to pay before an expensive plan choice
+                decision = advise_relation(
+                    new_doc_ids, bytes_per_row=64 + 4 * self.embedding_dim
+                )
+            else:
+                # stats pick the strategy: float vectors dominate the
+                # row (4 B/component) plus id/flag overhead.
+                # len(new_doc_ids) is a free driver-side upper bound —
+                # counting would scan the chunks table once per ingest
+                # batch just to learn a number the caller holds
+                decision = advise_rowcount(
+                    self.spark,
+                    len(new_doc_ids),
+                    bytes_per_row=64 + 4 * self.embedding_dim,
+                )
+                if not decision.broadcast:
+                    # too big for an isin literal too (an O(batch)
+                    # driver-built IN expression blows up plan/codegen
+                    # at exactly the batch sizes this branch exists
+                    # for) — ship the ids as a distributed relation
+                    batch_ids = self.spark.createDataFrame(
+                        [(i,) for i in new_doc_ids], "document_id string"
+                    )
+            # the chosen LOGICAL plan (exact broadcast top-k vs banded
+            # LSH index) is invisible in the result rows; log it so a
+            # backlog replay's approximate output is distinguishable
+            _LOG.info("contradiction_candidates batch path: %r", decision)
+            exact_batch = decision.broadcast
+            q = _restrict_to_ids(
+                doc_vecs, "document_id", new_doc_ids
+                if batch_ids is None else batch_ids
+            ).select(
                 F.col("document_id").alias("source_doc_id"),
                 F.col("embedding").alias("qvec"),
                 F.col("_alert").alias("_alert_a"),
             )
-            # stats pick the strategy: float vectors dominate the row
-            # (4 B/component) plus id/flag overhead. len(new_doc_ids)
-            # is a free driver-side upper bound on the batch rows —
-            # counting q would scan the chunks table once per ingest
-            # batch just to learn a number the caller already holds
-            decision = advise_rowcount(
-                self.spark,
-                len(new_doc_ids),
-                bytes_per_row=64 + 4 * self.embedding_dim,
-            )
-            exact_batch = decision.broadcast
 
         if exact_batch:
             # Broadcast the new batch; one pass over the corpus.
@@ -987,9 +1020,13 @@ class HiveEngine:
                 )
             )
             if new_doc_ids is not None:
-                # too-big-to-broadcast batch: index path, batch sources
-                scored = scored.filter(
-                    F.col("source_doc_id").isin(new_doc_ids)
+                # too-big-to-broadcast batch: index path restricted to
+                # the batch's sources via LEFT SEMI join (batch_ids is
+                # always a DataFrame on this path — a driver isin
+                # literal would grow with the very batch size the
+                # fallback exists to survive)
+                scored = _restrict_to_ids(
+                    scored, "source_doc_id", batch_ids
                 )
 
         w = Window.partitionBy("source_doc_id").orderBy(

@@ -20,6 +20,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import math
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 
@@ -2914,7 +2916,6 @@ def q_trade_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SUBST_BAND_CENTS = 200  # price-band width FLOOR (never narrower than this)
 
 
 @query(
@@ -2944,21 +2945,23 @@ def q_part_substitution_candidates(spark: SparkSession, sf_dir: str) -> DataFram
     The point is the JOIN SHAPE: "same brand AND |price_a − price_b| ≤
     ε·price" is a range predicate, and range joins degenerate to
     per-key cross products at scale. The scalable form BANDS the
-    range: bucket = cents / W, each row also probes its RIGHT-neighbor
-    bucket, and the join becomes a plain equi-join on (brand, bucket)
-    — candidate pairs bounded by band occupancy, exact predicate
-    re-checked after. Same banding algebra as the LSH family, applied
-    to a numeric range; probing rightward + post-join canonicalization
-    generates every pair exactly once.
+    range: bucket each price GEOMETRICALLY (floor(log(cents)/log(B))),
+    each row also probes its RIGHT-neighbor bucket, and the join
+    becomes a plain equi-join on (brand, bucket) — candidate pairs
+    bounded by band occupancy, exact predicate re-checked after. Same
+    banding algebra as the LSH family, applied to a numeric range;
+    probing rightward + post-join canonicalization generates every
+    pair exactly once.
 
-    Completeness requires W ≥ the maximum match distance, which is
-    price-dependent (ε·max_price = max_cents/500), so W is DERIVED
-    from a one-row max() over the part dim (the ANALYZE-stat pattern —
-    a hardcoded width silently drops cross-band pairs the day prices
-    outgrow it), floored at {SUBST_BAND_CENTS}. On dense price ranges
-    the candidate set is genuinely large (sf1: ~50 occupied bands →
-    ~6.4e9 candidates, 12× fewer than all-pairs — see SCALE_SF1.md);
-    banding prunes what the data allows, never drops a pair."""
+    The predicate is RELATIVE (|Δ| ≤ price/500), so the bands must be
+    too: log-price bands have width that tracks the LOCAL price, so
+    band occupancy tracks true match density at any corpus size. (The
+    round-5 version derived an ABSOLUTE width from max(price)/500 —
+    completeness then forces ~500 bands TOTAL regardless of N, so
+    occupancy is N/500 and candidates grow as N²/500: measured 6.4e9
+    candidates / 106 s at sf1. Geometric banding is output-
+    proportional instead, and needs no ANALYZE-style pre-scan at all —
+    plan construction is lazy like every other registry query.)"""
     p = table(spark, sf_dir, "part").select(
         "p_partkey",
         "p_brand",
@@ -2977,26 +2980,34 @@ def banded_substitution_pairs(p: DataFrame) -> DataFrame:
     """The banding core of q_part_substitution_candidates, exposed on
     an arbitrary (p_partkey, p_brand, cents) frame so the property
     test can drive it with price ranges the parquet corpus doesn't
-    have (>$1000, where a fixed band width would silently drop
-    cross-band pairs). Returns the full qualifying pair set."""
-    max_cents = (p.agg(F.max("cents").alias("m")).collect()[0]["m"]) or 0
-    band_w = max(SUBST_BAND_CENTS, -(-int(max_cents) // 500) + 1)
+    have (both far above and far below the TPC-H $900–$2100 envelope).
+    Returns the full qualifying pair set.
+
+    Band = floor(log(cents)/log(1.003)). Two prices within the 0.2%
+    match envelope have a log-ratio ≤ log(1.002) = 0.667 band widths,
+    so a qualifying pair spans AT MOST one band boundary and probing
+    the right neighbor is complete. The 1.003 base (vs the tight
+    1.002) leaves a 0.33-band margin that makes floating-point
+    boundary error (~1e-15 relative on the log) irrelevant; the exact
+    integer predicate is re-checked post-join, so wider bands cost
+    candidates, never correctness. cents ≤ 0 is clamped to 1 before
+    the log: a zero price can only match another zero (|Δ|·500 ≤ 0
+    forces Δ = 0), and all clamped rows share a band."""
+    band = F.floor(
+        F.log(F.greatest(F.col("cents"), F.lit(1)).cast("double"))
+        / math.log(1.003)
+    ).cast("bigint")
     a = p.select(
         "p_brand",
         F.col("p_partkey").alias("part_a"),
         F.col("cents").alias("cents_a"),
-        F.explode(
-            F.array(
-                (F.col("cents") / band_w).cast("bigint"),
-                (F.col("cents") / band_w).cast("bigint") + 1,
-            )
-        ).alias("band"),
+        F.explode(F.array(band, band + 1)).alias("band"),
     )
     b = p.select(
         "p_brand",
         F.col("p_partkey").alias("part_b"),
         F.col("cents").alias("cents_b"),
-        (F.col("cents") / band_w).cast("bigint").alias("band"),
+        band.alias("band"),
     )
     diff = F.abs(F.col("cents_a") - F.col("cents_b"))
     least = F.least("cents_a", "cents_b")
@@ -3013,7 +3024,11 @@ def banded_substitution_pairs(p: DataFrame) -> DataFrame:
             F.greatest("part_a", "part_b").alias("part_b"),
             "p_brand",
             diff.cast("bigint").alias("price_diff_cents"),
-            F.floor(1000000.0 * diff / least + F.lit(0.5))
+            # identical prices are 0 ppm by definition — guards the
+            # 0/0 corner (a zero price can only ever match another
+            # zero); for any positive divisor the formula agrees
+            F.when(diff == 0, F.lit(0))
+            .otherwise(F.floor(1000000.0 * diff / least + F.lit(0.5)))
             .cast("bigint")
             .alias("rel_diff_ppm"),
         )

@@ -761,7 +761,16 @@ def min_label_propagation(adj: DataFrame, rounds: int) -> DataFrame:
     are node ids, min is order-free), no driver state beyond the
     fixed round count. Shared by graph_label_propagation3 and
     cust_er_clusters3 so the engine-side algebra cannot drift from
-    the shared oracle either."""
+    the shared oracle either.
+
+    Each round references the previous round's labels TWICE (the
+    neighbor-join branch and the left-join-back branch), so without a
+    lineage cut the physical plan would evaluate the round-(r-1)
+    subtree twice per round — ~2^r evaluations of the base (measured:
+    707 s at sf1 for 3 rounds before the fix). ``localCheckpoint``
+    after every round (the graph_bfs_3hop frontier idiom) makes each
+    round cost one join + one agg + one join over a MATERIALIZED
+    predecessor — linear in rounds at any scale."""
     lbl = adj.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )
@@ -773,11 +782,16 @@ def min_label_propagation(adj: DataFrame, rounds: int) -> DataFrame:
             .groupBy(F.col("u").alias("node"))
             .agg(F.min("nbr_lbl").alias("nbr"))
         )
-        lbl = lbl.join(nbr, "node", "left").select(
-            "node",
-            F.least(F.col("lbl"), F.coalesce("nbr", F.col("lbl"))).alias(
-                "lbl"
-            ),
+        lbl = (
+            lbl.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lbl"), F.coalesce("nbr", F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint(eager=False)  # cut lineage: lbl is read
+            # twice next round; without this the plan doubles per round
         )
     return lbl
 

@@ -403,26 +403,33 @@ def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     digit runs / single symbols) that upper-bounds real BPE token
     counts — the budgeting number a training pipeline tracks per doc.
     Pure regexp_extract_all; no Python. Repartitioned first so the
-    three regex passes run at cluster parallelism, not the file
-    layout's split count (fan-out-stage convention)."""
+    regex pass runs at cluster parallelism, not the file layout's
+    split count (fan-out-stage convention).
+
+    The token array is materialized ONCE in its own projection and the
+    three counts derive from that attribute: CollapseProject keeps the
+    two projections separate (a non-cheap producer referenced three
+    times is not inlined), so the regex scans each document once — the
+    round-5 version inlined regexp_extract_all three times and the
+    triple pass was 29% of the sf10 headline (22.7 s)."""
     n = spark.sparkContext.defaultParallelism
     docs = (
         table(spark, sf_dir, "documents")
         .filter(F.length("text") > 0)
         .repartition(n)
     )
-    toks = F.expr(f"regexp_extract_all(text, '{_BPE_RE}', 0)")
     return docs.select(
         "doc_id",
-        F.size(toks).cast("bigint").alias("n_bpe_tokens"),
-        F.size(F.expr(
-            f"filter(regexp_extract_all(text, '{_BPE_RE}', 0),"
-            " t -> t rlike '^[0-9]+$')"
-        )).cast("bigint").alias("n_numeric_tokens"),
-        F.size(F.expr(
-            f"filter(regexp_extract_all(text, '{_BPE_RE}', 0),"
-            " t -> t rlike '^[^A-Za-z0-9]$')"
-        )).cast("bigint").alias("n_symbol_tokens"),
+        F.expr(f"regexp_extract_all(text, '{_BPE_RE}', 0)").alias("toks"),
+    ).select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_bpe_tokens"),
+        F.size(
+            F.expr("filter(toks, t -> t rlike '^[0-9]+$')")
+        ).cast("bigint").alias("n_numeric_tokens"),
+        F.size(
+            F.expr("filter(toks, t -> t rlike '^[^A-Za-z0-9]$')")
+        ).cast("bigint").alias("n_symbol_tokens"),
     )
 
 

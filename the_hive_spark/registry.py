@@ -128,6 +128,80 @@ _GATE_R5 = [
     "cust_er_clusters3",
 ]
 
+# ROUND-6 GATE. Slots 1-7: the seven oracled round-5 additions that
+# were registered after the r5 gate froze (the declared r6 front —
+# VERDICT r5 "What's missing" #1). Slots 8-11: MANDATORY re-attests of
+# the queries whose plans changed this round (min_label_propagation
+# localCheckpoint fix, geometric price banding, single-pass BPE token
+# stats — a green row earned under the old plan doesn't attest the new
+# one). Slots 12-36: the 25 analytics whose only driver row is from
+# round 1 (the oldest rows in the record). Slots 37-50: the oldest
+# r2-only rows (hive_* parity + events_* timeline + doc_* text
+# families, three rounds of shared-helper churn since their r2 green).
+# New round-6 queries swap into the tail as they land (same policy as
+# r5: new work earns its driver row the round it lands).
+_GATE_R6 = [
+    # --- slots 1-7: oracled _ADDED_R5, registered after the r5 gate ---
+    "q_nation_yoy_growth",
+    "q_order_fulfillment_latency",
+    "q_weighted_median_price",
+    "graph_clustering_coefficient",
+    "events_survival_curve",
+    "events_time_weighted_value",
+    "q_equidepth_histogram",
+    # --- slots 8-11: round-6 plan-change re-attests ---
+    "graph_label_propagation3",
+    "cust_er_clusters3",
+    "q_part_substitution_candidates",
+    "doc_bpe_token_stats",
+    # --- slots 12-36: the 25 r1-only analytics (oldest driver rows) ---
+    "q2_min_acctbal_supplier",
+    "q4_order_priority",
+    "q6_revenue_forecast",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_late_priority_lines",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_part_supplier_variety",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q20_heavy_shippers",
+    "q22_idle_customers",
+    "q_active_parts_semi",
+    "q_brand_volume",
+    "q_cube_returnflag_status",
+    "q_mktsegment_yearly",
+    "q_order_interarrival",
+    "q_rollup_revenue",
+    "q_running_monthly_revenue",
+    "q_top_supplier_per_nation",
+    # --- slots 38-50: oldest r2-only rows (shared-helper churn) ---
+    "hive_search_topk",
+    "hive_audit_recent",
+    "hive_events_by_doc",
+    "hive_stats",
+    "events_timeline",
+    "events_sessionization",
+    "events_retention",
+    "events_asof_last_order",
+    "events_funnel",
+    "doc_chunks",
+    "doc_chunk_stats",
+    "doc_token_stats",
+    "doc_langid",
+    "doc_quality_score",
+]
+
+# Queries ADDED in round 6 (same policy as _ADDED_R5: oracled ones are
+# swapped into _GATE_R6's tail when feasible; any that miss the gate
+# are the front of the round-7 rotation).
+_ADDED_R6: list[str] = []
+
 # Queries ADDED in round 5. Oracled ones are swapped into _GATE_R5's
 # re-attest tail when feasible (same-round driver row); any that miss
 # the gate are the front of the round-6 rotation.
@@ -336,7 +410,7 @@ def load_all() -> None:
     The driver's correctness gate hash-checks the first 50 entries of
     ``QUERIES`` only, so registration order is a verification budget.
     Rather than encode the budget in fragile import order, imports stay
-    alphabetical-ish and ``_GATE_R5`` (above) pins the explicit
+    alphabetical-ish and ``_GATE_R6`` (above) pins the explicit
     rotation: QUERIES is rebuilt with the listed names first, then all
     remaining registrations in their original order. Pinned by
     tests/test_registry.py, which also asserts every gate slot has a
@@ -348,27 +422,27 @@ def load_all() -> None:
     doc_* + hive parity; round 3 rotated in the round-2 additions with
     no driver row plus 4 re-attests; round 4 took the last 38
     never-driver-checked queries plus 12 re-attests — closing the
-    ORACLED surface (every oracled query registered before that gate
-    froze now has a green driver row; 0 hash failures in 4 rounds).
+    ORACLED surface; round 5 took the 23 oracled _ADDED_R4 + the
+    oldest r1-only families + 11 of the round-5 additions (50/50
+    green; 0 hash failures in 5 rounds).
 
-    Round-6 rotation plan: (a) the 7 round-5 additions that missed the
-    r5 gate (q_nation_yoy_growth, q_order_fulfillment_latency,
-    q_weighted_median_price, graph_clustering_coefficient,
-    events_survival_curve, events_time_weighted_value,
-    q_equidepth_histogram — all oracled, all green in the local sf0.01
-    sweep and the sf1 scale sweep), (b) re-attests of whatever round-6
-    edits touch, then (c) the next-oldest rows — the 25 remaining r1-only
-    analytics (q2_min_acctbal_supplier, q4_order_priority,
-    q6_revenue_forecast,
-    q7_volume_shipping, q8_market_share, q10_returned_items,
-    q11_important_parts, q12_late_priority_lines,
-    q13_order_count_distribution, q14_promo_revenue, q15_top_supplier,
-    q16_part_supplier_variety, q17_small_quantity_revenue,
-    q18_large_volume_customers, q19/q20/q22, q_active_parts_semi,
-    q_brand_volume, q_cube_returnflag_status, q_mktsegment_yearly,
-    q_order_interarrival, q_rollup_revenue, q_running_monthly_revenue,
-    q_top_supplier_per_nation) and then the oldest r2-only rows
-    (hive_* parity, events_* timeline, doc_* text-analysis families).
+    Round-7 rotation plan: (a) any _ADDED_R6 queries that miss the r6
+    gate, (b) re-attests of whatever round-7 edits touch, then (c) the
+    next-oldest rows — the remaining r2-only rows not covered by r6
+    slots 37-50 (doc_bm25_topk, doc_fingerprint, doc_lang_profile,
+    doc_pack_sequences, doc_pii_redact, doc_rebalance_sample,
+    doc_split_assignment, doc_stratified_sample, doc_token_weighted_
+    sample, doc_top_terms, doc_training_manifest, events_anomaly_daily,
+    events_attributed_conversions, events_band_salted_join,
+    events_by_type, events_daily_type_pivot, events_dau_stickiness,
+    events_debounced, events_error_bursts, events_error_rate_daily,
+    events_funnel_windowed, events_hourly_pattern,
+    events_interarrival_by_type, events_last_touch, events_path_3grams,
+    events_props_histogram, events_timeline→already r6, events_
+    top_purchasers, events_tumbling_10min, events_user_daily,
+    events_value_by_type_salted, events_value_histogram,
+    events_value_percentiles, events_within_hour_pairs) and then the
+    r3-only rows, oldest first.
     """
     from the_hive_spark.operators import (  # noqa: F401
         timeline,
@@ -387,14 +461,14 @@ def load_all() -> None:
         warehouse,
     )
 
-    missing = [n for n in _GATE_R5 if n not in QUERIES]
+    missing = [n for n in _GATE_R6 if n not in QUERIES]
     if missing:  # defensive: a renamed query must fail loudly, not
         # silently shift every later gate slot by one.
         raise RuntimeError(f"gate rotation names not registered: {missing}")
-    unoracled = [n for n in _GATE_R5 if n not in ORACLES]
+    unoracled = [n for n in _GATE_R6 if n not in ORACLES]
     if unoracled:  # rows-only slots verify nothing (driver: no_oracle)
         raise RuntimeError(f"gate slots without an oracle: {unoracled}")
-    rotated = {n: QUERIES[n] for n in _GATE_R5}
+    rotated = {n: QUERIES[n] for n in _GATE_R6}
     rotated.update((n, fn) for n, fn in QUERIES.items() if n not in rotated)
     QUERIES.clear()
     QUERIES.update(rotated)

@@ -15,6 +15,16 @@ import os
 
 from pyspark.sql import SparkSession
 
+
+def _default_heap() -> str:
+    """min(20g, ~70% of physical RAM), whole GiB, floor 2g."""
+    try:
+        page = os.sysconf("SC_PAGE_SIZE")
+        phys = os.sysconf("SC_PHYS_PAGES") * page
+    except (ValueError, OSError, AttributeError):
+        return "20g"
+    return f"{max(2, min(20, int(phys * 0.7 / 2**30)))}g"
+
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
@@ -71,9 +81,15 @@ def get_spark(
         # (all 32 task threads + block manager + any collected result
         # share it), so size it like an executor fleet, not a driver.
         # 20g keeps a full sf1 sweep (6M-row facts, FP-growth, multi-
-        # million-row result hashing) inside one session; override
-        # with SPARK_DRIVER_MEMORY for bigger/smaller boxes.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "20g"))
+        # million-row result hashing) inside one session — but capped
+        # at ~70% of physical RAM so a smaller dev box gets a JVM the
+        # OOM killer won't take down mid-run (an unconditional virtual
+        # -Xmx *starts* fine there and dies later, which is worse).
+        # Override with SPARK_DRIVER_MEMORY either way.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEMORY", _default_heap()),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -12,9 +12,14 @@ engine's alert sink).
 Event-time driven and deterministic: refill is computed from the
 EVENT timestamps (µs), not wall clock, so replaying the same input
 yields the same admissions — the property the batch-parity test pins.
-State per key is two scalars (milli-tokens, last event-time µs);
-``applyInPandasWithState`` shards keys across executors, so capacity
-is O(distinct keys / cluster), with no coordination between keys.
+State EXPIRY is event-time too (the stream's watermark drives the
+timeout), so how the input is paced into micro-batches cannot change
+when a bucket drops: a key expires only once the watermark passes
+last-event-time + burst/rate, the point at which the refill law would
+have returned the bucket to full burst anyway. State per key is two
+scalars (milli-tokens, last event-time µs); ``applyInPandasWithState``
+shards keys across executors, so capacity is O(distinct keys /
+cluster), with no coordination between keys.
 """
 
 from __future__ import annotations
@@ -22,6 +27,7 @@ from __future__ import annotations
 from collections.abc import Iterable
 
 import pandas as pd
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
@@ -32,6 +38,16 @@ from pyspark.sql.types import (
 
 DEFAULT_RATE_PER_SEC = 1.0
 DEFAULT_BURST = 3
+
+# The watermark column runs on a clock offset +1 s from ts_us. Spark
+# initializes the watermark to epoch 0 and drops stateful-operator
+# input at-or-below it, so an UNSHIFTED event at ts_us=0 (a perfectly
+# valid instant) would be silently discarded in the very first batch.
+# Only the watermark/expiry comparisons see this clock — admission
+# arithmetic uses raw ts_us — and both setTimeoutTimestamp and the
+# watermark derive from the same shifted column, so expiry points are
+# unchanged.
+_WM_OFFSET_US = 1_000_000
 
 _STATE_SCHEMA = StructType(
     [
@@ -66,12 +82,18 @@ def admit_events(
     still contend for tokens — the deterministic convention for
     out-of-order replay.
 
-    State expiry uses a PROCESSING-time timeout (wall clock), so the
-    exact point state drops can differ across replays with different
-    micro-batch pacing — but the timeout floor (≥ burst/rate seconds
-    idle) guarantees the event-time refill law would have returned the
-    bucket to full burst over any expired gap, so admissions are
-    replay-identical regardless.
+    State expiry is an EVENT-time timeout: the bucket drops when the
+    stream's watermark passes last-event-time + max(60s, burst/rate)
+    — the idle span over which the refill law would have returned it
+    to full burst anyway, so an expired-then-recreated bucket admits
+    identically to one that was never dropped. Because both refill
+    AND expiry are functions of event time, micro-batch pacing cannot
+    change admissions (the round-5 processing-time timeout could: a
+    live run whose event time lagged wall clock expired state a
+    back-to-back replay kept). The flip side is the standard
+    watermark contract: input rows at-or-below the watermark are
+    dropped by the operator itself (see :func:`rate_limited`'s
+    ``late_tolerance``) — in-order sources are never affected.
     """
     user_id = int(key[0])
     if state.hasTimedOut:  # idle key: drop the bucket, full on return
@@ -111,21 +133,25 @@ def admit_events(
     state.update((tokens_milli, -1 if last_ts_us is None else last_ts_us))
     # State may only expire once the idle period is long enough that
     # event-time refill would have refilled the bucket to full burst
-    # anyway (burst/rate seconds) — a shorter processing-time timeout
-    # would hand slow-rate keys a fresh burst earlier than the rate
-    # allows. Caveat: this is a PROCESSING-time timeout (wall clock)
-    # while refill is EVENT-time; for sources whose event time lags
-    # wall clock, a live run can still expire state that a
-    # back-to-back replay would have kept, so replay determinism holds
-    # exactly only while state is live — the floor removes the
-    # common faster-than-rate refresh, not every pacing artifact.
+    # anyway (burst/rate seconds) — a shorter timeout would hand
+    # slow-rate keys a fresh burst earlier than the rate allows. The
+    # timeout is an event-time TIMESTAMP (watermark-driven), so expiry
+    # is a pure function of the input events, replay-identical across
+    # any micro-batch pacing. setTimeoutTimestamp must stay ahead of
+    # the current watermark (Spark rejects an already-passed instant);
+    # clamping forward is safe — expiring LATER than the refill floor
+    # never changes admissions, it just holds a full-anyway bucket.
     # rate_per_sec <= 0 means block-after-burst FOREVER: refill never
     # adds tokens, so the state must never expire (expiry would mint a
     # fresh burst); leaving the timeout unset keeps it immortal,
     # bounded by key cardinality like any keyed-state operator.
-    if rate_per_sec > 0:
-        state.setTimeoutDuration(
-            max(60_000, int(1000 * burst / rate_per_sec))
+    if rate_per_sec > 0 and last_ts_us is not None:
+        idle_ms = max(60_000, int(1000 * burst / rate_per_sec))
+        state.setTimeoutTimestamp(
+            max(
+                (last_ts_us + _WM_OFFSET_US) // 1000 + idle_ms,
+                state.getCurrentWatermarkMs() + 1,
+            )
         )
     if rows:
         yield pd.DataFrame(out)
@@ -135,19 +161,39 @@ def rate_limited(
     events: DataFrame,
     rate_per_sec: float = DEFAULT_RATE_PER_SEC,
     burst: int = DEFAULT_BURST,
+    late_tolerance: str = "0 seconds",
 ) -> DataFrame:
-    """Wire the token bucket onto a stream (or batch-test harness)
-    carrying (user_id, event_id, ts_us)."""
+    """Wire the token bucket onto a stream carrying
+    (user_id, event_id, ts_us).
+
+    ``late_tolerance`` is the watermark delay, and it carries the
+    STANDARD Structured Streaming contract: an input row whose event
+    time is at-or-below the watermark of its micro-batch (i.e. later
+    than ``late_tolerance`` behind the max event time seen in PRIOR
+    batches) is dropped by the stateful operator, exactly as in
+    watermarked window aggregation or dropDuplicates. For every
+    accepted row, admissions are replay-identical across pacing (both
+    refill and state expiry are functions of event time). Size the
+    tolerance to the source's real out-of-orderness; in-order sources
+    are never affected (a row can't trail a max seen only in earlier
+    batches)."""
 
     def fn(key, pdfs, state):
         yield from admit_events(
             key, pdfs, state, rate_per_sec=rate_per_sec, burst=burst
         )
 
-    return events.groupBy("user_id").applyInPandasWithState(
-        fn,
-        outputStructType=OUTPUT_SCHEMA,
-        stateStructType=_STATE_SCHEMA,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    return (
+        events.withColumn(
+            "ts_evt", F.timestamp_micros(F.col("ts_us") + _WM_OFFSET_US)
+        )
+        .withWatermark("ts_evt", late_tolerance)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )
