@@ -143,6 +143,9 @@ EXTENDED = [
     "doc_reservoir_sample",
     "doc_curriculum_shards",
     "q_rolling_revenue_7d",
+    "q_part_skyline",
+    "doc_minhash_calibration",
+    "events_lateness_profile",
     "emb_mmr_diverse_topk",
     "emb_kmeans_stats",
     "doc_mix_weights",

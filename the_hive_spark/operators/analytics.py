@@ -2960,8 +2960,11 @@ def q_part_substitution_candidates(spark: SparkSession, sf_dir: str) -> DataFram
     completeness then forces ~500 bands TOTAL regardless of N, so
     occupancy is N/500 and candidates grow as N²/500: measured 6.4e9
     candidates / 106 s at sf1. Geometric banding is output-
-    proportional instead, and needs no ANALYZE-style pre-scan at all —
-    plan construction is lazy like every other registry query.)"""
+    proportional instead — 60 s at sf1, where the 10×-clone corpus
+    genuinely qualifies ~4e8 pairs (every part gains 9 same-price
+    clones), so the remaining cost IS the output, not the candidate
+    generation — and needs no ANALYZE-style pre-scan at all: plan
+    construction is lazy like every other registry query.)"""
     p = table(spark, sf_dir, "part").select(
         "p_partkey",
         "p_brand",
@@ -3321,4 +3324,76 @@ def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cents").cast("bigint").alias("hi_cents"),
         )
         .select(F.col("bin").cast("bigint").alias("bin"), "n_rows", "lo_cents", "hi_cents")
+    )
+
+
+@query(
+    "q_part_skyline",
+    oracle="""
+WITH p AS (
+  SELECT p_partkey, CAST(p_size AS BIGINT) AS size,
+         CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM part
+), best AS (
+  SELECT size, MIN(cents) AS min_cents FROM p GROUP BY size
+), env AS (
+  SELECT size, min_cents,
+         MIN(min_cents) OVER (
+           ORDER BY size DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS min_cents_gt
+  FROM best
+)
+SELECT p.p_partkey, p.size, p.cents
+FROM p JOIN env ON env.size = p.size
+WHERE p.cents = env.min_cents
+  AND (env.min_cents_gt IS NULL OR p.cents < env.min_cents_gt)
+ORDER BY p.size DESC, p.p_partkey ASC
+""",
+)
+def q_part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline) of the part dimension: parts with no
+    competitor that is simultaneously at-least-as-large AND
+    at-most-as-expensive (one strict) — the "efficient frontier" read
+    behind assortment pruning (which SKUs are strictly worse than an
+    alternative) and price-ladder design. Duplicate (size, price)
+    points do not dominate each other, so full ties stay in.
+
+    The point is the SHAPE: naive skyline is the O(n²) NOT-EXISTS
+    dominance self-join. For a 2-D skyline the dominance test
+    factorizes through the attribute DOMAIN: part p survives iff its
+    price is the minimum at its size AND strictly below the best
+    price at any LARGER size. So the plan is one map-side-combined
+    aggregation to the per-size minimum (the size domain is bounded —
+    50 values here, any bounded/bucketable domain in general), a
+    suffix-min window over that TINY domain (never over the fact
+    rows), and one equi-join back that AQE broadcasts. At 100 TB the
+    fact table is touched exactly twice, both times embarrassingly
+    parallel; nothing global ever sorts the raw rows.
+    """
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("bigint").alias("size"),
+        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    best = p.groupBy("size").agg(F.min("cents").alias("min_cents"))
+    w = (
+        Window.orderBy(F.desc("size"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )  # single-partition window is FINE here: it runs over the
+    # aggregated size DOMAIN (≤ distinct sizes rows), not the facts
+    env = best.withColumn("min_cents_gt", F.min("min_cents").over(w))
+    return (
+        p.join(env, "size")
+        .filter(
+            (F.col("cents") == F.col("min_cents"))
+            & (
+                F.col("min_cents_gt").isNull()
+                | (F.col("cents") < F.col("min_cents_gt"))
+            )
+        )
+        .select("p_partkey", "size", "cents")
+        .orderBy(F.desc("size"), F.asc("p_partkey"))
     )

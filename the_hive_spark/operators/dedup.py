@@ -1269,3 +1269,101 @@ def doc_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("drop_ppm"),
         )
     )
+
+
+def _minhash_sig_sql() -> str:
+    """DuckDB CTE body for the per-doc 8-chunk MinHash signature —
+    the EXACT hash recipe of with_minhash_cols (one md5 per distinct
+    shingle, min of each fixed-width hex chunk), so estimate and
+    engine cannot drift."""
+    chunk_mins = ", ".join(
+        f"MIN(substring(md5(shingle), {1 + 4 * s}, 4)) AS mh{s}"
+        for s in range(N_MINHASH)
+    )
+    return f"SELECT doc_id, {chunk_mins} FROM sh GROUP BY doc_id"
+
+
+@query(
+    "doc_minhash_calibration",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(range(1, greatest(length(text) - {SHINGLE_W - 1}, 1) + 1),
+                          i -> substring(text, i, {SHINGLE_W})))) AS shingle
+  FROM documents WHERE length(text) >= {SHINGLE_W}
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY doc_a, doc_b
+), pairs AS (
+  SELECT doc_a, doc_b,
+         CAST(FLOOR(1000000.0 * n_shared / (sa.n_sh + sb.n_sh - n_shared)
+                    + 0.5) AS BIGINT) AS jaccard_ppm
+  FROM shared
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE FLOOR(1000000.0 * n_shared / (sa.n_sh + sb.n_sh - n_shared) + 0.5)
+        >= {JACCARD_THRESHOLD_PPM}
+), sig AS (
+  {{SIG}}
+)
+SELECT p.doc_a, p.doc_b, p.jaccard_ppm,
+       CAST(({" + ".join(f"CASE WHEN a.mh{s} = b.mh{s} THEN 1 ELSE 0 END" for s in range(N_MINHASH))})
+            * {1_000_000 // N_MINHASH} AS BIGINT) AS minhash_est_ppm,
+       CAST(ABS(p.jaccard_ppm
+                - ({" + ".join(f"CASE WHEN a.mh{s} = b.mh{s} THEN 1 ELSE 0 END" for s in range(N_MINHASH))})
+                  * {1_000_000 // N_MINHASH}) AS BIGINT) AS abs_err_ppm
+FROM pairs p
+JOIN sig a ON a.doc_id = p.doc_a
+JOIN sig b ON b.doc_id = p.doc_b
+ORDER BY p.doc_a, p.doc_b
+""".replace("{SIG}", _minhash_sig_sql()),
+)
+def doc_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash calibration audit: for every EXACT-verified near-dup
+    pair, the 8-chunk MinHash estimate (matching chunks / 8, in ppm)
+    next to the true Jaccard and the absolute error — the query that
+    answers "can I trust the sketch's threshold before switching the
+    pipeline from exact verification to signature-only dedup", i.e.
+    the sketch's measured error ON THE PAIRS THAT MATTER (near the
+    decision threshold), not its textbook variance.
+
+    Plan: the exact pair stream is the matstore-materialized
+    doc_ngram_jaccard_pairs artifact (output-sized); signatures are
+    the per-row map-only with_minhash_cols pass (no shuffle); the
+    audit itself is two equi-joins of the pair stream against the
+    signature table — AQE broadcasts the smaller side. Nothing here
+    is quadratic: the whole query is output-proportional on top of
+    artifacts the dedup stack already owns.
+    """
+    sig = minhash_signatures(spark, sf_dir)
+    pairs = doc_ngram_jaccard_pairs(spark, sf_dir)
+    matches = sum(
+        F.when(F.col(f"a_mh{s}") == F.col(f"b_mh{s}"), 1).otherwise(0)
+        for s in range(N_MINHASH)
+    )
+    est = matches * (1_000_000 // N_MINHASH)
+    sig_a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{s}").alias(f"a_mh{s}") for s in range(N_MINHASH)],
+    )
+    sig_b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{s}").alias(f"b_mh{s}") for s in range(N_MINHASH)],
+    )
+    return (
+        pairs.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard_ppm",
+            est.cast("bigint").alias("minhash_est_ppm"),
+            F.abs(F.col("jaccard_ppm") - est)
+            .cast("bigint")
+            .alias("abs_err_ppm"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1815,3 +1815,64 @@ def events_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("dt_us").cast("double")
         ).cast("bigint").alias("twap_micros"),
     )
+
+
+@query(
+    "events_lateness_profile",
+    oracle="""
+WITH l AS (
+  SELECT user_id,
+         epoch_us(MAX(CAST(ts AS TIMESTAMP)) OVER (
+           PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         - epoch_us(CAST(ts AS TIMESTAMP)) AS late_us
+  FROM events
+)
+SELECT CASE WHEN late_us = 0 THEN 0
+            ELSE length(CAST(late_us // 1000 AS VARCHAR)) END AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(MAX(late_us) AS BIGINT) AS max_late_us
+FROM l
+GROUP BY 1
+ORDER BY bucket
+""",
+)
+def events_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness telemetry: replay each user's stream in
+    arrival order (event_id) and measure how far each event's time
+    trails the running event-time maximum — THE measurement that
+    sizes every watermark in the streaming stack (windowed aggs,
+    dropDuplicates, the rate limiter's late_tolerance): pick the
+    bucket that covers the tail you're willing to wait for, and
+    everything later is the data you're explicitly agreeing to drop.
+    Buckets are decimal orders of magnitude of lateness in ms
+    (bucket = digit count; 0 = in order), computed via string length
+    — exact integer arithmetic, no cross-engine log() drift.
+
+    Plan: one partitioned running-max window per user (single-row
+    state, any user cardinality), then a bucket rollup; the distinct
+    user count is the only second shuffle. Nothing global ever sorts
+    raw events."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    us = F.unix_micros("ts")
+    late = (F.max(us).over(w) - us).alias("late_us")
+    lb = ev.select("user_id", late)
+    bucket = F.when(F.col("late_us") == 0, F.lit(0)).otherwise(
+        F.length(F.expr("cast(late_us div 1000 as string)"))
+    )
+    return (
+        lb.select("user_id", "late_us", bucket.cast("bigint").alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.max("late_us").cast("bigint").alias("max_late_us"),
+        )
+        .orderBy("bucket")
+    )

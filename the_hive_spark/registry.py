@@ -192,15 +192,23 @@ _GATE_R6 = [
     "events_funnel",
     "doc_chunks",
     "doc_chunk_stats",
-    "doc_token_stats",
-    "doc_langid",
-    "doc_quality_score",
+    # --- round-6 additions (new work earns its driver row the round
+    # it lands; the three r2-only re-attests they displaced —
+    # doc_token_stats, doc_langid, doc_quality_score — head the r7
+    # plan with the rest of the r2-only family) ---
+    "q_part_skyline",
+    "doc_minhash_calibration",
+    "events_lateness_profile",
 ]
 
 # Queries ADDED in round 6 (same policy as _ADDED_R5: oracled ones are
 # swapped into _GATE_R6's tail when feasible; any that miss the gate
 # are the front of the round-7 rotation).
-_ADDED_R6: list[str] = []
+_ADDED_R6: list[str] = [
+    "q_part_skyline",
+    "doc_minhash_calibration",
+    "events_lateness_profile",
+]
 
 # Queries ADDED in round 5. Oracled ones are swapped into _GATE_R5's
 # re-attest tail when feasible (same-round driver row); any that miss
