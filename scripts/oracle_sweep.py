@@ -130,10 +130,17 @@ def main() -> None:
         return s
 
     def _run_one(s, name: str) -> dict:
+        # spark_sec vs oracle_sec recorded separately: at 10×+ scale
+        # several DuckDB oracles cost 10-50× the Spark plan they
+        # verify, and a conflated total reads as a Spark regression
+        # (round 6 learned this on graph_label_propagation3: 18 s
+        # Spark + ~16 min oracle in one number).
         t0 = time.perf_counter()
         a = registry.QUERIES[name](s, sf_dir).toPandas()
+        t1 = time.perf_counter()
         a = a.reindex(sorted(a.columns), axis=1)
         b = con.execute(registry.ORACLES[name]).fetchdf()
+        t2 = time.perf_counter()
         b = b.reindex(sorted(b.columns), axis=1)
         na, ha = _hash(a)
         nb, hb = _hash(b)
@@ -147,6 +154,8 @@ def main() -> None:
             "rows": na,
             "oracle_rows": nb,
             "sec": round(time.perf_counter() - t0, 2),
+            "spark_sec": round(t1 - t0, 2),
+            "oracle_sec": round(t2 - t1, 2),
         }
 
     results: dict[str, dict] = {}
