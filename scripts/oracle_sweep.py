@@ -13,6 +13,10 @@ Exit code 0 iff every oracled query matches.
 --only a,b        restrict the sweep to queries whose name equals or
                   starts with one of the given prefixes (family-
                   targeted scale runs, e.g. --only doc_,emb_,graph_).
+--skip a,b        exclude these exact names (scale dirs where a
+                  query's own output/verification volume is quadratic
+                  in the clone factor — exactness for those is
+                  attested at the smaller SFs).
 --spark-only a,b  for these names, run ONLY the Spark side and record
                   rows+sec (no oracle hash). For clone-replicated
                   scale dirs (make_scale_data.py) a handful of
@@ -78,7 +82,13 @@ def main() -> None:
     if "--resume" in sys.argv:
         with open(sys.argv[sys.argv.index("--resume") + 1]) as fh:
             prior = json.load(fh).get("results", {})
-        resumed = {k: v for k, v in prior.items() if v.get("match")}
+        # reuse hash-verified rows AND completed spark-only rows
+        # (match None + rows recorded); only true failures re-run
+        resumed = {
+            k: v
+            for k, v in prior.items()
+            if v.get("match") or (v.get("match") is None and "rows" in v)
+        }
     spark_only: set[str] = set()
     if "--spark-only" in sys.argv:
         spark_only = set(
@@ -87,6 +97,9 @@ def main() -> None:
     only: list[str] | None = None
     if "--only" in sys.argv:
         only = sys.argv[sys.argv.index("--only") + 1].split(",")
+    skip: set[str] = set()
+    if "--skip" in sys.argv:
+        skip = set(sys.argv[sys.argv.index("--skip") + 1].split(","))
     registry.load_all()
     spark = get_spark(app_name="oracle-sweep")
     spark.sparkContext.setLogLevel("ERROR")
@@ -165,6 +178,8 @@ def main() -> None:
             continue
         if only is not None and not any(name.startswith(p) for p in only):
             continue
+        if name in skip:
+            continue
         if name in resumed:
             results[name] = {**resumed[name], "resumed": True}
             continue
@@ -219,6 +234,17 @@ def main() -> None:
             )
         else:
             print(f"ok {name} ({results[name]['sec']}s)", flush=True)
+        if out_path:
+            # checkpoint after EVERY query: a killed/crashed sweep
+            # resumes from its partial artifact (--resume) instead of
+            # redoing an hour of completed work (summary marked
+            # partial until the final rewrite below)
+            with open(out_path, "w") as fh:
+                json.dump(
+                    {"summary": {"partial": True}, "results": results},
+                    fh,
+                    indent=1,
+                )
 
     n = len(results)
     n_spark_only = sum(1 for r in results.values() if r["match"] is None)
