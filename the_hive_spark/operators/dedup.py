@@ -287,11 +287,19 @@ def _jaccard_allpairs_from_packed(
 
     packed_df = packed_df.persist()
     bits, sizes, ids = _collect_bitset_matrix(packed_df.collect(), n_vocab)
-    bc = spark.sparkContext.broadcast((bits, sizes, ids))
+    # Broadcast the corpus side PRE-UNPACKED as uint8 0/1 (n·vocab
+    # bytes — ~10 MB at 5 k docs): unpacking per task was the hot
+    # spot of the scoring stage (32 workers each re-deriving the same
+    # 40 MB float matrix is memory-bandwidth-bound); a uint8→float32
+    # cast per task is ~100× cheaper than unpack-and-cast.
+    corpus01_u8 = np.unpackbits(
+        np.ascontiguousarray(bits).view(np.uint8), axis=1, bitorder="little"
+    )[:, :n_vocab]
+    bc = spark.sparkContext.broadcast((corpus01_u8, sizes, ids))
 
     def score(batches):
-        mat, n_all, ids_all = bc.value
-        all01 = _unpack01(mat, n_vocab)  # corpus side, once per task
+        mat01, n_all, ids_all = bc.value
+        all01 = mat01.astype(np.float32)  # cheap cast, once per task
         for pdf in batches:
             if len(pdf) == 0:
                 continue
