@@ -146,6 +146,7 @@ EXTENDED = [
     "q_part_skyline",
     "doc_minhash_calibration",
     "events_lateness_profile",
+    "q_order_backlog_daily",
     "emb_mmr_diverse_topk",
     "emb_kmeans_stats",
     "doc_mix_weights",

@@ -3397,3 +3397,81 @@ def q_part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "size", "cents")
         .orderBy(F.desc("size"), F.asc("p_partkey"))
     )
+
+
+@query(
+    "q_order_backlog_daily",
+    oracle="""
+WITH life AS (
+  SELECT o_orderkey, o_orderdate,
+         (SELECT MAX(l_shipdate) FROM lineitem
+          WHERE l_orderkey = o_orderkey) AS last_ship
+  FROM orders
+), opens AS (
+  SELECT o_orderdate AS day, COUNT(*) AS n_opened FROM life GROUP BY 1
+), closes AS (
+  SELECT last_ship AS day, COUNT(*) AS n_closed FROM life
+  WHERE last_ship IS NOT NULL GROUP BY 1
+)
+SELECT CAST(CAST(COALESCE(o.day, c.day) AS DATE) AS VARCHAR) AS day,
+       CAST(COALESCE(n_opened, 0) AS BIGINT) AS n_opened,
+       CAST(COALESCE(n_closed, 0) AS BIGINT) AS n_closed,
+       CAST(SUM(COALESCE(n_opened, 0) - COALESCE(n_closed, 0))
+              OVER (ORDER BY COALESCE(o.day, c.day)
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS backlog
+FROM opens o FULL OUTER JOIN closes c ON o.day = c.day
+ORDER BY day
+""",
+)
+def q_order_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog over time: an order is open from its order
+    date until its last line's ship date; this emits, for every day
+    on which the backlog CHANGES, how many orders opened, how many
+    fully closed, and the running count still open — the
+    work-in-progress inventory curve behind fulfillment capacity
+    planning (and the classic temporal 'how many intervals cover
+    instant t' aggregation, the orders-lifecycle sibling of
+    events_peak_concurrency's sweep-line).
+
+    The scale shape: interval counting NEVER joins intervals to days —
+    each order contributes one +1 delta at its open day and one -1 at
+    its close day (a map-side-combined aggregation each), and the
+    running sum is a window over the aggregated DAY DOMAIN (~2.4k rows
+    for 7 years), not the fact rows. The only per-fact work is one
+    groupBy(l_orderkey) for the last ship date. Backlog is constant
+    between delta days, so emitting delta days only is lossless."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    last = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(F.max("l_shipdate").alias("last_ship"))
+    )
+    # LEFT join: an order with no lineitems opens and never closes
+    # (it contributes +1 backlog forever) — dropping it would
+    # understate work-in-progress exactly where it's most overdue
+    life = o.join(last, "o_orderkey", "left")
+    opens = life.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_opened")
+    )
+    closes = life.filter(
+        F.col("last_ship").isNotNull()
+    ).groupBy(F.col("last_ship").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_closed")
+    )
+    opened = F.coalesce("n_opened", F.lit(0))
+    closed = F.coalesce("n_closed", F.lit(0))
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )  # single-partition window is FINE: it runs over the aggregated
+    # day domain (one row per distinct date), never the fact rows
+    return (
+        opens.join(closes, "day", "full_outer")
+        .select(
+            F.col("day").cast("date").cast("string").alias("day"),
+            opened.cast("bigint").alias("n_opened"),
+            closed.cast("bigint").alias("n_closed"),
+            F.sum(opened - closed).over(w).cast("bigint").alias("backlog"),
+        )
+        .orderBy("day")
+    )

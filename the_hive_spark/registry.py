@@ -191,11 +191,11 @@ _GATE_R6 = [
     "events_asof_last_order",
     "events_funnel",
     "doc_chunks",
-    "doc_chunk_stats",
     # --- round-6 additions (new work earns its driver row the round
-    # it lands; the three r2-only re-attests they displaced —
-    # doc_token_stats, doc_langid, doc_quality_score — head the r7
-    # plan with the rest of the r2-only family) ---
+    # it lands; the four r2-only re-attests they displaced —
+    # doc_chunk_stats, doc_token_stats, doc_langid, doc_quality_score
+    # — head the r7 plan with the rest of the r2-only family) ---
+    "q_order_backlog_daily",
     "q_part_skyline",
     "doc_minhash_calibration",
     "events_lateness_profile",
@@ -208,6 +208,7 @@ _ADDED_R6: list[str] = [
     "q_part_skyline",
     "doc_minhash_calibration",
     "events_lateness_profile",
+    "q_order_backlog_daily",
 ]
 
 # Queries ADDED in round 5. Oracled ones are swapped into _GATE_R5's
