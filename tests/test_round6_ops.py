@@ -163,3 +163,59 @@ def test_lateness_profile_matches_bruteforce(spark, tmp_path):
     # bucket (late>0 but late//1000==0 → one digit), and a multi-
     # decade-late bucket all exist
     assert 0 in want and 1 in want and max(want) >= 6
+
+
+def test_order_backlog_matches_bruteforce(spark, tmp_path):
+    """Property: delta-day backlog equals a per-day brute-force count
+    of open intervals — including orders with no lineitems (open
+    forever), same-day open-and-close, and multiple orders sharing
+    delta days."""
+    import datetime as dt
+
+    from the_hive_spark.operators.analytics import q_order_backlog_daily
+
+    d0 = dt.date(2023, 1, 1)
+    rng = random.Random(13)
+    orders, lines = [], []
+    for k in range(1, 101):
+        open_off = rng.randrange(0, 60)
+        orders.append((k, d0 + dt.timedelta(days=open_off)))
+        if k % 10 == 0:
+            continue  # every 10th order has NO lineitems: never closes
+        for ln in range(1, rng.randrange(2, 5)):
+            ship_off = open_off + rng.randrange(0, 30)  # 0 ⇒ same-day
+            lines.append((k, ln, d0 + dt.timedelta(days=ship_off)))
+    pd.DataFrame(
+        [{"o_orderkey": k, "o_orderdate": d} for k, d in orders]
+    ).to_parquet(tmp_path / "orders.parquet")
+    pd.DataFrame(
+        [{"l_orderkey": k, "l_linenumber": ln, "l_shipdate": d}
+         for k, ln, d in lines]
+    ).to_parquet(tmp_path / "lineitem.parquet")
+
+    got = [
+        (r["day"], r["n_opened"], r["n_closed"], r["backlog"])
+        for r in q_order_backlog_daily(spark, str(tmp_path)).collect()
+    ]
+
+    last_ship = {}
+    for k, _, d in lines:
+        last_ship[k] = max(last_ship.get(k, d), d)
+    opens: dict = {}
+    closes: dict = {}
+    for k, d in orders:
+        opens[d] = opens.get(d, 0) + 1
+        if k in last_ship:
+            c = last_ship[k]
+            closes[c] = closes.get(c, 0) + 1
+    days = sorted(set(opens) | set(closes))
+    want, run = [], 0
+    for d in days:
+        o, c = opens.get(d, 0), closes.get(d, 0)
+        run += o - c
+        want.append((d.isoformat(), o, c, run))
+    assert got == want
+    # premises hold: a never-closing order exists, and total closes <
+    # total opens so the final backlog is positive
+    assert want[-1][3] > 0
+    assert sum(c for _, _, c, _ in want) < sum(o for _, o, _, _ in want)
