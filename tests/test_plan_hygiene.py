@@ -245,3 +245,42 @@ def test_engine_contradiction_strategy_switches_on_measured_stats(plan_engine):
         } <= {some_doc}
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_round6_operator_plans(spark):
+    """Plan-shape pins for the round-6 operators: the scale arguments
+    in their docstrings must be visible in the physical plan, not just
+    asserted in prose."""
+    load_all()
+    sf = SF_DIR
+
+    # skyline: no cartesian/smj dominance scan — one agg + a window
+    # over the aggregated size domain + a join back
+    s = plan_summary(QUERIES["q_part_skyline"](spark, sf), execute=True)
+    assert s["cartesian_products"] == 0
+    assert s["sort_merge_joins"] == 0  # join back is broadcastable
+
+    # minhash calibration: the audit is equi-joins on the pair stream;
+    # nothing cartesian, no nested-loop all-pairs
+    s = plan_summary(
+        QUERIES["doc_minhash_calibration"](spark, sf), execute=True
+    )
+    assert s["cartesian_products"] == 0
+    assert s["broadcast_nested_loop_joins"] == 0
+
+    # lateness profile: partitioned running-max window — the plan may
+    # not contain a single-partition global sort of the fact rows
+    # (Window over user_id partitions only)
+    plan = executed_plan(QUERIES["events_lateness_profile"](spark, sf))
+    assert "CartesianProduct" not in plan
+    import re as _re
+
+    for m in _re.finditer(r"Window .*", plan):
+        assert "user_id" in m.group(0)  # every window is per-user
+
+    # backlog: the running sum's single-partition window exists but
+    # ONLY downstream of the day-domain aggregates (never over facts):
+    # the plan has exactly one Window and both groupBys happen first
+    plan = executed_plan(QUERIES["q_order_backlog_daily"](spark, sf))
+    assert plan.count("Window") == 1
+    assert "CartesianProduct" not in plan
