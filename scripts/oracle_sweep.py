@@ -78,22 +78,26 @@ def main() -> None:
     out_path = None
     if "--out" in sys.argv:
         out_path = sys.argv[sys.argv.index("--out") + 1]
-    resumed: dict[str, dict] = {}
-    if "--resume" in sys.argv:
-        with open(sys.argv[sys.argv.index("--resume") + 1]) as fh:
-            prior = json.load(fh).get("results", {})
-        # reuse hash-verified rows AND completed spark-only rows
-        # (match None + rows recorded); only true failures re-run
-        resumed = {
-            k: v
-            for k, v in prior.items()
-            if v.get("match") or (v.get("match") is None and "rows" in v)
-        }
     spark_only: set[str] = set()
     if "--spark-only" in sys.argv:
         spark_only = set(
             sys.argv[sys.argv.index("--spark-only") + 1].split(",")
         )
+    resumed: dict[str, dict] = {}
+    if "--resume" in sys.argv:
+        with open(sys.argv[sys.argv.index("--resume") + 1]) as fh:
+            prior = json.load(fh).get("results", {})
+        # reuse hash-verified rows, and completed spark-only rows
+        # (match None + rows recorded) ONLY when the current run also
+        # lists the query in --spark-only — otherwise a prior partial
+        # sweep's completion row would silently block the hash
+        # verification this invocation was asked to perform
+        resumed = {
+            k: v
+            for k, v in prior.items()
+            if v.get("match")
+            or (v.get("match") is None and "rows" in v and k in spark_only)
+        }
     only: list[str] | None = None
     if "--only" in sys.argv:
         only = sys.argv[sys.argv.index("--only") + 1].split(",")

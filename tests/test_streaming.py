@@ -835,7 +835,10 @@ def test_rate_limiter_pacing_parity_across_expiry(spark, tmp_path):
         if paced:
             reader = reader.option("maxFilesPerTrigger", 1)
         q = (
-            rate_limited(reader.parquet(str(src)))
+            # explicit 0s tolerance: the point of this test is that the
+            # idle key's state EXPIRES mid-run in the paced leg, which
+            # needs the watermark to actually advance past the timeout
+            rate_limited(reader.parquet(str(src)), late_tolerance="0 seconds")
             .writeStream.format("memory")
             .queryName(f"rlp_{tag}")
             .outputMode("append")

@@ -155,6 +155,7 @@ _GATE_R6 = [
     "q_part_substitution_candidates",
     "doc_bpe_token_stats",
     # --- slots 12-36: the 25 r1-only analytics (oldest driver rows) ---
+    # (layout check: 7 + 4 + 25 + 10 + 4 = 50; tests pin the order)
     "q2_min_acctbal_supplier",
     "q4_order_priority",
     "q6_revenue_forecast",
@@ -180,7 +181,7 @@ _GATE_R6 = [
     "q_rollup_revenue",
     "q_running_monthly_revenue",
     "q_top_supplier_per_nation",
-    # --- slots 38-50: oldest r2-only rows (shared-helper churn) ---
+    # --- slots 37-46: oldest r2-only rows (shared-helper churn) ---
     "hive_search_topk",
     "hive_audit_recent",
     "hive_events_by_doc",
@@ -191,8 +192,8 @@ _GATE_R6 = [
     "events_asof_last_order",
     "events_funnel",
     "doc_chunks",
-    # --- round-6 additions (new work earns its driver row the round
-    # it lands; the four r2-only re-attests they displaced —
+    # --- slots 47-50: round-6 additions (new work earns its driver row
+    # the round it lands; the four r2-only re-attests they displaced —
     # doc_chunk_stats, doc_token_stats, doc_langid, doc_quality_score
     # — head the r7 plan with the rest of the r2-only family) ---
     "q_order_backlog_daily",

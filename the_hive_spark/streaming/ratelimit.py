@@ -24,6 +24,7 @@ cluster), with no coordination between keys.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterable
 
 import pandas as pd
@@ -76,11 +77,16 @@ def admit_events(
 ) -> Iterable[pd.DataFrame]:
     """Stateful token-bucket admission for one key's events.
 
+    Two distinct lateness regimes, and they compose: an input row
+    at-or-below the stream's WATERMARK never reaches this function at
+    all — Spark's stateful-operator contract drops it (size
+    :func:`rate_limited`'s ``late_tolerance`` to the source's real
+    out-of-orderness; the default is deliberately conservative).
+    Rows that DO arrive but are out of order within the tolerance
+    (ts before the bucket's last seen ts) refill nothing but still
+    contend for tokens — the deterministic convention for replay.
     Integer milli-token arithmetic: refill = elapsed_us · rate / 1000
-    (floor), capped at burst·1000; admit costs exactly 1000. Late
-    events (ts before the bucket's last seen ts) refill nothing but
-    still contend for tokens — the deterministic convention for
-    out-of-order replay.
+    (floor), capped at burst·1000; admit costs exactly 1000.
 
     State expiry is an EVENT-time timeout: the bucket drops when the
     stream's watermark passes last-event-time + max(60s, burst/rate)
@@ -145,11 +151,16 @@ def admit_events(
     # adds tokens, so the state must never expire (expiry would mint a
     # fresh burst); leaving the timeout unset keeps it immortal,
     # bounded by key cardinality like any keyed-state operator.
+    # Both the idle span and the µs→ms conversion CEIL so the expiry
+    # instant is never EARLIER than the exact burst/rate refill point
+    # (floor truncation could shave up to ~2 ms combined, letting a
+    # recreated full bucket admit a volley a never-expired bucket
+    # would still be refilling toward).
     if rate_per_sec > 0 and last_ts_us is not None:
-        idle_ms = max(60_000, int(1000 * burst / rate_per_sec))
+        idle_ms = max(60_000, math.ceil(1000 * burst / rate_per_sec))
         state.setTimeoutTimestamp(
             max(
-                (last_ts_us + _WM_OFFSET_US) // 1000 + idle_ms,
+                -(-(last_ts_us + _WM_OFFSET_US) // 1000) + idle_ms,
                 state.getCurrentWatermarkMs() + 1,
             )
         )
@@ -161,7 +172,7 @@ def rate_limited(
     events: DataFrame,
     rate_per_sec: float = DEFAULT_RATE_PER_SEC,
     burst: int = DEFAULT_BURST,
-    late_tolerance: str = "0 seconds",
+    late_tolerance: str = "10 minutes",
 ) -> DataFrame:
     """Wire the token bucket onto a stream carrying
     (user_id, event_id, ts_us).
@@ -171,12 +182,14 @@ def rate_limited(
     time is at-or-below the watermark of its micro-batch (i.e. later
     than ``late_tolerance`` behind the max event time seen in PRIOR
     batches) is dropped by the stateful operator, exactly as in
-    watermarked window aggregation or dropDuplicates. For every
+    watermarked window aggregation or dropDuplicates. The default is
+    deliberately conservative (10 minutes) so out-of-order sources do
+    not silently lose rows — tightening it is an explicit opt-in that
+    trades lateness coverage for earlier state expiry. For every
     accepted row, admissions are replay-identical across pacing (both
-    refill and state expiry are functions of event time). Size the
-    tolerance to the source's real out-of-orderness; in-order sources
-    are never affected (a row can't trail a max seen only in earlier
-    batches)."""
+    refill and state expiry are functions of event time). In-order
+    sources are never affected at any tolerance (a row can't trail a
+    max seen only in earlier batches)."""
 
     def fn(key, pdfs, state):
         yield from admit_events(
