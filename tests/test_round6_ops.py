@@ -219,3 +219,88 @@ def test_order_backlog_matches_bruteforce(spark, tmp_path):
     # total opens so the final backlog is positive
     assert want[-1][3] > 0
     assert sum(c for _, _, c, _ in want) < sum(o for _, o, _, _ in want)
+
+
+def test_minhash_calibration_bounded_sample(spark, tmp_path):
+    """Property (round-7 sampled path): above CALIB_MAX_DOCS eligible
+    docs the audit runs over the deterministic hex16·n < 65536·C doc
+    subsample — a planted near-dup pair INSIDE the sample is audited
+    with exact python-recomputed values, a near-dup pair with one doc
+    OUTSIDE the sample never appears, and every emitted doc passes the
+    sample predicate."""
+    from the_hive_spark.operators.dedup import (
+        CALIB_MAX_DOCS,
+        N_MINHASH,
+        SHINGLE_W,
+        doc_minhash_calibration,
+    )
+
+    n_eligible = CALIB_MAX_DOCS + 500
+
+    def in_sample(doc_id: int) -> bool:
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:4], 16)
+        return h * n_eligible < 65536 * CALIB_MAX_DOCS
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the "
+        "cat watches from the warm windowsill in the afternoon sun"
+    )
+    # scan ids deterministically for two in-sample and one out-of-sample
+    ins = [i for i in range(1, 10000) if in_sample(i)][:2]
+    outs = [i for i in range(1, 10000) if not in_sample(i)][0]
+    assert len(ins) == 2
+    texts = {
+        ins[0]: base,
+        ins[1]: base + " extra tail words here",        # in-sample pair
+        outs: base.replace("quick", "rapid"),           # near-dup of
+        # ins[0] but OUT of the sample: must never be audited
+    }
+    rows = [
+        {"doc_id": d, "text": t, "source": "s1", "n_chars": len(t)}
+        for d, t in texts.items()
+    ]
+    # unique filler docs to push the eligible count past the cap
+    filler_ids = iter(
+        i for i in range(20000, 100000) if i not in texts
+    )
+    while len(rows) < n_eligible:
+        i = next(filler_ids)
+        rows.append(
+            {
+                "doc_id": i,
+                "text": f"unique filler document number {i} "
+                f"with no shared shingles x{i}y",
+                "source": "s1",
+                "n_chars": 10,
+            }
+        )
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet")
+
+    got = {
+        (r["doc_a"], r["doc_b"]): (
+            r["jaccard_ppm"], r["minhash_est_ppm"], r["abs_err_ppm"]
+        )
+        for r in doc_minhash_calibration(spark, str(tmp_path)).collect()
+    }
+    assert (ins[0], ins[1]) in got or (ins[1], ins[0]) in got
+    for a, b in got:
+        assert in_sample(a) and in_sample(b), (a, b)
+    assert not any(outs in p for p in got)
+
+    def shingles(t):
+        return {t[i:i + SHINGLE_W] for i in range(len(t) - SHINGLE_W + 1)}
+
+    def sig(t):
+        hs = [hashlib.md5(s.encode()).hexdigest() for s in shingles(t)]
+        return [min(h[4 * c:4 * c + 4] for h in hs) for c in range(N_MINHASH)]
+
+    for (a, b), (jac, est, err) in got.items():
+        if a not in texts or b not in texts:
+            continue  # filler-filler pairs shouldn't exist anyway
+        sa, sb = shingles(texts[a]), shingles(texts[b])
+        assert jac == math.floor(1e6 * len(sa & sb) / len(sa | sb) + 0.5)
+        matches = sum(
+            1 for x, y in zip(sig(texts[a]), sig(texts[b])) if x == y
+        )
+        assert est == matches * (1_000_000 // N_MINHASH)
+        assert err == abs(jac - est)
