@@ -19,19 +19,24 @@ registry.load_all()
 
 _ROOT = os.path.join(os.path.dirname(__file__), "..")
 
-# Queries whose PLANS changed in round 6 (min_label_propagation
-# localCheckpoint fix, geometric price banding, single-pass BPE token
-# stats): a green driver row earned under the old plan does not attest
-# the new one, so these MUST re-earn rows in the r6 gate.
-_PLAN_CHANGED_R6 = [
-    "graph_label_propagation3",
+# Queries whose PLANS (and for the calibration, OUTPUT) changed in
+# round 7: the minhash calibration's scale-invariant doc subsample,
+# the skew-safe distinct-name fuzzy blocking (which also feeds the FS
+# scores and the ER closure), and the two dedup consumers of the
+# refactored pair-builder helpers. A green driver row earned under the
+# old plan does not attest the new one, so these MUST re-earn rows in
+# the r7 gate.
+_PLAN_CHANGED_R7 = [
+    "doc_minhash_calibration",
+    "cust_fuzzy_match_pairs",
+    "cust_linkage_fs_scores",
     "cust_er_clusters3",
-    "q_part_substitution_candidates",
-    "doc_bpe_token_stats",
+    "doc_ngram_jaccard_pairs",
+    "doc_dup_clusters",
 ]
 
 
-def _driver_checked(rounds=("01", "02", "03", "04", "05")) -> set[str]:
+def _driver_checked(rounds=("01", "02", "03", "04", "05", "06")) -> set[str]:
     """Names with a GREEN driver CORRECTNESS row in the given rounds
     (a ``no_oracle`` err row is not a verification — round 4's
     lesson)."""
@@ -67,45 +72,37 @@ def test_top50_budget():
     )
     names = json.loads(out.stdout.strip().splitlines()[-1])
     assert len(names) >= 50
-    assert names[: len(registry._GATE_R6)] == registry._GATE_R6
+    assert names[: len(registry._GATE_R7)] == registry._GATE_R7
 
 
-def test_gate_r6_all_oracled():
+def test_gate_r7_all_oracled():
     """EVERY gate slot must have a DuckDB oracle. The driver returns
     ``err: "no_oracle"`` for rows-only queries — it does NOT fall back
     to a rows+schema check — so a rows-only slot verifies nothing
     (round 4 burned 11 of 50 slots this way, CORRECTNESS_r04.json).
     This makes the mistake structurally impossible for all future
     rotations."""
-    assert len(registry._GATE_R6) == 50
-    unoracled = [n for n in registry._GATE_R6 if n not in registry.ORACLES]
+    assert len(registry._GATE_R7) == 50
+    unoracled = [n for n in registry._GATE_R7 if n not in registry.ORACLES]
     assert not unoracled, unoracled
 
 
-def test_gate_r6_slots():
-    """Slots 1-7: the oracled round-5 additions that missed the r5
-    gate (no driver row by construction). Slots 8-11: the round-6
-    plan-change re-attests. The rest: re-attests whose only green row
-    is from round 1 or 2 (the oldest in the record) — or round-6
-    additions swapped into the tail."""
-    post_r5_gate = [
-        n
-        for n in registry._ADDED_R5
-        if n in registry.ORACLES and n not in registry._GATE_R5
-    ]
-    assert registry._GATE_R6[:7] == post_r5_gate
-    assert registry._GATE_R6[7:11] == _PLAN_CHANGED_R6
+def test_gate_r7_slots():
+    """Slots 1-6: the round-7 plan-change re-attests. The rest:
+    re-attests whose latest green row is from round 2 or 3 (the oldest
+    in the record) — or round-7 additions swapped into the tail."""
+    assert registry._GATE_R7[:6] == _PLAN_CHANGED_R7
     checked = _driver_checked()
     if not checked:
         return  # fresh clone without driver artifacts
-    old_only = _driver_checked(("01", "02")) - _driver_checked(
-        ("03", "04", "05")
+    old_only = _driver_checked(("01", "02", "03")) - _driver_checked(
+        ("04", "05", "06")
     )
-    added_r6 = set(registry._ADDED_R6)
-    for n in registry._GATE_R6[11:]:
-        assert n in old_only or n in added_r6, (
-            f"re-attest slot {n} is neither an r1/r2-only row nor a "
-            "round-6 addition"
+    added_r7 = set(registry._ADDED_R7)
+    for n in registry._GATE_R7[6:]:
+        assert n in old_only or n in added_r7, (
+            f"re-attest slot {n} is neither an r2/r3-only row nor a "
+            "round-7 addition"
         )
 
 
@@ -116,26 +113,26 @@ def test_no_green_query_left_behind():
     checked = _driver_checked()
     if not checked:
         return
-    added_r6 = set(registry._ADDED_R6)
+    added_r7 = set(registry._ADDED_R7)
     never = [
         n
         for n in registry.ORACLES
         if n not in checked
-        and n not in registry._GATE_R6
-        and n not in added_r6
+        and n not in registry._GATE_R7
+        and n not in added_r7
     ]
     assert not never, (
-        "oracled queries with no driver row missing from the r6 gate "
-        "(and not declared in _ADDED_R6 for the round-7 rotation): "
+        "oracled queries with no driver row missing from the r7 gate "
+        "(and not declared in _ADDED_R7 for the round-8 rotation): "
         + str(never)
     )
 
 
 def test_plan_changed_queries_regated():
-    """The round-6 plan edits invalidated these queries' old driver
+    """The round-7 plan edits invalidated these queries' old driver
     rows; each must hold a gate slot this round."""
-    for n in _PLAN_CHANGED_R6:
-        assert n in registry._GATE_R6, n
+    for n in _PLAN_CHANGED_R7:
+        assert n in registry._GATE_R7, n
 
 
 def test_every_query_has_callable_and_unique_name():

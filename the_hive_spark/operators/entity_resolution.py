@@ -29,11 +29,29 @@ nothing else. The key stream is len(name) rows per name — the same
 fan-out class as shingling, repartitioned before the explode.
 
 Scale: the block join is a plain equi-join on (len, position, masked
-string); block size equals true-match multiplicity, so there is no
-hot-key pathology to salt — skew in this join IS the answer set.
-The DuckDB oracle runs the same masked-key generation (it is the
-standard algorithm) and the `levenshtein` verification makes any
-blocking bug a visible hash mismatch rather than a silent recall loss.
+string), and it runs over DISTINCT NAMES, not records. That is the
+skew defense: the real hot block in record linkage is an identical
+popular name ("John Smith" a million times), and blocking records
+directly would fan every mask position of every copy into the join —
+len·K masked rows per hot name, len·K² candidate rows out, all
+pre-verification. Deduplicating to distinct names first bounds every
+block by VARIANT multiplicity (how many distinct spellings share a
+masked form — a property of the name space, not of record volume),
+verification runs once per distinct-name pair, and record-level pairs
+are recovered afterwards by expanding each verified name pair through
+its key groups. The expansion's output is exactly the answer set —
+a million identical copies DO form ~K²/2 true duplicate pairs, and no
+algorithm can emit fewer rows than its answer — so the quadratic
+lives only where it is irreducible, with cost proportional to output,
+never to output × name-length. No recall tradeoff: unlike a block-size
+cap or salt-and-sample, the rewrite is exactness-preserving (the
+planted-hot-block property test pins both the bounded candidate count
+and the byte-identical answer).
+
+The DuckDB oracle runs the naive record-level masked-key generation
+(it is the standard algorithm) and the `levenshtein` verification
+makes any blocking bug a visible hash mismatch rather than a silent
+recall loss.
 """
 
 from __future__ import annotations
@@ -68,63 +86,97 @@ WHERE levenshtein(ca.c_name, cb.c_name) <= 1
 """
 
 
-@query("cust_fuzzy_match_pairs", oracle=_MASKED_ORACLE)
-def cust_fuzzy_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customer-name fuzzy self-match: equal-length pairs at edit
-    distance ≤ 1, via masked-position blocking + levenshtein
-    verification — the record-linkage candidate join (see module
-    docstring for why masking beats half-split pigeonhole blocking).
+def distinct_name_match_pairs(
+    spark: SparkSession, names: DataFrame
+) -> DataFrame:
+    """(name_a, name_b) pairs of DISTINCT equal-length names at
+    Hamming distance exactly 1, via masked-position blocking +
+    levenshtein verification, canonicalized name_a < name_b.
 
-    Physical plan: one scan fans out to len(name) masked block keys
-    per row (in-row transform + posexplode, repartitioned first); the
-    self-join on (len, i, masked) only ever pairs rows that already
-    match at distance ≤ 1; pair-level dedup + a JVM-side
-    `levenshtein` check produce the verified result. No cartesian, no
-    full-name cross comparison, no hot-key salting needed — block
-    cardinality equals answer multiplicity by construction.
+    This is the skew-safe core of the fuzzy matcher: it never sees
+    record multiplicity, only the distinct name space, so a
+    million-copy hot name contributes ONE masked row per position.
+    Two distinct equal-length names at Hamming distance 1 share
+    EXACTLY one masked form (masking any non-differing position
+    leaves the differing character exposed), so the block join emits
+    each qualifying name pair exactly once — no pair-level dedup
+    shuffle is needed, and block cardinality equals the name-variant
+    multiplicity of the mask, independent of record counts.
     """
     n = spark.sparkContext.defaultParallelism
-    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    masked = (
-        cust.repartition(n)
-        .select(
-            "c_custkey",
-            "c_name",
-            F.length("c_name").alias("len"),
-            F.posexplode(
-                F.expr(
-                    "transform(sequence(1, length(c_name)),"
-                    " i -> concat(substring(c_name, 1, i - 1), chr(1),"
-                    " substring(c_name, i + 1)))"
-                )
-            ).alias("i", "masked"),
-        )
+    masked = names.repartition(n).select(
+        "c_name",
+        F.length("c_name").alias("len"),
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, length(c_name)),"
+                " i -> concat(substring(c_name, 1, i - 1), chr(1),"
+                " substring(c_name, i + 1)))"
+            )
+        ).alias("i", "masked"),
     )
     a, b = masked.alias("a"), masked.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.len") == F.col("b.len"))
             & (F.col("a.i") == F.col("b.i"))
             & (F.col("a.masked") == F.col("b.masked"))
-            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+            & (F.col("a.c_name") < F.col("b.c_name")),
         )
         .select(
-            F.col("a.c_custkey").alias("custkey_a"),
-            F.col("b.c_custkey").alias("custkey_b"),
             F.col("a.c_name").alias("name_a"),
             F.col("b.c_name").alias("name_b"),
         )
-        .distinct()
+        .filter(F.levenshtein("name_a", "name_b") <= 1)
     )
-    return (
-        cand.withColumn(
-            "edit_distance",
-            F.levenshtein("name_a", "name_b").cast("bigint"),
+
+
+@query("cust_fuzzy_match_pairs", oracle=_MASKED_ORACLE)
+def cust_fuzzy_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-name fuzzy self-match: equal-length pairs at edit
+    distance ≤ 1, via masked-position blocking + levenshtein
+    verification — the record-linkage candidate join (see module
+    docstring for why masking beats half-split pigeonhole blocking,
+    and why blocking runs over distinct names, not records).
+
+    Physical plan, three record-volume-proportional stages and one
+    variant-space stage: (1) distinct names (hash-groupBy); (2) the
+    masked block self-join over distinct names only
+    (distinct_name_match_pairs — bounded by name-variant multiplicity,
+    immune to hot identical-name skew, levenshtein once per NAME
+    pair); (3) expansion of each verified name pair through the two
+    key groups (two equi-joins back to records — output-sized by
+    definition); (4) identical-name groups expand to their in-group
+    pairs (distance 0) with one equi-self-join on the name. No
+    cartesian, no per-record verification, no pair-dedup shuffle.
+    """
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    names = cust.select("c_name").distinct()
+    name_pairs = distinct_name_match_pairs(spark, names)
+    ca, cb = cust.alias("ca"), cust.alias("cb")
+    cross = (
+        name_pairs.join(ca, F.col("ca.c_name") == F.col("name_a"))
+        .join(cb, F.col("cb.c_name") == F.col("name_b"))
+        .select(
+            F.least("ca.c_custkey", "cb.c_custkey").alias("custkey_a"),
+            F.greatest("ca.c_custkey", "cb.c_custkey").alias("custkey_b"),
+            F.lit(1).cast("bigint").alias("edit_distance"),
         )
-        .filter(F.col("edit_distance") <= 1)
-        .select("custkey_a", "custkey_b", "edit_distance")
     )
+    within = (
+        ca.join(
+            cb,
+            (F.col("ca.c_name") == F.col("cb.c_name"))
+            & (F.col("ca.c_custkey") < F.col("cb.c_custkey")),
+        )
+        .select(
+            F.col("ca.c_custkey").alias("custkey_a"),
+            F.col("cb.c_custkey").alias("custkey_b"),
+            F.lit(0).cast("bigint").alias("edit_distance"),
+        )
+    )
+    return cross.unionAll(within)
 
 
 _FS_ORACLE = """

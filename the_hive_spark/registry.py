@@ -202,6 +202,79 @@ _GATE_R6 = [
     "events_lateness_profile",
 ]
 
+# ROUND-7 GATE. Slots 1-6: MANDATORY re-attests of the queries whose
+# plans (and for the calibration, output) changed this round — the
+# minhash calibration's scale-invariant doc subsample (dedup.py), the
+# skew-safe distinct-name fuzzy blocking (entity_resolution.py, which
+# also feeds the FS scores and the ER closure), and the two dedup
+# consumers of the refactored pair-builder helpers. Slots 7-43: the
+# 37 remaining r2-only rows (the oldest driver rows in the record —
+# five rounds of shared-helper churn since their r2 green). Slots
+# 44-50: the oldest r3-only rows; new round-7 queries swap into this
+# tail as they land (same policy as r5/r6: new work earns its driver
+# row the round it lands, displaced r3-only rows head the r8 plan).
+_GATE_R7 = [
+    # --- slots 1-6: round-7 plan/output-change re-attests ---
+    "doc_minhash_calibration",
+    "cust_fuzzy_match_pairs",
+    "cust_linkage_fs_scores",
+    "cust_er_clusters3",
+    "doc_ngram_jaccard_pairs",
+    "doc_dup_clusters",
+    # --- slots 7-43: the 37 r2-only rows (oldest driver evidence) ---
+    "doc_chunk_stats",
+    "doc_token_stats",
+    "doc_langid",
+    "doc_quality_score",
+    "doc_bm25_topk",
+    "doc_fingerprint",
+    "doc_lang_profile",
+    "doc_pack_sequences",
+    "doc_pii_redact",
+    "doc_rebalance_sample",
+    "doc_split_assignment",
+    "doc_stratified_sample",
+    "doc_token_weighted_sample",
+    "doc_top_terms",
+    "doc_training_manifest",
+    "events_anomaly_daily",
+    "events_attributed_conversions",
+    "events_band_salted_join",
+    "events_by_type",
+    "events_daily_type_pivot",
+    "events_dau_stickiness",
+    "events_debounced",
+    "events_error_bursts",
+    "events_error_rate_daily",
+    "events_funnel_windowed",
+    "events_hourly_pattern",
+    "events_interarrival_by_type",
+    "events_last_touch",
+    "events_path_3grams",
+    "events_props_histogram",
+    "events_top_purchasers",
+    "events_tumbling_10min",
+    "events_user_daily",
+    "events_value_by_type_salted",
+    "events_value_histogram",
+    "events_value_percentiles",
+    "events_within_hour_pairs",
+    # --- slots 44-50: oldest r3-only rows (displaced one-for-one by
+    # new round-7 queries as they land) ---
+    "hive_clients_online",
+    "doc_repetition_ratio",
+    "doc_decontaminate",
+    "doc_lang_mismatch",
+    "doc_bpe_pair_counts",
+    "events_markov_transitions",
+    "doc_dup_gram_coverage",
+]
+
+# Queries ADDED in round 7 (same policy as _ADDED_R5/R6: oracled ones
+# are swapped into _GATE_R7's tail when feasible; any that miss the
+# gate are the front of the round-8 rotation).
+_ADDED_R7: list[str] = []
+
 # Queries ADDED in round 6 (same policy as _ADDED_R5: oracled ones are
 # swapped into _GATE_R6's tail when feasible; any that miss the gate
 # are the front of the round-7 rotation).
@@ -420,7 +493,7 @@ def load_all() -> None:
     The driver's correctness gate hash-checks the first 50 entries of
     ``QUERIES`` only, so registration order is a verification budget.
     Rather than encode the budget in fragile import order, imports stay
-    alphabetical-ish and ``_GATE_R6`` (above) pins the explicit
+    alphabetical-ish and ``_GATE_R7`` (above) pins the explicit
     rotation: QUERIES is rebuilt with the listed names first, then all
     remaining registrations in their original order. Pinned by
     tests/test_registry.py, which also asserts every gate slot has a
@@ -436,23 +509,12 @@ def load_all() -> None:
     oldest r1-only families + 11 of the round-5 additions (50/50
     green; 0 hash failures in 5 rounds).
 
-    Round-7 rotation plan: (a) any _ADDED_R6 queries that miss the r6
-    gate, (b) re-attests of whatever round-7 edits touch, then (c) the
-    next-oldest rows — the remaining r2-only rows not covered by r6
-    slots 37-50 (doc_bm25_topk, doc_fingerprint, doc_lang_profile,
-    doc_pack_sequences, doc_pii_redact, doc_rebalance_sample,
-    doc_split_assignment, doc_stratified_sample, doc_token_weighted_
-    sample, doc_top_terms, doc_training_manifest, events_anomaly_daily,
-    events_attributed_conversions, events_band_salted_join,
-    events_by_type, events_daily_type_pivot, events_dau_stickiness,
-    events_debounced, events_error_bursts, events_error_rate_daily,
-    events_funnel_windowed, events_hourly_pattern,
-    events_interarrival_by_type, events_last_touch, events_path_3grams,
-    events_props_histogram, events_timeline→already r6, events_
-    top_purchasers, events_tumbling_10min, events_user_daily,
-    events_value_by_type_salted, events_value_histogram,
-    events_value_percentiles, events_within_hour_pairs) and then the
-    r3-only rows, oldest first.
+    Round-8 rotation plan: (a) any _ADDED_R7 queries that miss the r7
+    gate, (b) re-attests of whatever round-8 edits touch, then (c) the
+    next-oldest rows — the r3-only rows displaced from r7 slots 44-50
+    by round-7 additions, then the remaining r3-only rows (see
+    _GATE_R3: the corpus_quality / warehouse / similarity families
+    whose latest green row is round 3), oldest first, then r4-only.
     """
     from the_hive_spark.operators import (  # noqa: F401
         timeline,
@@ -471,14 +533,14 @@ def load_all() -> None:
         warehouse,
     )
 
-    missing = [n for n in _GATE_R6 if n not in QUERIES]
+    missing = [n for n in _GATE_R7 if n not in QUERIES]
     if missing:  # defensive: a renamed query must fail loudly, not
         # silently shift every later gate slot by one.
         raise RuntimeError(f"gate rotation names not registered: {missing}")
-    unoracled = [n for n in _GATE_R6 if n not in ORACLES]
+    unoracled = [n for n in _GATE_R7 if n not in ORACLES]
     if unoracled:  # rows-only slots verify nothing (driver: no_oracle)
         raise RuntimeError(f"gate slots without an oracle: {unoracled}")
-    rotated = {n: QUERIES[n] for n in _GATE_R6}
+    rotated = {n: QUERIES[n] for n in _GATE_R7}
     rotated.update((n, fn) for n, fn in QUERIES.items() if n not in rotated)
     QUERIES.clear()
     QUERIES.update(rotated)
