@@ -402,34 +402,44 @@ def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish token counting: the pre-tokenizer split (letter runs /
     digit runs / single symbols) that upper-bounds real BPE token
     counts — the budgeting number a training pipeline tracks per doc.
-    Pure regexp_extract_all; no Python. Repartitioned first so the
-    regex pass runs at cluster parallelism, not the file layout's
-    split count (fan-out-stage convention).
+    Repartitioned first so the pass runs at cluster parallelism, not
+    the file layout's split count (fan-out-stage convention).
 
-    The token array is materialized ONCE in its own projection and the
-    three counts derive from that attribute: CollapseProject keeps the
-    two projections separate (a non-cheap producer referenced three
-    times is not inlined), so the regex scans each document once — the
-    round-5 version inlined regexp_extract_all three times and the
-    triple pass was 29% of the sf10 headline (22.7 s)."""
+    COUNTS WITHOUT TOKENIZING: the three statistics are character
+    arithmetic, so no token array is ever materialized. Two run-
+    collapsing regexp_replace passes ([A-Za-z]+ → 'a', then [0-9]+ →
+    '0') reduce the text to one marker char per token; the counts are
+    then plain length/replace arithmetic — n_bpe = non-space chars of
+    the collapsed form, n_numeric = its '0' count, n_symbol = the
+    rest. Each history step was measured at sf10 (500 k docs): three
+    inlined regexp_extract_all = 22.7 s; one shared extract_all + two
+    per-token rlike filters = 19.0 s (allocation-bound: one string
+    object per token, then a regex match per token); this collapsed
+    form = two allocation-free regex scans + byte counting, no
+    per-token work at all. The collapsed string sits in its own
+    projection so CollapseProject cannot inline it into the four
+    counts (a non-cheap producer referenced 4× is not inlined)."""
     n = spark.sparkContext.defaultParallelism
     docs = (
         table(spark, sf_dir, "documents")
         .filter(F.length("text") > 0)
         .repartition(n)
     )
-    return docs.select(
+    # marker chars are members of the classes they replace, so the
+    # three classes (letter-run marker 'a', digit-run marker '0',
+    # symbols, spaces) stay disjoint in the collapsed text
+    collapsed = F.regexp_replace(
+        F.regexp_replace("text", "[A-Za-z]+", "a"), "[0-9]+", "0"
+    )
+    c = F.col("collapsed")
+    n_tok = F.length(F.replace(c, F.lit(" ")))
+    n_num = F.length(c) - F.length(F.replace(c, F.lit("0")))
+    n_alpha = F.length(c) - F.length(F.replace(c, F.lit("a")))
+    return docs.select("doc_id", collapsed.alias("collapsed")).select(
         "doc_id",
-        F.expr(f"regexp_extract_all(text, '{_BPE_RE}', 0)").alias("toks"),
-    ).select(
-        "doc_id",
-        F.size("toks").cast("bigint").alias("n_bpe_tokens"),
-        F.size(
-            F.expr("filter(toks, t -> t rlike '^[0-9]+$')")
-        ).cast("bigint").alias("n_numeric_tokens"),
-        F.size(
-            F.expr("filter(toks, t -> t rlike '^[^A-Za-z0-9]$')")
-        ).cast("bigint").alias("n_symbol_tokens"),
+        n_tok.cast("bigint").alias("n_bpe_tokens"),
+        n_num.cast("bigint").alias("n_numeric_tokens"),
+        (n_tok - n_num - n_alpha).cast("bigint").alias("n_symbol_tokens"),
     )
 
 
