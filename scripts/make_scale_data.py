@@ -6,16 +6,32 @@ Method: replicate each fact/dim table K times with deterministic key
 offsets chosen per-table so every foreign key stays consistent inside
 its replica (replica i's lineitem rows reference replica i's orders/
 part/supplier, etc.). Fixed-cardinality dims (region, nation) are NOT
-replicated — exactly how a real corpus scales. Text/embedding payloads
-repeat verbatim, which deliberately makes the dedup family's job
-non-trivial at scale (each doc gains K−1 exact duplicates with
-distinct doc_ids).
+replicated — exactly how a real corpus scales.
+
+Two payload modes:
+
+- default (verbatim): text/embedding payloads repeat verbatim — every
+  doc gains K−1 exact duplicates with distinct doc_ids. Stress-tests
+  exact dedup, but makes every pair-family query's OUTPUT quadratic
+  in K (a K-clone family is C(K,2) near-dup pairs), so at sf10 those
+  queries measure the data artifact, not the plan.
+
+- --perturb: replica i>0 payloads get deterministic, progressively
+  stronger edits so duplication is BOUNDED like a real corpus —
+  each base doc keeps a small near-dup family (replicas 1-3 stay
+  above the 0.4-Jaccard threshold at decreasing similarity, replicas
+  ≥4 fall below it), each base customer keeps exactly one fuzzy-match
+  alias, each base part keeps ~one same-price-band twin, and each
+  base embedding keeps two near-neighbours. Near-dup pair counts then
+  scale LINEARLY in K, so a sweep at K=10/100 measures plan scaling,
+  not clone-count combinatorics. All edits are pure functions of
+  (key, replica, position) — regeneration is byte-identical.
 
 Correctness at the new scale is still checked the usual way — Spark
 vs DuckDB on the SAME generated parquet — so replica artifacts cannot
 bias the comparison.
 
-Usage: python scripts/make_scale_data.py [K] [SRC] [DST]
+Usage: python scripts/make_scale_data.py [K] [SRC] [DST] [--perturb]
 Defaults: K=10, SRC=/root/testdata/sf0.1, DST=/tmp/spark_graft_sf1
 """
 
@@ -42,10 +58,76 @@ COPY_ONLY = ["region", "nation"]
 UNIT = 1_000_000_000_000
 
 
+# --perturb payload rewrites, per table. Edit strength grows with the
+# replica index i (i=0 is always verbatim). Every quadratic-output
+# trap of verbatim cloning is addressed on the column that drives the
+# pair family's join key:
+# - documents.text: replace every STEP(i)-th whitespace token with a
+#   hash-derived synthetic token (hash-mixed so no two replicas' noise
+#   vocabularies overlap — a position-linear token id would leave
+#   heavy replicas of one doc sharing most noise tokens and recreate
+#   the quadratic family). STEP 12/6/4 keeps replicas 1-3 in the
+#   near-dup range at decreasing similarity; i≥4 rewrites EVERY token
+#   (unrelated filler mass, like real corpus growth).
+# - customer.c_name: i=1 appends one char (stays a fuzzy-match alias);
+#   i≥2 rewrites the digit tail with the globally-unique (base key,
+#   replica) pair — unique names, so no accidental exact-name pairs.
+# - part.p_brand: replicas i>0 get a replica-scoped brand. The
+#   substitution family joins on (brand, price band); scoping the
+#   brand makes replica markets disjoint, so its output is EXACTLY
+#   K · base (a price jitter alone leaves K² cross-replica
+#   accidental band matches — the density in log-price space grows
+#   K× and pair counts are density-squared).
+# - embeddings.embedding: hash-seeded uniform noise per component,
+#   magnitude 0.02/0.05 for i=1,2 (near-neighbours) and 0.5 beyond
+#   (unrelated), applied before any consumer normalizes.
+_DOC_STEP = (
+    "CASE WHEN r.i = 1 THEN 12 WHEN r.i = 2 THEN 6 WHEN r.i = 3 THEN 4 "
+    "ELSE 1 END"
+)
+PERTURB = {
+    "documents": {
+        "text": f"""
+CASE WHEN r.i = 0 THEN text ELSE array_to_string(
+  list_transform(string_split(text, ' '), (w, ix) ->
+    CASE WHEN (ix + doc_id + r.i) % ({_DOC_STEP}) = 0
+         THEN concat('q', CAST(hash(doc_id * 131071 + r.i * 8191 + ix)
+                               % 99991 AS VARCHAR), 'z')
+         ELSE w END), ' ') END""",
+        # n_chars tracks the rewritten text (filled in below)
+    },
+    "customer": {
+        "c_name": """
+CASE WHEN r.i = 0 THEN c_name
+     WHEN r.i = 1 THEN c_name || 'x'
+     ELSE concat(substring(c_name, 1, greatest(length(c_name) - 6, 1)),
+                 CAST(c_custkey AS VARCHAR), 'r', CAST(r.i AS VARCHAR)) END""",
+    },
+    "part": {
+        "p_brand": """
+CASE WHEN r.i = 0 THEN p_brand
+     ELSE concat(p_brand, '~', CAST(r.i AS VARCHAR)) END""",
+        "p_name": """
+CASE WHEN r.i = 0 THEN p_name
+     ELSE concat(p_name, ' v', CAST(r.i AS VARCHAR)) END""",
+    },
+    "embeddings": {
+        "embedding": """
+CASE WHEN r.i = 0 THEN embedding ELSE
+  list_transform(embedding, (x, j) -> CAST(x +
+    (CASE WHEN r.i = 1 THEN 0.02 WHEN r.i = 2 THEN 0.05 ELSE 0.5 END)
+    * ((CAST(hash(vec_id * 1000003 + j * 131 + r.i) % 20001 AS DOUBLE)
+        - 10000.0) / 10000.0) AS FLOAT)) END""",
+    },
+}
+
+
 def main() -> None:
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
-    dst = sys.argv[3] if len(sys.argv) > 3 else "/tmp/spark_graft_sf1"
+    args = [a for a in sys.argv[1:] if a != "--perturb"]
+    perturb = "--perturb" in sys.argv
+    k = int(args[0]) if len(args) > 0 else 10
+    src = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
+    dst = args[2] if len(args) > 2 else "/tmp/spark_graft_sf1"
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count() or 8}")
@@ -64,9 +146,18 @@ def main() -> None:
                 f"DESCRIBE SELECT * FROM read_parquet('{src}/{t}.parquet')"
             ).fetchall()
         ]
-        proj = ", ".join(
-            f"({c} + r.i * {UNIT}) AS {c}" if c in keys else c for c in cols
-        )
+        rewrites = PERTURB.get(t, {}) if perturb else {}
+        parts = []
+        for c in cols:
+            if c in keys:
+                parts.append(f"({c} + r.i * {UNIT}) AS {c}")
+            elif perturb and t == "documents" and c == "n_chars":
+                parts.append(f"length({rewrites['text']}) AS n_chars")
+            elif c in rewrites:
+                parts.append(f"({rewrites[c]}) AS {c}")
+            else:
+                parts.append(c)
+        proj = ", ".join(parts)
         # one ROW_GROUP per ~122k rows default; write with per-replica
         # parallelism so the big tables don't serialize through one
         # writer thread

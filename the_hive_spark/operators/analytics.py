@@ -3475,3 +3475,92 @@ def q_order_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# Declared FD candidates for the dependency audit: (tag, table, lhs,
+# rhs). Chosen to span strengths — schema-ish dependencies a modeler
+# WOULD assume (brand determines type, priority determines status) that
+# the data may or may not honor.
+_FD_CANDIDATES = [
+    ("part.p_brand->p_type", "part", "p_brand", "p_type"),
+    ("part.p_type->p_size", "part", "p_type", "p_size"),
+    ("part.p_name->p_brand", "part", "p_name", "p_brand"),
+    ("orders.o_orderpriority->o_orderstatus", "orders",
+     "o_orderpriority", "o_orderstatus"),
+]
+
+
+def _fd_oracle() -> str:
+    selects = []
+    for tag, tbl, lhs, rhs in _FD_CANDIDATES:
+        selects.append(f"""
+SELECT '{tag}' AS fd,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_keys,
+       CAST(FLOOR(1000000.0 * (SUM(n) - SUM(mx)) / SUM(n) + 0.5) AS BIGINT)
+         AS g3_error_ppm
+FROM (
+  SELECT {lhs}, SUM(cnt) AS n, COUNT(*) AS nd, MAX(cnt) AS mx
+  FROM (SELECT {lhs}, {rhs}, COUNT(*) AS cnt FROM {tbl}
+        GROUP BY {lhs}, {rhs})
+  GROUP BY {lhs}
+)""")
+        # NOTE: mx = the largest single-RHS group per key, so
+        # SUM(n)-SUM(mx) = the minimum row deletions that make the FD
+        # hold exactly (the g3 measure)
+    return "\nUNION ALL\n".join(selects)
+
+
+@query("q_fd_violation_audit", oracle=_fd_oracle())
+def q_fd_violation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate functional-dependency audit: for each declared FD
+    candidate X→Y, the g3 error (Kivinen & Mannila 1995) — the minimum
+    fraction of rows that must be deleted for the dependency to hold
+    exactly, the standard measure data-profiling systems (Tane,
+    Metanome) report for "approximate" FDs — plus key/violation
+    counts. This is the schema-trust report a warehouse runs before
+    assuming a dependency in a rollup or dedup rule: g3 ≈ 0 means the
+    FD is real with a few dirty rows; g3 near 1 − 1/|Y| means the
+    columns are independent and the assumed dependency is fiction.
+
+    Scale shape, per FD: one map-side-combinable groupBy(X, Y) count,
+    one groupBy(X) rollup of (sum, count, max), one global sum — every
+    stage is an associative aggregation, output is one row per FD.
+    Skewed keys cost nothing: a hot X value is still one combiner cell
+    per partition. The FD list is declarative, so auditing another
+    dependency is one tuple, not new plan code.
+    """
+    out = None
+    for tag, tbl, lhs, rhs in _FD_CANDIDATES:
+        t = table(spark, sf_dir, tbl)
+        per_pair = t.groupBy(lhs, rhs).agg(F.count(F.lit(1)).alias("cnt"))
+        per_key = per_pair.groupBy(lhs).agg(
+            F.sum("cnt").alias("n"),
+            F.count(F.lit(1)).alias("nd"),
+            F.max("cnt").alias("mx"),
+        )
+        row = per_key.agg(
+            F.sum("n").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.sum((F.col("nd") > 1).cast("long"))
+            .cast("bigint")
+            .alias("n_violating_keys"),
+            F.floor(
+                1000000.0
+                * (F.sum("n") - F.sum("mx"))
+                / F.sum("n")
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("g3_error_ppm"),
+        ).select(
+            F.lit(tag).alias("fd"),
+            "n_rows",
+            "n_keys",
+            "n_violating_keys",
+            "g3_error_ppm",
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

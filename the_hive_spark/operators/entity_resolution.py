@@ -57,7 +57,7 @@ recall loss.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from the_hive_spark.registry import query
 from the_hive_spark.tables import table
@@ -398,4 +398,123 @@ def cust_er_clusters3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster_size").cast("bigint").alias("cluster_size"),
         "n_clusters",
         "n_records",
+    )
+
+
+_GOLDEN_ORACLE = (
+    _ER_PAIRS_CTE
+    + "".join(lp_round_sql(i) for i in range(1, _ER_LP_ROUNDS + 1))
+    + f"""
+, members AS (
+  SELECT l.lbl AS cluster_id, c.c_custkey, c.c_name, c.c_acctbal,
+         c.c_mktsegment
+  FROM l{_ER_LP_ROUNDS} l JOIN customer c ON c.c_custkey = l.node
+), name_pick AS (
+  SELECT cluster_id, c_name,
+         ROW_NUMBER() OVER (PARTITION BY cluster_id
+                            ORDER BY length(c_name) DESC, c_name DESC) AS rk
+  FROM members
+), seg_counts AS (
+  SELECT cluster_id, c_mktsegment, COUNT(*) AS n
+  FROM members GROUP BY cluster_id, c_mktsegment
+), seg_pick AS (
+  SELECT cluster_id, c_mktsegment,
+         ROW_NUMBER() OVER (PARTITION BY cluster_id
+                            ORDER BY n DESC, c_mktsegment ASC) AS rk
+  FROM seg_counts
+), agg AS (
+  SELECT cluster_id,
+         CAST(COUNT(*) AS BIGINT) AS cluster_size,
+         CAST(MAX(FLOOR(c_acctbal * 100 + 0.5)) AS BIGINT)
+           AS golden_acctbal_cents
+  FROM members GROUP BY cluster_id
+)
+SELECT CAST(a.cluster_id AS BIGINT) AS cluster_id, a.cluster_size,
+       np.c_name AS golden_name, a.golden_acctbal_cents,
+       sp.c_mktsegment AS golden_segment
+FROM agg a
+JOIN name_pick np ON np.cluster_id = a.cluster_id AND np.rk = 1
+JOIN seg_pick sp ON sp.cluster_id = a.cluster_id AND sp.rk = 1
+"""
+)
+
+
+@query("cust_golden_record", oracle=_GOLDEN_ORACLE)
+def cust_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship — the final stage of the record-linkage pipeline
+    (detection → scoring → clustering → GOLDEN RECORD): for every
+    matched entity cluster, elect the canonical attribute values a
+    downstream consumer should see. Election rules are the standard
+    deterministic survivorship policies (Christen ch. 7; also what
+    MDM systems call "best record"): completeness for the name (the
+    LONGEST spelling survives — typo truncations lose; ties broken
+    lexicographically-last so the rule is total), recency/extremum for
+    the balance (max, exact cents), and CONSENSUS for the segment
+    (per-cluster mode, ties to the lexicographically-first value).
+
+    Scale shape: membership = the same bounded 3-round min-label
+    closure as cust_er_clusters3 (typo clusters have tiny diameters),
+    then everything is per-cluster aggregation — two windows and one
+    groupBy, all partitioned by cluster_id, which is output-sized
+    (matched records only), never corpus-sized. No rule here needs a
+    second pass over unmatched records, so survivorship cost tracks
+    the duplicate rate, not the table.
+    """
+    from the_hive_spark.operators.graph import min_label_propagation
+
+    pairs = cust_fuzzy_match_pairs(spark, sf_dir).select(
+        "custkey_a", "custkey_b"
+    )
+    adj = pairs.select(
+        F.col("custkey_a").alias("u"), F.col("custkey_b").alias("v")
+    ).unionAll(
+        pairs.select(
+            F.col("custkey_b").alias("u"), F.col("custkey_a").alias("v")
+        )
+    )
+    lbl = min_label_propagation(adj, _ER_LP_ROUNDS)
+    cust = table(spark, sf_dir, "customer")
+    members = lbl.join(
+        cust, lbl["node"] == cust["c_custkey"]
+    ).select(
+        F.col("lbl").alias("cluster_id"),
+        "c_name",
+        "c_acctbal",
+        "c_mktsegment",
+    )
+    w_name = Window.partitionBy("cluster_id").orderBy(
+        F.length("c_name").desc(), F.col("c_name").desc()
+    )
+    name_pick = (
+        members.withColumn("rk", F.row_number().over(w_name))
+        .filter(F.col("rk") == 1)
+        .select("cluster_id", F.col("c_name").alias("golden_name"))
+    )
+    seg_counts = members.groupBy("cluster_id", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_seg = Window.partitionBy("cluster_id").orderBy(
+        F.col("n").desc(), F.col("c_mktsegment").asc()
+    )
+    seg_pick = (
+        seg_counts.withColumn("rk", F.row_number().over(w_seg))
+        .filter(F.col("rk") == 1)
+        .select("cluster_id", F.col("c_mktsegment").alias("golden_segment"))
+    )
+    agg = members.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size"),
+        F.max(F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)))
+        .cast("bigint")
+        .alias("golden_acctbal_cents"),
+    )
+    return (
+        agg.join(name_pick, "cluster_id")
+        .join(seg_pick, "cluster_id")
+        .select(
+            F.col("cluster_id").cast("bigint").alias("cluster_id"),
+            "cluster_size",
+            "golden_name",
+            "golden_acctbal_cents",
+            "golden_segment",
+        )
     )

@@ -1876,3 +1876,85 @@ def events_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# The declared legal lifecycle: a user may browse (view/click loops),
+# enter via signup, convert from a click, recover from an error by
+# browsing, and hit an error from any browsing step. Everything else
+# (converting twice in a row, signing up mid-session, error→error
+# loops, purchase→click backtracks …) is a conformance violation.
+_LEGAL_TRANSITIONS = [
+    "signup>view",
+    "view>view",
+    "view>click",
+    "view>error",
+    "click>view",
+    "click>click",
+    "click>purchase",
+    "click>error",
+    "purchase>view",
+    "error>view",
+]
+
+
+@query(
+    "events_illegal_transitions",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, event_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(MIN(event_id) AS BIGINT) AS first_event_id
+FROM seq
+WHERE prev_type IS NOT NULL
+  AND prev_type || '>' || event_type NOT IN
+      ({", ".join(f"'{t}'" for t in _LEGAL_TRANSITIONS)})
+GROUP BY prev_type, event_type
+""",
+)
+def events_illegal_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Process-mining conformance check: replay each user's event
+    stream against the declared legal-transition whitelist and report
+    every ILLEGAL consecutive pair with its frequency, affected-user
+    count, and earliest exemplar — the log-vs-model deviation census
+    (van der Aalst's conformance checking, the "token replay" special
+    case for a free-choice lifecycle model expressible as a transition
+    whitelist). This is how a pipeline owner detects instrumentation
+    bugs (events emitted out of order), broken funnels (purchase
+    without a preceding click) and bot traffic (error→error loops) in
+    one report.
+
+    Scale shape: ONE per-user window (lag over (ts, event_id) — the
+    same single-shuffle sessionization partitioning every timeline
+    operator shares), a whitelist filter that is a literal IN over a
+    ~10-element set (no join, free at any volume), and a bounded
+    rollup — output is at most |event_types|² rows. Per-user windows
+    never globally sort; a hot user is one task's state, not a
+    shuffle hotspot.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    pair = F.concat_ws(">", "prev_type", "event_type")
+    return (
+        seq.filter(
+            F.col("prev_type").isNotNull()
+            & ~pair.isin(_LEGAL_TRANSITIONS)
+        )
+        .groupBy("prev_type", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.min("event_id").cast("bigint").alias("first_event_id"),
+        )
+    )

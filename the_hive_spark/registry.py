@@ -259,21 +259,29 @@ _GATE_R7 = [
     "events_value_histogram",
     "events_value_percentiles",
     "events_within_hour_pairs",
-    # --- slots 44-50: oldest r3-only rows (displaced one-for-one by
-    # new round-7 queries as they land) ---
+    # --- slots 44-47: oldest r3-only rows (the three displaced by the
+    # round-7 additions — doc_lang_mismatch, doc_bpe_pair_counts,
+    # events_markov_transitions, doc_dup_gram_coverage minus the one
+    # kept — head the r8 plan) ---
     "hive_clients_online",
     "doc_repetition_ratio",
     "doc_decontaminate",
     "doc_lang_mismatch",
-    "doc_bpe_pair_counts",
-    "events_markov_transitions",
-    "doc_dup_gram_coverage",
+    # --- slots 48-50: round-7 additions (new work earns its driver
+    # row the round it lands) ---
+    "cust_golden_record",
+    "q_fd_violation_audit",
+    "events_illegal_transitions",
 ]
 
 # Queries ADDED in round 7 (same policy as _ADDED_R5/R6: oracled ones
 # are swapped into _GATE_R7's tail when feasible; any that miss the
 # gate are the front of the round-8 rotation).
-_ADDED_R7: list[str] = []
+_ADDED_R7: list[str] = [
+    "cust_golden_record",
+    "q_fd_violation_audit",
+    "events_illegal_transitions",
+]
 
 # Queries ADDED in round 6 (same policy as _ADDED_R5: oracled ones are
 # swapped into _GATE_R6's tail when feasible; any that miss the gate

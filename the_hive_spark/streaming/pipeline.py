@@ -93,11 +93,15 @@ def chunk_pipeline(
     chunk_stream: DataFrame,
     checkpoint_dir: str,
     timeout_ms: int | None = None,
+    available_now: bool = False,
 ) -> StreamingQuery:
     """Wire chunk arrivals through completion into analyst reactions.
 
     ``chunk_stream`` rows: CHUNK_INPUT_SCHEMA (document_id,
-    chunk_index, content, total_chunks).
+    chunk_index, content, total_chunks). ``available_now=True`` runs
+    the S1 backlog-replay mode: drain everything already present
+    (respecting source rate limits like maxFilesPerTrigger, so state
+    still builds and drains per micro-batch) and stop.
     """
     kwargs = {} if timeout_ms is None else {"timeout_ms": timeout_ms}
     completed = completed_documents(chunk_stream, **kwargs)
@@ -105,9 +109,11 @@ def chunk_pipeline(
     def per_batch(batch_df: DataFrame, epoch_id: int) -> None:
         analyze_batch(engine, batch_df)
 
-    return (
+    writer = (
         completed.writeStream.foreachBatch(per_batch)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
-        .start()
     )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
