@@ -69,9 +69,18 @@ UNIT = 1_000_000_000_000
 #   the quadratic family). STEP 12/6/4 keeps replicas 1-3 in the
 #   near-dup range at decreasing similarity; i≥4 rewrites EVERY token
 #   (unrelated filler mass, like real corpus growth).
-# - customer.c_name: i=1 appends one char (stays a fuzzy-match alias);
-#   i≥2 rewrites the digit tail with the globally-unique (base key,
-#   replica) pair — unique names, so no accidental exact-name pairs.
+# - customer.c_name: i=1 substitutes the LAST character through a
+#   digit→letter bijection — equal length at Hamming distance 1, so it
+#   really is a fuzzy-match alias (the matcher only pairs equal-length
+#   names within levenshtein 1; the old `|| 'x'` append changed the
+#   length and never matched). A bijection, not a constant: customers
+#   whose names differ only in the last digit must get DISTINCT
+#   aliases, else every 10-customer prefix group collapses onto one
+#   identical-name hot block. Alias-vs-base and alias-vs-alias matches
+#   stay confined to the ≤20-name prefix group (10 digits + 10
+#   letters), constant in K → output linear in K. i≥2 rewrites the
+#   digit tail with the globally-unique (base key, replica) pair —
+#   unique names, so no accidental exact-name pairs.
 # - part.p_brand: replicas i>0 get a replica-scoped brand. The
 #   substitution family joins on (brand, price band); scoping the
 #   brand makes replica markets disjoint, so its output is EXACTLY
@@ -99,7 +108,10 @@ CASE WHEN r.i = 0 THEN text ELSE array_to_string(
     "customer": {
         "c_name": """
 CASE WHEN r.i = 0 THEN c_name
-     WHEN r.i = 1 THEN c_name || 'x'
+     WHEN r.i = 1 THEN concat(
+            substring(c_name, 1, length(c_name) - 1),
+            translate(substring(c_name, length(c_name), 1),
+                      '0123456789', 'abcdefghij'))
      ELSE concat(substring(c_name, 1, greatest(length(c_name) - 6, 1)),
                  CAST(c_custkey AS VARCHAR), 'r', CAST(r.i AS VARCHAR)) END""",
     },

@@ -1,23 +1,44 @@
 #!/usr/bin/env python
-"""Streaming-at-scale datapoint: drive the full chunk → stateful
-completion → analyst-reaction pipeline (streaming/pipeline.py) over an
-sf1-volume chunk backlog and record throughput and state-store
-footprint per micro-batch.
+"""Streaming-at-scale datapoints: replay sf1/sf10-volume backlogs
+through the repo's streaming operators across REAL micro-batches and
+record throughput, state-store footprint, and (for the live stage)
+per-batch latency percentiles.
 
-Method: the SF_DIR documents table is split into fixed-size chunks
-(document_id, chunk_index, content, total_chunks) and written as a
-many-file parquet backlog; the pipeline replays it with
-``availableNow`` + ``maxFilesPerTrigger`` pacing, so the
-completion operator's keyed state builds and drains across real
-micro-batches exactly as it would on a live feed (one giant batch
-would never exercise cross-batch state). Every document carries
-``total_chunks``, so completion is count-driven and deterministic;
-the events table the reactions append to is counted afterwards as the
-end-to-end delivery check.
+Stages (``--stage``, default all):
+
+- ``chunks``  — the full chunk → stateful completion → analyst-reaction
+  pipeline (streaming/pipeline.py): the SF_DIR documents table is split
+  into fixed-size chunks and written as a many-file parquet backlog;
+  ``availableNow`` + ``maxFilesPerTrigger`` pacing builds and drains
+  the completion operator's keyed state across micro-batches exactly as
+  a live feed would. Delivery check: completion events == docs.
+- ``ratelimit`` — the event-time token bucket (streaming/ratelimit.py)
+  over the SF_DIR events table. The backlog is range-partitioned by
+  event time so files replay in event-time order (the file source
+  consumes path-ordered) and the conservative 10-min watermark drops
+  nothing — delivery check: verdicts == events, and admissions are
+  replay-deterministic by construction.
+- ``incdedup`` — incremental MinHash near-dup screening
+  (operators/dedup.py:incremental_near_dup_candidates): the SF_DIR
+  documents replayed as "new" docs against the pre-banded static corpus
+  index of the same documents — stateless map + stream-static equi-join
+  per micro-batch. Delivery check: every doc hits at least its own
+  index entry (hits ≥ docs screened).
+- ``live`` — the rate limiter again, but under a LIVE processing-time
+  trigger with a feeder thread dropping backlog files into the watched
+  source dir at a fixed interval; records the per-micro-batch
+  triggerExecution latency distribution (p50/p95/max), the number the
+  availableNow replays cannot give.
+
+Progress is accumulated inside the polling loop keyed by batchId —
+``q.recentProgress`` is a ~100-entry ring buffer, so reading it once at
+the end undercounts long replays (round-7 ADVICE).
 
 Usage: python scripts/stream_scale.py [SF_DIR] [--out FILE]
-           [--files N] [--files-per-trigger M] [--chunk CHARS]
-Defaults: SF_DIR=/tmp/spark_graft_sf1, files=64, trigger=8, chunk=500.
+           [--stage chunks,ratelimit,incdedup,live] [--files N]
+           [--files-per-trigger M] [--chunk CHARS] [--feed-ms MS]
+Defaults: SF_DIR=/tmp/spark_graft_sf1, files=64, trigger=8, chunk=500,
+          feed-ms=150.
 """
 
 from __future__ import annotations
@@ -27,6 +48,7 @@ import os
 import shutil
 import sys
 import tempfile
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -38,7 +60,365 @@ from the_hive_spark.engine import HiveEngine
 from the_hive_spark.session import get_spark
 from the_hive_spark.streaming.completion import CHUNK_INPUT_SCHEMA
 from the_hive_spark.streaming.pipeline import chunk_pipeline
+from the_hive_spark.streaming.ratelimit import rate_limited
 from the_hive_spark.tables import table
+
+
+def _accumulate(q, seen: dict) -> None:
+    """Fold q.recentProgress (a ~100-entry ring buffer) into ``seen``
+    keyed by batchId; called every poll so no batch is lost on long
+    replays."""
+    for p in q.recentProgress:
+        d = json.loads(p.json)
+        seen[d["batchId"]] = d
+
+
+def _drain(q, t0: float, seen: dict, need_empty_state: bool,
+           deadline_sec: int = 3600) -> float:
+    """Poll until the source is exhausted (and, for stateful stages
+    that keep firing cleanup batches, the state store is empty);
+    return the wall seconds from t0. Progress accumulates into
+    ``seen`` on every poll."""
+    wall = None
+    deadline = time.time() + deadline_sec
+    while time.time() < deadline and q.isActive:
+        time.sleep(2)
+        _accumulate(q, seen)
+        prog = [seen[b] for b in sorted(seen)][-3:]
+        if len(prog) < 2:
+            continue
+        drained = all(p.get("numInputRows", 0) == 0 for p in prog[-2:])
+        state_rows = sum(
+            so.get("numRowsTotal", 0)
+            for p in prog[-1:]
+            for so in p.get("stateOperators", [])
+        )
+        if drained and (state_rows == 0 or not need_empty_state):
+            wall = time.perf_counter() - t0
+            q.stop()
+            break
+    q.awaitTermination(120)
+    _accumulate(q, seen)
+    return wall if wall is not None else time.perf_counter() - t0
+
+
+def _state_maxima(progress: list[dict]) -> tuple[int, int]:
+    rows_max = mem_max = 0
+    for p in progress:
+        for so in p.get("stateOperators", []):
+            rows_max = max(rows_max, so.get("numRowsTotal", 0))
+            mem_max = max(mem_max, so.get("memoryUsedBytes", 0))
+    return rows_max, mem_max
+
+
+def run_chunks(spark, sf_dir: str, root: str, n_files: int,
+               per_trigger: int, chunk_chars: int) -> dict:
+    backlog = os.path.join(root, "chunk_backlog")
+    docs = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    chunks = docs.select(
+        F.col("doc_id").cast("string").alias("document_id"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, (length(text) - 1) div {chunk_chars}),"
+                f" i -> substring(text, i * {chunk_chars} + 1, {chunk_chars}))"
+            )
+        ).alias("chunk_index", "content"),
+    ).withColumn(
+        "total_chunks",
+        F.count(F.lit(1)).over(Window.partitionBy("document_id")).cast("int"),
+    )
+    # the window above is only data PREP (building the fixture), not
+    # part of the measured pipeline
+    chunks.repartition(n_files).write.mode("overwrite").parquet(backlog)
+    n_chunks = spark.read.parquet(backlog).count()
+    n_docs = docs.count()
+
+    eng = HiveEngine(spark, os.path.join(root, "wh"), embedding_dim=16)
+    stream = (
+        spark.readStream.schema(CHUNK_INPUT_SCHEMA)
+        .option("maxFilesPerTrigger", per_trigger)
+        .parquet(backlog)
+    )
+    seen: dict = {}
+    t0 = time.perf_counter()
+    q = chunk_pipeline(
+        eng,
+        stream,
+        os.path.join(root, "chunk_ckpt"),
+        # must exceed the backlog's full drain time: a doc whose chunks
+        # span early and late micro-batches would otherwise complete by
+        # TIMEOUT mid-replay (partial text), then again when the rest
+        # arrives — double completion events
+        timeout_ms=3_600_000,
+        available_now=True,
+    )
+    # availableNow + a ProcessingTimeTimeout stateful operator keeps
+    # firing no-data "cleaning up state" batches after the backlog
+    # drains, so termination is detected by observation: source
+    # exhausted AND state store empty.
+    wall = _drain(q, t0, seen, need_empty_state=True)
+    progress = [seen[b] for b in sorted(seen)]
+    batches = [p for p in progress if p.get("numInputRows", 0) > 0]
+    state_rows_max, state_mem_max = _state_maxima(progress)
+    n_events = eng.read_table("events").count()
+    return {
+        "stage": "chunks",
+        "n_docs": n_docs,
+        "n_chunks": n_chunks,
+        "n_microbatches": len(batches),
+        "wall_sec": round(wall, 1),
+        "chunks_per_sec": round(n_chunks / wall, 1),
+        "docs_per_sec": round(n_docs / wall, 1),
+        "completion_events_written": n_events,
+        "delivery_ok": n_events == n_docs,
+        "state_rows_max": state_rows_max,
+        "state_memory_max_bytes": state_mem_max,
+        "batches": batches,
+    }
+
+
+def _events_backlog(spark, sf_dir: str, path: str, n_files: int) -> int:
+    """Write (user_id, event_id, ts_us) range-partitioned by event time
+    so part-file path order == event-time order: the file source
+    consumes files in path order, so cross-batch event time is
+    monotone and the 10-min watermark drops nothing."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    (
+        ev.repartitionByRange(n_files, "ts_us")
+        .sortWithinPartitions("ts_us")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    # The file source orders candidate files by MODIFICATION TIME, not
+    # path; a batch write lands every part file in the same mtime
+    # instant, so replay order would be arbitrary and later batches'
+    # rows would fall below the watermark (measured: ~50% of events
+    # dropped at sf0.01). Stamp strictly increasing mtimes in path
+    # order so replay order == event-time order.
+    parts = sorted(
+        f for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    )
+    base = time.time() - len(parts) - 10
+    for i, f in enumerate(parts):
+        os.utime(os.path.join(path, f), (base + i, base + i))
+    return spark.read.parquet(path).count()
+
+
+def run_ratelimit(spark, sf_dir: str, root: str, n_files: int,
+                  per_trigger: int) -> dict:
+    backlog = os.path.join(root, "rl_backlog")
+    n_events = _events_backlog(spark, sf_dir, backlog, n_files)
+    stream = (
+        spark.readStream.schema("user_id long, event_id long, ts_us long")
+        .option("maxFilesPerTrigger", per_trigger)
+        .parquet(backlog)
+    )
+    verdicts = rate_limited(stream)
+    counts = {"out": 0, "admitted": 0}
+    lock = threading.Lock()
+
+    def sink(df, batch_id):
+        agg = df.groupBy().agg(
+            F.count(F.lit(1)).alias("n"), F.sum("allowed").alias("ok")
+        ).collect()[0]
+        with lock:
+            counts["out"] += agg["n"] or 0
+            counts["admitted"] += agg["ok"] or 0
+
+    seen: dict = {}
+    t0 = time.perf_counter()
+    q = (
+        verdicts.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(root, "rl_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    # EventTimeTimeout only advances with data: availableNow terminates
+    # on its own once the backlog drains (leftover state is fine — the
+    # delivery check is verdict count, not state drain).
+    wall = _drain(q, t0, seen, need_empty_state=False)
+    progress = [seen[b] for b in sorted(seen)]
+    batches = [p for p in progress if p.get("numInputRows", 0) > 0]
+    state_rows_max, state_mem_max = _state_maxima(progress)
+    return {
+        "stage": "ratelimit",
+        "n_events": n_events,
+        "n_microbatches": len(batches),
+        "wall_sec": round(wall, 1),
+        "events_per_sec": round(n_events / wall, 1),
+        "verdicts_out": counts["out"],
+        "admitted": counts["admitted"],
+        "denied": counts["out"] - counts["admitted"],
+        "delivery_ok": counts["out"] == n_events,
+        "state_rows_max": state_rows_max,
+        "state_memory_max_bytes": state_mem_max,
+        "batches": batches,
+    }
+
+
+def run_incdedup(spark, sf_dir: str, root: str, n_files: int,
+                 per_trigger: int) -> dict:
+    from pyspark import StorageLevel
+
+    from the_hive_spark.operators.dedup import (
+        N_MINHASH,
+        SHINGLE_W,
+        band_signatures,
+        incremental_near_dup_candidates,
+        with_minhash_cols,
+    )
+
+    backlog = os.path.join(root, "dedup_backlog")
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.repartition(n_files).write.mode("overwrite").parquet(backlog)
+    n_docs = docs.filter(F.length("text") >= SHINGLE_W).count()
+
+    # static side: the pre-banded corpus index a batch job maintains
+    corpus_bands = band_signatures(
+        with_minhash_cols(
+            docs.filter(F.length("text") >= SHINGLE_W)
+        ).select("doc_id", *[f"mh{s}" for s in range(N_MINHASH)])
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    corpus_bands.count()  # materialize before the clock starts
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", per_trigger)
+        .parquet(backlog)
+    )
+    hits = incremental_near_dup_candidates(stream, corpus_bands)
+    counts = {"hits": 0, "self_hits": 0}
+    lock = threading.Lock()
+
+    def sink(df, batch_id):
+        agg = df.groupBy().agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("new_doc_id") == F.col("corpus_doc_id")).cast("long")
+            ).alias("self"),
+        ).collect()[0]
+        with lock:
+            counts["hits"] += agg["n"] or 0
+            counts["self_hits"] += agg["self"] or 0
+
+    seen: dict = {}
+    t0 = time.perf_counter()
+    q = (
+        hits.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(root, "dedup_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    wall = _drain(q, t0, seen, need_empty_state=False)
+    corpus_bands.unpersist()
+    progress = [seen[b] for b in sorted(seen)]
+    batches = [p for p in progress if p.get("numInputRows", 0) > 0]
+    return {
+        "stage": "incdedup",
+        "n_docs_screened": n_docs,
+        "corpus_docs": n_docs,
+        "n_microbatches": len(batches),
+        "wall_sec": round(wall, 1),
+        "docs_per_sec": round(n_docs / wall, 1),
+        "candidate_hits": counts["hits"],
+        # every doc collides with its own index entry on all bands, so
+        # self-hits == docs proves end-to-end delivery of the join
+        "delivery_ok": counts["self_hits"] >= n_docs,
+        "batches": batches,
+    }
+
+
+def run_live(spark, sf_dir: str, root: str, n_files: int,
+             feed_ms: int) -> dict:
+    """Rate limiter under a LIVE default processing-time trigger: a
+    feeder thread moves backlog files into the watched dir every
+    ``feed_ms`` ms, so micro-batches form from ARRIVAL, not replay
+    pacing — the per-batch triggerExecution distribution is the
+    latency number availableNow cannot give."""
+    staging = os.path.join(root, "live_staging")
+    watched = os.path.join(root, "live_src")
+    n_events = _events_backlog(spark, sf_dir, staging, n_files)
+    os.makedirs(watched, exist_ok=True)
+    files = sorted(
+        f for f in os.listdir(staging)
+        if f.endswith(".parquet") and not f.startswith(".")
+    )
+
+    done = threading.Event()
+
+    def feeder():
+        for f in files:
+            # copy then atomic-rename so the source never lists a
+            # half-written file
+            tmp = os.path.join(watched, "." + f)
+            shutil.copy(os.path.join(staging, f), tmp)
+            os.rename(tmp, os.path.join(watched, f))
+            time.sleep(feed_ms / 1000.0)
+        done.set()
+
+    stream = spark.readStream.schema(
+        "user_id long, event_id long, ts_us long"
+    ).parquet(watched)
+    verdicts = rate_limited(stream)
+    counts = {"out": 0}
+    lock = threading.Lock()
+
+    def sink(df, batch_id):
+        n = df.count()
+        with lock:
+            counts["out"] += n
+
+    seen: dict = {}
+    t0 = time.perf_counter()
+    q = (
+        verdicts.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(root, "live_ckpt"))
+        .start()
+    )
+    threading.Thread(target=feeder, daemon=True).start()
+    # run until the feed is done AND every event came out the far end
+    deadline = time.time() + 3600
+    while time.time() < deadline and q.isActive:
+        time.sleep(1)
+        _accumulate(q, seen)
+        with lock:
+            delivered = counts["out"]
+        if done.is_set() and delivered >= n_events:
+            break
+    wall = time.perf_counter() - t0
+    q.stop()
+    q.awaitTermination(120)
+    _accumulate(q, seen)
+    progress = [seen[b] for b in sorted(seen)]
+    data = [p for p in progress if p.get("numInputRows", 0) > 0]
+    lat = sorted(
+        p["durationMs"]["triggerExecution"]
+        for p in data
+        if "triggerExecution" in p.get("durationMs", {})
+    )
+
+    def pct(v, p):
+        return v[min(len(v) - 1, int(p * len(v)))] if v else None
+
+    return {
+        "stage": "live",
+        "n_events": n_events,
+        "n_files": len(files),
+        "feed_interval_ms": feed_ms,
+        "n_microbatches": len(data),
+        "wall_sec": round(wall, 1),
+        "events_per_sec": round(n_events / wall, 1),
+        "delivery_ok": counts["out"] >= n_events,
+        "batch_latency_ms": {
+            "p50": pct(lat, 0.50),
+            "p95": pct(lat, 0.95),
+            "max": lat[-1] if lat else None,
+        },
+        "batches": data,
+    }
 
 
 def main() -> None:
@@ -47,119 +427,62 @@ def main() -> None:
     def opt(flag: str, default: int) -> int:
         return int(argv[argv.index(flag) + 1]) if flag in argv else default
 
-    sf_dir = argv[0] if argv and not argv[0].startswith("--") else "/tmp/spark_graft_sf1"
+    sf_dir = (
+        argv[0] if argv and not argv[0].startswith("--")
+        else "/tmp/spark_graft_sf1"
+    )
     out_path = argv[argv.index("--out") + 1] if "--out" in argv else None
+    stages = (
+        argv[argv.index("--stage") + 1].split(",")
+        if "--stage" in argv
+        else ["chunks", "ratelimit", "incdedup", "live"]
+    )
     n_files = opt("--files", 64)
     per_trigger = opt("--files-per-trigger", 8)
     chunk_chars = opt("--chunk", 500)
+    feed_ms = opt("--feed-ms", 150)
 
     spark = get_spark(app_name="stream-scale")
     spark.sparkContext.setLogLevel("ERROR")
 
     root = tempfile.mkdtemp(prefix="stream_scale_")
-    backlog = os.path.join(root, "backlog")
+    results = []
     try:
-        docs = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
-        chunks = docs.select(
-            F.col("doc_id").cast("string").alias("document_id"),
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(0, (length(text) - 1) div {chunk_chars}),"
-                    f" i -> substring(text, i * {chunk_chars} + 1, {chunk_chars}))"
+        for st in stages:
+            if st == "chunks":
+                r = run_chunks(
+                    spark, sf_dir, root, n_files, per_trigger, chunk_chars
                 )
-            ).alias("chunk_index", "content"),
-        ).withColumn(
-            "total_chunks",
-            F.count(F.lit(1))
-            .over(Window.partitionBy("document_id"))
-            .cast("int"),
-        )
-        # the window above is only data PREP (building the fixture), not
-        # part of the measured pipeline
-        chunks.repartition(n_files).write.mode("overwrite").parquet(backlog)
-        n_chunks = spark.read.parquet(backlog).count()
-        n_docs = docs.count()
-
-        eng = HiveEngine(spark, os.path.join(root, "wh"), embedding_dim=16)
-        stream = (
-            spark.readStream.schema(CHUNK_INPUT_SCHEMA)
-            .option("maxFilesPerTrigger", per_trigger)
-            .parquet(backlog)
-        )
-        t0 = time.perf_counter()
-        q = chunk_pipeline(
-            eng,
-            stream,
-            os.path.join(root, "ckpt"),
-            # must exceed the backlog's full drain time: a doc whose
-            # chunks span early and late micro-batches would otherwise
-            # complete by TIMEOUT mid-replay (partial text), then again
-            # when the rest arrives — double completion events
-            timeout_ms=3_600_000,
-            available_now=True,
-        )
-        # availableNow + a ProcessingTimeTimeout stateful operator keeps
-        # firing no-data "cleaning up state" batches after the backlog
-        # drains (even with zero state rows), so termination is detected
-        # by observation: stop once the source is exhausted AND the
-        # state store is empty (count-based completion empties it; the
-        # timeout path would drain it within timeout_ms).
-        wall = None
-        deadline = time.time() + 3600
-        while time.time() < deadline and q.isActive:
-            time.sleep(2)
-            prog = [json.loads(p.json) for p in q.recentProgress[-3:]]
-            if len(prog) < 2:
-                continue
-            drained = all(p.get("numInputRows", 0) == 0 for p in prog[-2:])
-            state_rows = sum(
-                so.get("numRowsTotal", 0)
-                for p in prog[-1:]
-                for so in p.get("stateOperators", [])
-            )
-            if drained and state_rows == 0:
-                wall = time.perf_counter() - t0
-                q.stop()
-                break
-        q.awaitTermination(120)
-        wall = wall if wall is not None else time.perf_counter() - t0
-
-        progress = [json.loads(p.json) for p in q.recentProgress]
-        # drain time = start -> end of the last batch that carried rows
-        data_batches = [p for p in progress if p.get("numInputRows", 0) > 0]
-        batches = data_batches
-        state_rows_max = 0
-        state_mem_max = 0
-        for p in progress:
-            for so in p.get("stateOperators", []):
-                state_rows_max = max(state_rows_max, so.get("numRowsTotal", 0))
-                state_mem_max = max(
-                    state_mem_max, so.get("memoryUsedBytes", 0)
-                )
-        n_events = eng.read_table("events").count()
-        summary = {
-            "sf_dir": sf_dir,
-            "n_docs": n_docs,
-            "n_chunks": n_chunks,
-            "n_files": n_files,
-            "files_per_trigger": per_trigger,
-            "n_microbatches": len(batches),
-            "wall_sec": round(wall, 1),
-            "chunks_per_sec": round(n_chunks / wall, 1),
-            "docs_per_sec": round(n_docs / wall, 1),
-            "completion_events_written": n_events,
-            "events_match_docs": n_events == n_docs,
-            "state_rows_max": state_rows_max,
-            "state_memory_max_bytes": state_mem_max,
-            "dropped_batches": 0 if n_events == n_docs else n_docs - n_events,
-        }
-        print(json.dumps(summary), flush=True)
+            elif st == "ratelimit":
+                r = run_ratelimit(spark, sf_dir, root, n_files, per_trigger)
+            elif st == "incdedup":
+                r = run_incdedup(spark, sf_dir, root, n_files, per_trigger)
+            elif st == "live":
+                r = run_live(spark, sf_dir, root, n_files, feed_ms)
+            else:
+                raise SystemExit(f"unknown stage {st}")
+            summary = {k: v for k, v in r.items() if k != "batches"}
+            summary["sf_dir"] = sf_dir
+            print(json.dumps(summary), flush=True)
+            results.append(r)
+        ok = all(r.get("delivery_ok") for r in results)
         if out_path:
             with open(out_path, "w") as fh:
                 json.dump(
-                    {"summary": summary, "batches": batches}, fh, indent=1
+                    {
+                        "sf_dir": sf_dir,
+                        "stages": [
+                            {k: v for k, v in r.items() if k != "batches"}
+                            for r in results
+                        ],
+                        "batches": {
+                            r["stage"]: r["batches"] for r in results
+                        },
+                    },
+                    fh,
+                    indent=1,
                 )
-        sys.exit(0 if summary["events_match_docs"] else 1)
+        sys.exit(0 if ok else 1)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

@@ -19,24 +19,20 @@ registry.load_all()
 
 _ROOT = os.path.join(os.path.dirname(__file__), "..")
 
-# Queries whose PLANS (and for the calibration, OUTPUT) changed in
-# round 7: the minhash calibration's scale-invariant doc subsample,
-# the skew-safe distinct-name fuzzy blocking (which also feeds the FS
-# scores and the ER closure), and the two dedup consumers of the
-# refactored pair-builder helpers. A green driver row earned under the
-# old plan does not attest the new one, so these MUST re-earn rows in
-# the r7 gate.
-_PLAN_CHANGED_R7 = [
-    "doc_minhash_calibration",
-    "cust_fuzzy_match_pairs",
-    "cust_linkage_fs_scores",
-    "cust_er_clusters3",
-    "doc_ngram_jaccard_pairs",
-    "doc_dup_clusters",
+# Queries whose PLANS changed after the round-7 gate froze:
+# doc_bpe_token_stats was rewritten to run-collapsing character
+# arithmetic (text_analysis.py, commit 6bfd0ad) five minutes after the
+# r7 rotation landed, so its only driver rows attest the OLD plan. A
+# green row earned under an old plan does not attest a new one
+# (the repo's _PLAN_CHANGED policy, r6) — it MUST lead the r8 gate.
+_PLAN_CHANGED_R8 = [
+    "doc_bpe_token_stats",
 ]
 
 
-def _driver_checked(rounds=("01", "02", "03", "04", "05", "06")) -> set[str]:
+def _driver_checked(
+    rounds=("01", "02", "03", "04", "05", "06", "07"),
+) -> set[str]:
     """Names with a GREEN driver CORRECTNESS row in the given rounds
     (a ``no_oracle`` err row is not a verification — round 4's
     lesson)."""
@@ -72,37 +68,37 @@ def test_top50_budget():
     )
     names = json.loads(out.stdout.strip().splitlines()[-1])
     assert len(names) >= 50
-    assert names[: len(registry._GATE_R7)] == registry._GATE_R7
+    assert names[: len(registry._GATE_R8)] == registry._GATE_R8
 
 
-def test_gate_r7_all_oracled():
+def test_gate_r8_all_oracled():
     """EVERY gate slot must have a DuckDB oracle. The driver returns
     ``err: "no_oracle"`` for rows-only queries — it does NOT fall back
     to a rows+schema check — so a rows-only slot verifies nothing
     (round 4 burned 11 of 50 slots this way, CORRECTNESS_r04.json).
     This makes the mistake structurally impossible for all future
     rotations."""
-    assert len(registry._GATE_R7) == 50
-    unoracled = [n for n in registry._GATE_R7 if n not in registry.ORACLES]
+    assert len(registry._GATE_R8) == 50
+    unoracled = [n for n in registry._GATE_R8 if n not in registry.ORACLES]
     assert not unoracled, unoracled
 
 
-def test_gate_r7_slots():
-    """Slots 1-6: the round-7 plan-change re-attests. The rest:
-    re-attests whose latest green row is from round 2 or 3 (the oldest
-    in the record) — or round-7 additions swapped into the tail."""
-    assert registry._GATE_R7[:6] == _PLAN_CHANGED_R7
+def test_gate_r8_slots():
+    """Slot 1: the post-r7-freeze plan-change re-attest. The rest:
+    re-attests whose latest green row is from round 3 or 4 (the oldest
+    in the record) — or round-8 additions swapped into the tail."""
+    assert registry._GATE_R8[:1] == _PLAN_CHANGED_R8
     checked = _driver_checked()
     if not checked:
         return  # fresh clone without driver artifacts
-    old_only = _driver_checked(("01", "02", "03")) - _driver_checked(
-        ("04", "05", "06")
+    old_only = _driver_checked(("01", "02", "03", "04")) - _driver_checked(
+        ("05", "06", "07")
     )
-    added_r7 = set(registry._ADDED_R7)
-    for n in registry._GATE_R7[6:]:
-        assert n in old_only or n in added_r7, (
-            f"re-attest slot {n} is neither an r2/r3-only row nor a "
-            "round-7 addition"
+    added_r8 = set(registry._ADDED_R8)
+    for n in registry._GATE_R8[1:]:
+        assert n in old_only or n in added_r8, (
+            f"re-attest slot {n} is neither an r3/r4-only row nor a "
+            "round-8 addition"
         )
 
 
@@ -113,26 +109,26 @@ def test_no_green_query_left_behind():
     checked = _driver_checked()
     if not checked:
         return
-    added_r7 = set(registry._ADDED_R7)
+    added_r8 = set(registry._ADDED_R8)
     never = [
         n
         for n in registry.ORACLES
         if n not in checked
-        and n not in registry._GATE_R7
-        and n not in added_r7
+        and n not in registry._GATE_R8
+        and n not in added_r8
     ]
     assert not never, (
-        "oracled queries with no driver row missing from the r7 gate "
-        "(and not declared in _ADDED_R7 for the round-8 rotation): "
+        "oracled queries with no driver row missing from the r8 gate "
+        "(and not declared in _ADDED_R8 for the round-9 rotation): "
         + str(never)
     )
 
 
 def test_plan_changed_queries_regated():
-    """The round-7 plan edits invalidated these queries' old driver
-    rows; each must hold a gate slot this round."""
-    for n in _PLAN_CHANGED_R7:
-        assert n in registry._GATE_R7, n
+    """The post-r7-freeze plan edits invalidated these queries' old
+    driver rows; each must hold a gate slot this round."""
+    for n in _PLAN_CHANGED_R8:
+        assert n in registry._GATE_R8, n
 
 
 def test_every_query_has_callable_and_unique_name():

@@ -259,10 +259,10 @@ _GATE_R7 = [
     "events_value_histogram",
     "events_value_percentiles",
     "events_within_hour_pairs",
-    # --- slots 44-47: oldest r3-only rows (the three displaced by the
-    # round-7 additions — doc_lang_mismatch, doc_bpe_pair_counts,
-    # events_markov_transitions, doc_dup_gram_coverage minus the one
-    # kept — head the r8 plan) ---
+    # --- slots 44-47: oldest r3-only rows; the three r3-only rows
+    # displaced to the round-8 front by the round-7 additions are
+    # doc_bpe_pair_counts, events_markov_transitions, and
+    # doc_dup_gram_coverage (doc_lang_mismatch holds slot 47 here) ---
     "hive_clients_online",
     "doc_repetition_ratio",
     "doc_decontaminate",
@@ -273,6 +273,84 @@ _GATE_R7 = [
     "q_fd_violation_audit",
     "events_illegal_transitions",
 ]
+
+# ROUND-8 GATE. Slot 1: MANDATORY re-attest of doc_bpe_token_stats —
+# its plan was rewritten to run-collapsing character arithmetic
+# (text_analysis.py) in commit 6bfd0ad, five minutes AFTER the r7 gate
+# rotation froze, so the rewritten plan has no driver row (the r7
+# VERDICT and ADVICE both flag this as the repo's own _PLAN_CHANGED
+# policy violation; it leads the round). Slots 2-40: the 39 r3-only
+# rows — the oldest driver evidence in the record (five rounds of
+# shared-helper churn since their r3 green) — with the three rows the
+# round-7 additions displaced from r7 slots 48-50 first, per the
+# declared r8 rotation plan. Slots 41-50: the oldest r4-only rows, in
+# their _GATE_R4 registration order; new round-8 queries swap into
+# this tail as they land (same policy as r5-r7: new work earns its
+# driver row the round it lands, displaced r4-only rows head the r9
+# plan).
+_GATE_R8 = [
+    # --- slot 1: round-7 post-freeze plan-change re-attest ---
+    "doc_bpe_token_stats",
+    # --- slots 2-4: the three r3-only rows displaced from the r7 gate
+    # tail by the round-7 additions (declared r8 front) ---
+    "doc_bpe_pair_counts",
+    "events_markov_transitions",
+    "doc_dup_gram_coverage",
+    # --- slots 5-40: the remaining 36 r3-only rows ---
+    "doc_charset_profile",
+    "doc_curation_funnel",
+    "doc_drift_ks_by_source",
+    "doc_dup_gram_hotspots",
+    "doc_dup_rates_by_source",
+    "doc_length_outliers_mad",
+    "doc_lm_bigram_score",
+    "doc_minhash_lsh_pairs",
+    "doc_near_dedup_corpus",
+    "doc_winnow_fingerprints",
+    "emb_centroid_by_label",
+    "emb_knn_batch_topk",
+    "emb_knn_topk",
+    "emb_near_dup_lsh",
+    "emb_near_dup_pairs",
+    "events_burst_fano",
+    "events_cusum_changepoint",
+    "events_daily_trend_slope",
+    "events_heavy_hitters",
+    "events_p95_exceedance",
+    "events_pareto_concentration",
+    "events_rfm_segments",
+    "events_scd2_history",
+    "events_snapshot_diff",
+    "events_type_audience_overlap",
+    "events_unconverted_clicks",
+    "events_user_lifecycle",
+    "events_weekday_seasonality",
+    "graph_kcore3",
+    "graph_pagerank3",
+    "graph_triangle_count",
+    "media_shard_manifest",
+    "q_benford_price_audit",
+    "q_copurchase_pairs",
+    "q_customer_spend_gini",
+    "q_lapsed_customers",
+    # --- slots 41-50: oldest r4-only rows (in _GATE_R4 registration
+    # order); round-8 additions displace from the end as they land ---
+    "emb_dedup_exact",
+    "emb_quantize_int8",
+    "emb_hard_negatives",
+    "emb_semantic_dup_rates",
+    "emb_label_stats",
+    "emb_label_affinity",
+    "emb_label_outliers",
+    "emb_norm_outliers",
+    "doc_reservoir_sample",
+    "doc_curriculum_shards",
+]
+
+# Queries ADDED in round 8 (same policy as _ADDED_R5-R7: oracled ones
+# are swapped into _GATE_R8's tail when feasible; any that miss the
+# gate are the front of the round-9 rotation).
+_ADDED_R8: list[str] = []
 
 # Queries ADDED in round 7 (same policy as _ADDED_R5/R6: oracled ones
 # are swapped into _GATE_R7's tail when feasible; any that miss the
@@ -501,7 +579,7 @@ def load_all() -> None:
     The driver's correctness gate hash-checks the first 50 entries of
     ``QUERIES`` only, so registration order is a verification budget.
     Rather than encode the budget in fragile import order, imports stay
-    alphabetical-ish and ``_GATE_R7`` (above) pins the explicit
+    alphabetical-ish and ``_GATE_R8`` (above) pins the explicit
     rotation: QUERIES is rebuilt with the listed names first, then all
     remaining registrations in their original order. Pinned by
     tests/test_registry.py, which also asserts every gate slot has a
@@ -514,15 +592,18 @@ def load_all() -> None:
     no driver row plus 4 re-attests; round 4 took the last 38
     never-driver-checked queries plus 12 re-attests — closing the
     ORACLED surface; round 5 took the 23 oracled _ADDED_R4 + the
-    oldest r1-only families + 11 of the round-5 additions (50/50
-    green; 0 hash failures in 5 rounds).
+    oldest r1-only families + 11 of the round-5 additions; rounds 6-7
+    rotated re-attests oldest-first plus same-round additions (50/50
+    green every round; 0 hash failures in 7 rounds, all 221 oracled
+    queries driver-green all-time as of r7).
 
-    Round-8 rotation plan: (a) any _ADDED_R7 queries that miss the r7
-    gate, (b) re-attests of whatever round-8 edits touch, then (c) the
-    next-oldest rows — the r3-only rows displaced from r7 slots 44-50
-    by round-7 additions, then the remaining r3-only rows (see
-    _GATE_R3: the corpus_quality / warehouse / similarity families
-    whose latest green row is round 3), oldest first, then r4-only.
+    Round-9 rotation plan: (a) any _ADDED_R8 queries that miss the r8
+    gate, (b) re-attests of whatever round-9 edits touch, then (c) the
+    next-oldest rows — the r4-only rows displaced from r8 slots 41-50
+    by round-8 additions, then the remaining r4-only rows (the
+    emb_* diagnostics, doc_* sampling/sharding, events_* forecasting
+    families and the round-4 re-attest analytics whose latest green
+    row is round 4), in _GATE_R4 registration order, then r5-only.
     """
     from the_hive_spark.operators import (  # noqa: F401
         timeline,
@@ -541,14 +622,14 @@ def load_all() -> None:
         warehouse,
     )
 
-    missing = [n for n in _GATE_R7 if n not in QUERIES]
+    missing = [n for n in _GATE_R8 if n not in QUERIES]
     if missing:  # defensive: a renamed query must fail loudly, not
         # silently shift every later gate slot by one.
         raise RuntimeError(f"gate rotation names not registered: {missing}")
-    unoracled = [n for n in _GATE_R7 if n not in ORACLES]
+    unoracled = [n for n in _GATE_R8 if n not in ORACLES]
     if unoracled:  # rows-only slots verify nothing (driver: no_oracle)
         raise RuntimeError(f"gate slots without an oracle: {unoracled}")
-    rotated = {n: QUERIES[n] for n in _GATE_R7}
+    rotated = {n: QUERIES[n] for n in _GATE_R8}
     rotated.update((n, fn) for n, fn in QUERIES.items() if n not in rotated)
     QUERIES.clear()
     QUERIES.update(rotated)
