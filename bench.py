@@ -208,6 +208,14 @@ EXTENDED = [
     "events_survival_curve",
     "events_time_weighted_value",
     "q_equidepth_histogram",
+    # round-7 additions
+    "cust_golden_record",
+    "q_fd_violation_audit",
+    "events_illegal_transitions",
+    # round-8 additions
+    "doc_tokenizer_fertility",
+    "doc_vocab_growth_heaps",
+    "doc_dup_inter_source_matrix",
 ]
 
 
@@ -251,6 +259,28 @@ def main() -> None:
                 ).format("noop").save()
             except Exception:
                 pass
+    # 3. build the SHARED matstore pair artifact once, outside any
+    #    query's timing — the production pattern: the dedup pair index
+    #    is built once per corpus snapshot and every consumer reads it.
+    #    Before r7, doc_minhash_calibration happened to build it as a
+    #    side effect and the heavy tier read it warm; the r7
+    #    scale-invariant calibration subsample stopped doing that, so
+    #    the first heavy consumer (dup_modality_agreement, 1.26→8.78 s)
+    #    silently inherited the cold build. Pre-warming here makes the
+    #    tier timings measure the CONSUMERS' plans, with the one-time
+    #    index build reported separately.
+    prewarmed: dict[str, float] = {}
+    if ext_names or heavy_names:
+        try:
+            t0 = time.perf_counter()
+            registry.QUERIES["doc_ngram_jaccard_pairs"](
+                spark, sf_dir
+            ).write.mode("overwrite").format("noop").save()
+            prewarmed["doc_ngram_jaccard_pairs"] = round(
+                time.perf_counter() - t0, 4
+            )
+        except Exception:
+            pass
 
     # Per-query fault isolation: one failing query must never take down
     # the whole run — record its error string and keep timing the rest,
@@ -295,6 +325,7 @@ def main() -> None:
         "extended_total": round(sum(ext_timings.values()), 4),
         "heavy_queries": heavy_timings,
         "heavy_total": round(sum(heavy_timings.values()), 4),
+        "prewarmed": prewarmed,
         "sf": sf_val,
     }
     if errors:

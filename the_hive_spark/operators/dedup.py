@@ -29,7 +29,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from the_hive_spark.registry import query
+from the_hive_spark.registry import ORACLES, query
 from the_hive_spark.tables import table
 
 SHINGLE_W = 5  # character shingle width
@@ -1486,4 +1486,102 @@ def doc_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("abs_err_ppm"),
         )
         .orderBy("doc_a", "doc_b")
+    )
+
+
+def _inter_source_matrix_oracle() -> str:
+    pairs_sql = ORACLES["doc_ngram_jaccard_pairs"]
+    return f"""
+WITH pairs AS ({pairs_sql}),
+eligible AS (
+  SELECT doc_id, source FROM documents WHERE length(text) >= {SHINGLE_W}
+), src_n AS (
+  SELECT source, COUNT(*) AS n FROM eligible GROUP BY source
+), tagged AS (
+  SELECT least(ea.source, eb.source) AS source_a,
+         greatest(ea.source, eb.source) AS source_b
+  FROM pairs p
+  JOIN eligible ea ON ea.doc_id = p.doc_a
+  JOIN eligible eb ON eb.doc_id = p.doc_b
+), counted AS (
+  SELECT source_a, source_b, COUNT(*) AS n_pairs
+  FROM tagged GROUP BY source_a, source_b
+)
+SELECT c.source_a, c.source_b,
+       CAST(c.n_pairs AS BIGINT) AS n_pairs,
+       CAST(FLOOR(1000000.0 * c.n_pairs /
+              greatest(CASE WHEN c.source_a = c.source_b
+                            THEN na.n * (na.n - 1) / 2
+                            ELSE na.n * nb.n END, 1) + 0.5) AS BIGINT)
+         AS pair_rate_ppm
+FROM counted c
+JOIN src_n na ON na.source = c.source_a
+JOIN src_n nb ON nb.source = c.source_b
+"""
+
+
+@query("doc_dup_inter_source_matrix", oracle=_inter_source_matrix_oracle())
+def doc_dup_inter_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate FLOW between sources: the ≥0.4-Jaccard pair
+    stream cross-tabulated by (source, source) — which feeds copy from
+    which, and how much of a source pair's possible-pair space is
+    duplicated (ppm against n_a*n_b, or n*(n-1)/2 on the diagonal).
+    The provenance report behind dedup-priority decisions: a hot
+    OFF-diagonal cell means two feeds mirror each other (dedupe one
+    against the other before training); a hot diagonal means a feed
+    re-publishes itself.
+
+    Consumes the matstore-materialized doc_ngram_jaccard_pairs
+    artifact (built once per corpus snapshot, shared with the cluster
+    /calibration/agreement consumers), adds two doc_id equi-joins onto
+    the dimension-thin (doc_id, source) projection, and aggregates to
+    |sources|^2 rows; the per-source count side of the rate is a
+    |sources|-row aggregate joined twice. Nothing here scans text and
+    nothing shuffles more than the pair stream itself."""
+    pairs = doc_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    eligible = (
+        table(spark, sf_dir, "documents")
+        .filter(F.length("text") >= SHINGLE_W)
+        .select("doc_id", "source")
+    )
+    src_n = eligible.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    tagged = (
+        pairs.join(
+            eligible.select(
+                F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            eligible.select(
+                F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")
+            ),
+            "doc_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+    )
+    counted = tagged.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    na = src_n.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    nb = src_n.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    denom = F.when(
+        F.col("source_a") == F.col("source_b"),
+        (F.col("na") * (F.col("na") - 1) / 2).cast("long"),
+    ).otherwise(F.col("na") * F.col("nb"))
+    return (
+        counted.join(na, "source_a")
+        .join(nb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            F.floor(
+                1000000.0 * F.col("n_pairs") / F.greatest(denom, F.lit(1))
+                + F.lit(0.5)
+            ).cast("bigint").alias("pair_rate_ppm"),
+        )
     )

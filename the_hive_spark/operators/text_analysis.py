@@ -1561,3 +1561,145 @@ def doc_quality_prune_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(1000000.0 * kept_toks / tot_toks + F.lit(0.5))
         .cast("bigint").alias("tokens_share_ppm"),
     )
+
+
+@query(
+    "doc_tokenizer_fertility",
+    oracle="""
+WITH c AS (
+  SELECT lang, text,
+         regexp_replace(regexp_replace(text, '[A-Za-z]+', 'a', 'g'),
+                        '[0-9]+', '0', 'g') AS collapsed
+  FROM documents WHERE length(text) > 0
+), m AS (
+  SELECT lang,
+         length(text) AS n_chars,
+         length(replace(collapsed, ' ', '')) AS n_bpe
+  FROM c
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+       CAST(SUM(n_bpe) AS BIGINT) AS n_bpe_tokens_total,
+       CAST(FLOOR(1000000.0 * SUM(n_bpe) / greatest(SUM(n_chars), 1) + 0.5)
+            AS BIGINT) AS tokens_per_mchar,
+       CAST(FLOOR(1.0 * SUM(n_bpe) / greatest(COUNT(*), 1)) AS BIGINT)
+         AS mean_tokens_per_doc
+FROM m GROUP BY lang
+""",
+)
+def doc_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE-ish pre-token count per
+    character, aggregated over the labeled ``lang`` column — the
+    number a multilingual training pipeline budgets against (fertility
+    disparities decide per-language sampling weights and context-
+    window economics; a language at 2x tokens/char costs 2x compute
+    per character of coverage).
+
+    Reuses doc_bpe_token_stats' run-collapsing character arithmetic
+    (one marker char per letter/digit run, counts = length deltas), so
+    the scan stays two allocation-free JVM regex passes with NO token
+    array; the per-language rollup is a map-side-combinable aggregate
+    over |langs| groups. Integer ppm fertility so the hash is
+    engine-exact."""
+    n = spark.sparkContext.defaultParallelism
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .repartition(n)
+    )
+    collapsed = F.regexp_replace(
+        F.regexp_replace("text", "[A-Za-z]+", "a"), "[0-9]+", "0"
+    )
+    per_doc = docs.select(
+        "lang",
+        F.length("text").alias("n_chars"),
+        F.length(F.replace(collapsed, F.lit(" "))).alias("n_bpe"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars_total"),
+        F.sum("n_bpe").cast("bigint").alias("n_bpe_tokens_total"),
+        F.floor(
+            1000000.0 * F.sum("n_bpe") / F.greatest(F.sum("n_chars"), F.lit(1))
+            + F.lit(0.5)
+        ).cast("bigint").alias("tokens_per_mchar"),
+        F.floor(
+            1.0 * F.sum("n_bpe") / F.greatest(F.count(F.lit(1)), F.lit(1))
+        ).cast("bigint").alias("mean_tokens_per_doc"),
+    )
+
+
+@query(
+    "doc_vocab_growth_heaps",
+    oracle="""
+WITH ranked AS (
+  SELECT doc_id, source, text,
+         2 * ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+           <= COUNT(*) OVER (PARTITION BY source) AS in_half
+  FROM documents WHERE length(text) > 0
+), tok AS (
+  SELECT source, in_half, unnest(string_split(text, ' ')) AS term
+  FROM ranked
+), tok_nz AS (
+  SELECT * FROM tok WHERE length(term) > 0
+)
+SELECT source,
+       CAST(COUNT(*) FILTER (in_half) AS BIGINT) AS n_tokens_half,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens_full,
+       CAST(COUNT(DISTINCT term) FILTER (in_half) AS BIGINT) AS vocab_half,
+       CAST(COUNT(DISTINCT term) AS BIGINT) AS vocab_full,
+       CAST(FLOOR(1000000.0 * (COUNT(DISTINCT term)
+                               - COUNT(DISTINCT term) FILTER (in_half))
+                  / greatest(COUNT(*) - COUNT(*) FILTER (in_half), 1) + 0.5)
+            AS BIGINT) AS marginal_vocab_per_token_ppm
+FROM tok_nz GROUP BY source
+""",
+)
+def doc_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth per source: token and distinct-term
+    counts at a nested half-corpus prefix (by doc_id order — the
+    deterministic 'corpus so far') vs the full corpus, plus the
+    marginal new-vocabulary rate over the second half. The tokenizer-
+    sizing statistic: a source whose marginal rate stays high keeps
+    minting unseen terms (open vocabulary — noise, IDs, code), one
+    whose rate collapses has saturated (bounded vocabulary), and the
+    half/full ingredient columns let the analyst fit the Heaps
+    exponent offline without another corpus pass.
+
+    One explode + one grouped aggregate: the half-prefix flag is a
+    per-source window over doc_id (rank arithmetic, no second scan),
+    and both vocab sizes come from conditional COUNT(DISTINCT) in the
+    SAME aggregate, so Spark runs a single expand-shuffle (no join of
+    two vocabulary subqueries). Marginal rate is integer ppm —
+    engine-exact, no logarithms in the hash."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    w = Window.partitionBy("source").orderBy("doc_id")
+    ranked = docs.select(
+        "source",
+        "text",
+        (
+            2 * F.row_number().over(w)
+            <= F.count(F.lit(1)).over(Window.partitionBy("source"))
+        ).alias("in_half"),
+    )
+    toks = ranked.select(
+        "source", "in_half", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.length("term") > 0)
+    n_half = F.sum(F.col("in_half").cast("long"))
+    n_full = F.count(F.lit(1))
+    v_half = F.countDistinct(F.when(F.col("in_half"), F.col("term")))
+    v_full = F.countDistinct("term")
+    return toks.groupBy("source").agg(
+        n_half.cast("bigint").alias("n_tokens_half"),
+        n_full.cast("bigint").alias("n_tokens_full"),
+        v_half.cast("bigint").alias("vocab_half"),
+        v_full.cast("bigint").alias("vocab_full"),
+        F.floor(
+            1000000.0 * (v_full - v_half)
+            / F.greatest(n_full - n_half, F.lit(1))
+            + F.lit(0.5)
+        ).cast("bigint").alias("marginal_vocab_per_token_ppm"),
+    )

@@ -333,8 +333,8 @@ _GATE_R8 = [
     "q_copurchase_pairs",
     "q_customer_spend_gini",
     "q_lapsed_customers",
-    # --- slots 41-50: oldest r4-only rows (in _GATE_R4 registration
-    # order); round-8 additions displace from the end as they land ---
+    # --- slots 41-47: oldest r4-only rows (in _GATE_R4 registration
+    # order) ---
     "emb_dedup_exact",
     "emb_quantize_int8",
     "emb_hard_negatives",
@@ -342,15 +342,23 @@ _GATE_R8 = [
     "emb_label_stats",
     "emb_label_affinity",
     "emb_label_outliers",
-    "emb_norm_outliers",
-    "doc_reservoir_sample",
-    "doc_curriculum_shards",
+    # --- slots 48-50: round-8 additions (new work earns its driver
+    # row the round it lands; the three r4-only re-attests they
+    # displaced — emb_norm_outliers, doc_reservoir_sample,
+    # doc_curriculum_shards — head the r9 plan) ---
+    "doc_tokenizer_fertility",
+    "doc_vocab_growth_heaps",
+    "doc_dup_inter_source_matrix",
 ]
 
 # Queries ADDED in round 8 (same policy as _ADDED_R5-R7: oracled ones
 # are swapped into _GATE_R8's tail when feasible; any that miss the
 # gate are the front of the round-9 rotation).
-_ADDED_R8: list[str] = []
+_ADDED_R8: list[str] = [
+    "doc_tokenizer_fertility",
+    "doc_vocab_growth_heaps",
+    "doc_dup_inter_source_matrix",
+]
 
 # Queries ADDED in round 7 (same policy as _ADDED_R5/R6: oracled ones
 # are swapped into _GATE_R7's tail when feasible; any that miss the
