@@ -260,6 +260,9 @@ def main() -> None:
         "n_bad": bad,
         "total_sec": round(sum(r["sec"] for r in results.values()), 1),
     }
+    if skip:
+        # self-documenting artifact: what was deliberately excluded
+        summary["skipped"] = sorted(skip)
     print(json.dumps(summary), flush=True)
     if out_path:
         with open(out_path, "w") as fh:

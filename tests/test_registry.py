@@ -19,14 +19,23 @@ registry.load_all()
 
 _ROOT = os.path.join(os.path.dirname(__file__), "..")
 
-# Queries whose PLANS changed after the round-7 gate froze:
-# doc_bpe_token_stats was rewritten to run-collapsing character
-# arithmetic (text_analysis.py, commit 6bfd0ad) five minutes after the
-# r7 rotation landed, so its only driver rows attest the OLD plan. A
-# green row earned under an old plan does not attest a new one
-# (the repo's _PLAN_CHANGED policy, r6) — it MUST lead the r8 gate.
+# Queries whose PLANS changed since their latest driver row. A green
+# row earned under an old plan does not attest a new one (the repo's
+# _PLAN_CHANGED policy, r6) — each MUST hold an r8 gate slot:
+# - doc_bpe_token_stats: rewritten to run-collapsing character
+#   arithmetic (text_analysis.py, commit 6bfd0ad) five minutes AFTER
+#   the r7 rotation froze, so its only driver rows attest the OLD plan.
+# - doc_ngram_jaccard_pairs / doc_minhash_calibration /
+#   dup_modality_agreement: the round-8 pair-enumeration scale guards
+#   (dedup._ngram_jaccard_pairs_build measures its quadratic term
+#   before doing quadratic work) changed the direct query's plan, the
+#   calibration's sparse fallback, and the agreement consumer's cold
+#   artifact build.
 _PLAN_CHANGED_R8 = [
     "doc_bpe_token_stats",
+    "doc_ngram_jaccard_pairs",
+    "doc_minhash_calibration",
+    "dup_modality_agreement",
 ]
 
 
@@ -84,10 +93,10 @@ def test_gate_r8_all_oracled():
 
 
 def test_gate_r8_slots():
-    """Slot 1: the post-r7-freeze plan-change re-attest. The rest:
+    """Slots 1-4: the round-8 plan-change re-attests. The rest:
     re-attests whose latest green row is from round 3 or 4 (the oldest
     in the record) — or round-8 additions swapped into the tail."""
-    assert registry._GATE_R8[:1] == _PLAN_CHANGED_R8
+    assert registry._GATE_R8[:4] == _PLAN_CHANGED_R8
     checked = _driver_checked()
     if not checked:
         return  # fresh clone without driver artifacts
@@ -95,7 +104,7 @@ def test_gate_r8_slots():
         ("05", "06", "07")
     )
     added_r8 = set(registry._ADDED_R8)
-    for n in registry._GATE_R8[1:]:
+    for n in registry._GATE_R8[4:]:
         assert n in old_only or n in added_r8, (
             f"re-attest slot {n} is neither an r3/r4-only row nor a "
             "round-8 addition"

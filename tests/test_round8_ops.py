@@ -108,3 +108,41 @@ def test_inter_source_matrix_directions_and_denominators(spark, tmp_path):
     assert got[("A", "B")]["pair_rate_ppm"] == 500_000
     # doc 4 pairs with nothing: no B-B cell
     assert ("B", "B") not in got
+
+
+def test_ngram_pair_guard_trips_on_candidate_dense_corpus(
+    spark, tmp_path, monkeypatch
+):
+    """Both pair-enumeration regimes must fail fast (with a pointer to
+    the banded path) when the measured quadratic term exceeds the
+    guard, instead of materializing a quadratic candidate shuffle —
+    and the matstore must not cache the failure."""
+    import pytest
+
+    from the_hive_spark.operators import dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and "
+    sf = _write_docs(
+        tmp_path,
+        [
+            {"doc_id": i, "text": base + f"word {i % 3}", "lang": "x",
+             "source": "s"}
+            for i in range(30)
+        ],
+    )
+    # tiny caps: this 30-doc word-soup corpus is "candidate-dense"
+    monkeypatch.setattr(dedup, "_DENSE_GUARD_WORDOPS", 10)
+    monkeypatch.setattr(dedup, "_PAIR_GUARD_CANDIDATES", 10)
+    with pytest.raises(ValueError, match="banded path"):
+        dedup._ngram_jaccard_pairs_build(spark, sf)
+    # sparse regime (vocab probe forced to overflow) trips its own guard
+    monkeypatch.setattr(dedup, "_BITSET_MAX_VOCAB", 1)
+    with pytest.raises(ValueError, match="banded path"):
+        dedup._ngram_jaccard_pairs_build(spark, sf, vocab_key="guardtest")
+    # restore caps: the same corpus builds fine below the guard
+    monkeypatch.setattr(dedup, "_DENSE_GUARD_WORDOPS", 200_000_000_000)
+    monkeypatch.setattr(dedup, "_PAIR_GUARD_CANDIDATES", 200_000_000)
+    got = dedup._ngram_jaccard_pairs_build(
+        spark, sf, vocab_key="guardtest2"
+    ).count()
+    assert got > 0

@@ -107,6 +107,14 @@ def doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is already too much — the JVM join path takes over well before).
 _BITSET_MAX_VOCAB = 65536
 _BITSET_MAX_DOCS = 2_000_000
+# Exact-pair-enumeration guards (the doc analogue of similarity.py's
+# BRUTE_MAX_ROWS): past these, the exact >=0.4-Jaccard pair stream is
+# not a plan anymore — the corpus itself is candidate-dense — and
+# callers must use the banded-LSH candidates + exact verify instead.
+# ~2e8 candidate rows is a ~3 GB shuffle; ~2e11 bitset word-ops is
+# minutes of blocked BLAS on 32 cores.
+_PAIR_GUARD_CANDIDATES = 200_000_000
+_DENSE_GUARD_WORDOPS = 200_000_000_000
 
 
 def _jaccard_on_pairs(cand: DataFrame, sh: DataFrame) -> DataFrame:
@@ -532,6 +540,19 @@ def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python shingling off the text column, packed bitsets, blocked
     all-pairs BLAS scoring. The prefix path below is the sparse/
     huge-vocabulary plan where prefix filtering actually prunes.
+
+    Scale guards (the doc analogue of near_dup_pairs_brute's row
+    guard): both regimes measure their quadratic term BEFORE doing
+    quadratic work — the dense plan bounds C(n,2)·bitset-words, the
+    sparse plan bounds the exact pre-distinct candidate count
+    Σ_s C(prefix_df(s), 2) with one linear aggregate — and raise
+    with a pointer to the banded path (doc_dup_clusters /
+    doc_minhash_lsh_pairs) when a corpus is candidate-dense at its
+    size. Exact enumeration on a corpus whose pairwise similarity
+    concentrates near the threshold is inherently Ω(candidates) for
+    any filter-verify scheme; failing fast beats filling the disk
+    with a candidate shuffle (measured: 50 k word-soup docs, >70 GB
+    spill, ENOSPC).
     """
     from the_hive_spark.functions.matstore import materialized
 
@@ -557,6 +578,23 @@ def _ngram_jaccard_pairs_build(
     vocab = _dense_vocab_probe_cached(spark, sf_dir, docs, vocab_key)
     if vocab is not None:
         packed = _dense_packed_df(spark, docs, vocab)
+        n_docs = docs.count()
+        # blocked-BLAS compute guard: C(n,2) pair scores x bitset words
+        # per score. Past the cap the exact enumeration is no longer a
+        # plan — it's a corpus whose pairwise similarity concentrates
+        # near the threshold (every doc a candidate of every other), and
+        # the scale answer is the banded-LSH candidates + exact verify
+        # (doc_dup_clusters / doc_minhash_lsh_pairs). Fail fast with
+        # that pointer instead of grinding a quadratic matmul.
+        n_words = (len(vocab) + 63) // 64
+        if n_docs * (n_docs - 1) // 2 * n_words > _DENSE_GUARD_WORDOPS:
+            raise ValueError(
+                f"doc_ngram_jaccard_pairs: dense regime needs "
+                f"~{n_docs * (n_docs - 1) // 2 * n_words:.1e} bitset word-ops "
+                f"(cap {_DENSE_GUARD_WORDOPS:.0e}) — the corpus is "
+                "candidate-dense at this size; use the banded path "
+                "(doc_dup_clusters / doc_minhash_lsh_pairs) at this scale"
+            )
         return _jaccard_allpairs_from_packed(spark, packed, len(vocab))
     sh = _shingles_of(spark, docs).persist(StorageLevel.MEMORY_AND_DISK)
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
@@ -571,7 +609,31 @@ def _ngram_jaccard_pairs_build(
         .withColumn("n_sh", F.count(F.lit(1)).over(wcnt))
         .filter(F.col("pos") <= F.col("n_sh") - ceil_tn + 1)
         .select("doc_id", "shingle")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Candidate-volume guard, measured BEFORE the self-join: the join
+    # emits exactly sum_s C(prefix_df(s), 2) rows pre-distinct, an
+    # exact figure one linear aggregate away. Prefix filtering prunes
+    # hard on real (zipf-sparse) corpora, but on a corpus whose docs
+    # all share most shingles it degrades toward all-pairs — and the
+    # candidate shuffle then fills the disk long before the verify
+    # join would finish (measured: 50 k word-soup docs wrote >70 GB of
+    # shuffle and died on ENOSPC). Like near_dup_pairs_brute's row
+    # guard: fail fast, point at the banded path.
+    est = prefix.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("c")
+    ).agg(
+        F.sum(F.expr("c * (c - 1) div 2")).alias("cand")
+    ).collect()[0]["cand"] or 0
+    if est > _PAIR_GUARD_CANDIDATES:
+        prefix.unpersist()
+        sh.unpersist()
+        raise ValueError(
+            f"doc_ngram_jaccard_pairs: prefix filtering leaves {est:.2e} "
+            f"candidate rows (cap {_PAIR_GUARD_CANDIDATES:.0e}) — the "
+            "corpus is candidate-dense at this size; use the banded path "
+            "(doc_dup_clusters / doc_minhash_lsh_pairs) at this scale"
+        )
     cand = (
         prefix.alias("pa")
         .join(

@@ -289,14 +289,23 @@ _GATE_R7 = [
 # driver row the round it lands, displaced r4-only rows head the r9
 # plan).
 _GATE_R8 = [
-    # --- slot 1: round-7 post-freeze plan-change re-attest ---
+    # --- slots 1-4: plan-change re-attests. Slot 1: doc_bpe_token_stats
+    # (rewritten after the r7 gate froze — the declared r8 front).
+    # Slots 2-4: the round-8 pair-enumeration scale guards
+    # (dedup.py:_ngram_jaccard_pairs_build measures its quadratic term
+    # before doing quadratic work) changed the executed plan of the
+    # direct query, the calibration's sparse fallback, and the
+    # modality-agreement consumer's cold artifact build ---
     "doc_bpe_token_stats",
-    # --- slots 2-4: the three r3-only rows displaced from the r7 gate
+    "doc_ngram_jaccard_pairs",
+    "doc_minhash_calibration",
+    "dup_modality_agreement",
+    # --- slots 5-7: the three r3-only rows displaced from the r7 gate
     # tail by the round-7 additions (declared r8 front) ---
     "doc_bpe_pair_counts",
     "events_markov_transitions",
     "doc_dup_gram_coverage",
-    # --- slots 5-40: the remaining 36 r3-only rows ---
+    # --- slots 8-43: the remaining 36 r3-only rows ---
     "doc_charset_profile",
     "doc_curation_funnel",
     "doc_drift_ks_by_source",
@@ -333,19 +342,18 @@ _GATE_R8 = [
     "q_copurchase_pairs",
     "q_customer_spend_gini",
     "q_lapsed_customers",
-    # --- slots 41-47: oldest r4-only rows (in _GATE_R4 registration
-    # order) ---
+    # --- slots 44-47: oldest r4-only rows (in _GATE_R4 registration
+    # order; the r4-only re-attests displaced by the round-8
+    # plan-change slots and additions — emb_label_stats,
+    # emb_label_affinity, emb_label_outliers, emb_norm_outliers,
+    # doc_reservoir_sample, doc_curriculum_shards — head the r9
+    # plan) ---
     "emb_dedup_exact",
     "emb_quantize_int8",
     "emb_hard_negatives",
     "emb_semantic_dup_rates",
-    "emb_label_stats",
-    "emb_label_affinity",
-    "emb_label_outliers",
     # --- slots 48-50: round-8 additions (new work earns its driver
-    # row the round it lands; the three r4-only re-attests they
-    # displaced — emb_norm_outliers, doc_reservoir_sample,
-    # doc_curriculum_shards — head the r9 plan) ---
+    # row the round it lands) ---
     "doc_tokenizer_fertility",
     "doc_vocab_growth_heaps",
     "doc_dup_inter_source_matrix",
