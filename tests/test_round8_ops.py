@@ -146,3 +146,32 @@ def test_ngram_pair_guard_trips_on_candidate_dense_corpus(
         spark, sf, vocab_key="guardtest2"
     ).count()
     assert got > 0
+
+
+def test_band_bucket_guard_trips_on_colliding_signatures(
+    spark, tmp_path, monkeypatch
+):
+    """The band self-join guard fires when bucket sizes make the join
+    quadratic (degenerate corpora where signatures collide en masse)
+    and stays silent on the same corpus under the normal cap. The
+    returned DataFrame's plan is unchanged by the guard — it is a
+    separate pre-join measurement job."""
+    import pytest
+
+    from the_hive_spark.operators import dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and "
+    sf = _write_docs(
+        tmp_path,
+        [
+            {"doc_id": i, "text": base + f"w{i % 2}", "lang": "x",
+             "source": "s"}
+            for i in range(20)
+        ],
+    )
+    sig = dedup.minhash_signatures(spark, sf)
+    monkeypatch.setattr(dedup, "_PAIR_GUARD_CANDIDATES", 5)
+    with pytest.raises(ValueError, match="candidate-dense"):
+        dedup._lsh_band_pairs(sig).count()
+    monkeypatch.setattr(dedup, "_PAIR_GUARD_CANDIDATES", 200_000_000)
+    assert dedup._lsh_band_pairs(sig).count() > 0

@@ -757,6 +757,7 @@ def _lsh_band_pairs(sig: DataFrame) -> DataFrame:
     from pyspark import StorageLevel
 
     bands = band_signatures(sig).persist(StorageLevel.MEMORY_AND_DISK)
+    _guard_band_buckets(bands, ["band", "band_key"], "MinHash-LSH")
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -769,6 +770,37 @@ def _lsh_band_pairs(sig: DataFrame) -> DataFrame:
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_bands"))
     )
+
+
+def _guard_band_buckets(
+    banded: DataFrame, keys: list[str], what: str
+) -> None:
+    """Measure a band self-join's exact output volume — Σ C(bucket, 2)
+    over bucket sizes, one linear aggregate on the (already-persisted)
+    banded table — BEFORE running the join. Banding replaces all-pairs
+    comparison only while buckets stay small; on a corpus whose docs
+    are all mutually similar (pairwise Jaccard just below threshold,
+    so signatures collide en masse — a shape real zipf-vocabulary
+    corpora don't have, but degenerate/adversarial feeds do) the
+    bucket join itself goes quadratic and fills the disk with shuffle
+    (measured: 500 k word-soup docs, >40 GB spill, task death). Same
+    contract as the exact-enumeration guards: fail fast, name the
+    remediation."""
+    est = (
+        banded.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.expr("c * (c - 1) div 2")).alias("cand"))
+        .collect()[0]["cand"]
+        or 0
+    )
+    if est > _PAIR_GUARD_CANDIDATES:
+        raise ValueError(
+            f"{what} band buckets hold {est:.2e} candidate pairs (cap "
+            f"{_PAIR_GUARD_CANDIDATES:.0e}) — the corpus is candidate-"
+            "dense at this size (signatures collide en masse); sharpen "
+            "the banding (more rows per band), pre-prune with the "
+            "quality gate, or dedup per-source shards independently"
+        )
 
 
 @query(
@@ -966,6 +998,7 @@ def doc_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "simhash", "bv.band", "bv.val")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _guard_band_buckets(banded, ["band", "val"], "SimHash pigeonhole")
     a = banded.alias("a")
     b = banded.alias("b")
     hamming = F.expr("bit_count(a.simhash ^ b.simhash)")

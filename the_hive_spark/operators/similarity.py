@@ -213,25 +213,60 @@ def near_dup_pairs_brute(
 
     def score_block(batches):
         ids_a, Qa, nrm_a = bc.value
+        # Chunk the corpus axis so the score matrix never materializes
+        # at (block × n): one (block × n) int64 dots array is 10 GB at
+        # n = 200 k and the kernel OOM-kills the worker (measured at
+        # the perturbed-sf10 sweep) — with 32 concurrent workers the
+        # unchunked form needs block×n×8×3 arrays × 32, far past any
+        # sane executor memory. Chunked, the transient is
+        # block × CHUNK ≈ 50 MB regardless of corpus size, and the
+        # arithmetic (hence the output) is unchanged.
+        CHUNK = 4096
+        # int64 matmul has no BLAS path in numpy (naive loops, ~30 min
+        # for 200 k × 200 k × 64 measured); float64 dgemm is ~50×
+        # faster and EXACT for these integers whenever every product
+        # term and partial sum stays under 2^53 — check the bound once
+        # per task and keep the int64 path as the overflow-safe
+        # fallback. The ppm formula upcasts dots to float64 either
+        # way, so results are bit-identical.
+        q_absmax = float(np.abs(Qa).max()) if len(Qa) else 0.0
+        d = Qa.shape[1] if Qa.ndim == 2 else 0
+        Qf = None
         for blk in batches:
             if len(blk) == 0:
                 continue
             a_ids = blk["vec_id"].to_numpy(np.int64)
             A = _quantize_block(blk["embedding"])
-            dots = A @ Qa.T
             na = (A * A).sum(axis=1).astype(np.float64)
-            ppm = np.floor(
-                1000000.0 * dots / np.sqrt(na[:, None] * nrm_a[None, :]) + 0.5
-            ).astype(np.int64)
-            keep = (a_ids[:, None] < ids_a[None, :]) & (ppm >= NEAR_DUP_PPM)
-            ii, jj = np.nonzero(keep)
-            yield pd.DataFrame(
-                {
-                    "vec_a": a_ids[ii],
-                    "vec_b": ids_a[jj],
-                    "cos_ppm": ppm[ii, jj],
-                }
-            )
+            a_absmax = float(np.abs(A).max()) if len(A) else 0.0
+            exact_f64 = (a_absmax * q_absmax * max(d, 1)) < 2.0**53
+            if exact_f64 and Qf is None:
+                Qf = Qa.astype(np.float64)
+            Af = A.astype(np.float64) if exact_f64 else None
+            for lo in range(0, len(ids_a), CHUNK):
+                ids_c = ids_a[lo : lo + CHUNK]
+                nrm_c = nrm_a[lo : lo + CHUNK]
+                if exact_f64:
+                    dots = Af @ Qf[lo : lo + CHUNK].T
+                else:
+                    dots = A @ Qa[lo : lo + CHUNK].T
+                ppm = np.floor(
+                    1000000.0 * dots
+                    / np.sqrt(na[:, None] * nrm_c[None, :])
+                    + 0.5
+                ).astype(np.int64)
+                keep = (a_ids[:, None] < ids_c[None, :]) & (
+                    ppm >= NEAR_DUP_PPM
+                )
+                ii, jj = np.nonzero(keep)
+                if len(ii):
+                    yield pd.DataFrame(
+                        {
+                            "vec_a": a_ids[ii],
+                            "vec_b": ids_c[jj],
+                            "cos_ppm": ppm[ii, jj],
+                        }
+                    )
 
     n = spark.sparkContext.defaultParallelism
     return (
@@ -811,7 +846,13 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the_hive_spark.functions.vectorops import dot_spark, qvec_spark
 
     emb = table(spark, sf_dir, "embeddings")
-    corpus = emb.select(
+    # fan-out convention: the crossJoin below scores |corpus|·|anchors|
+    # pairs, so the corpus scan must run at cluster parallelism, not
+    # the parquet layout's split count (a 50 MB single-file corpus
+    # otherwise serializes the whole |A|-per-row scoring stage through
+    # 1-2 tasks — measured 25+ min at 200 k × 2 000 before this line)
+    n = spark.sparkContext.defaultParallelism
+    corpus = emb.repartition(n).select(
         "vec_id", "label", F.expr(qvec_spark("embedding")).alias("qe")
     ).withColumn("nrm", F.expr(dot_spark("qe", "qe")))
     anchors = (
