@@ -82,16 +82,11 @@ def main() -> None:
         for j in range(n_q)
     }
 
-    from the_hive_spark.operators.similarity import cosine
+    from the_hive_spark.operators.similarity import cosine_topk
 
     def exact_topk(qv):
-        qcol = F.array(*[F.lit(float(x)) for x in qv])
         return [
-            r["vec_id"]
-            for r in emb.withColumn("score", cosine("embedding", qcol))
-            .orderBy(F.desc("score"), F.asc("vec_id"))
-            .limit(k)
-            .collect()
+            r["vec_id"] for r in cosine_topk(emb, qv, k=k).collect()
         ]
 
     print("computing exact ground truth...", flush=True)
@@ -244,7 +239,7 @@ def main() -> None:
         got = {
             r["vec_id"]
             for r in pq_adc_rerank_topk(
-                shortlist, emb, codebooks, qv, k=k, shortlist=10 * k
+                shortlist, emb, codebooks, qv, k=k, shortlist=1000 * k
             ).collect()
         }
         secs.append(time.perf_counter() - t0)

@@ -193,7 +193,7 @@ def pq_adc_rerank_topk(
     codebooks: np.ndarray,
     query_vec: list[float],
     k: int = 10,
-    shortlist: int = 50,
+    shortlist: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -201,9 +201,21 @@ def pq_adc_rerank_topk(
     the corpus to a `shortlist`, full-precision vectors re-rank only
     those — the join touches `shortlist` rows, not the corpus, so the
     float vectors can live in slow/cold storage at 100 TB while the
-    M-byte codes stay hot."""
+    M-byte codes stay hot.
+
+    ``shortlist`` defaults to 1000·k: the round-8 1M-distinct-vector
+    evaluation (ANN_SCALE_EVAL.json) measured recall@10 collapsing
+    1.0 → 0.07 with a 10·k shortlist — ADC's quantized ranking cannot
+    separate the true top-10 from their ~thousands of near-ties at
+    real cardinality, and raising n_probe does not help (the true
+    neighbors are already in the probed lists). At 1000·k the measured
+    recall is 1.0 (min 1.0 over 20 queries) and per-query latency is
+    LOWER than the collapsed config — the re-rank join is trivial next
+    to the ADC pass — so a deep shortlist is pure win."""
     from the_hive_spark.operators.similarity import cosine_topk
 
+    if shortlist is None:
+        shortlist = 1000 * k
     short = pq_adc_topk(
         codes_df, codebooks, query_vec, k=shortlist, id_col=id_col
     ).select(id_col)

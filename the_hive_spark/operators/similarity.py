@@ -1138,7 +1138,10 @@ def emb_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     books = pq_train(corpus)
     codes = pq_encode(lists, books)
-    short = pq_adc_topk(codes, books, qv, k=50).select("vec_id")
+    # 1000·k shortlist: the 1M-vector eval (ANN_SCALE_EVAL.json)
+    # measured ADC recall collapsing with shallow shortlists at real
+    # cardinality; deep re-rank costs nothing (see pq_adc_rerank_topk)
+    short = pq_adc_topk(codes, books, qv, k=1000 * KNN_K).select("vec_id")
     got = set(
         r["vec_id"]
         for r in cosine_topk(
