@@ -259,29 +259,6 @@ def main() -> None:
                 ).format("noop").save()
             except Exception:
                 pass
-    # 3. build the SHARED matstore pair artifact once, outside any
-    #    query's timing — the production pattern: the dedup pair index
-    #    is built once per corpus snapshot and every consumer reads it.
-    #    Before r7, doc_minhash_calibration happened to build it as a
-    #    side effect and the heavy tier read it warm; the r7
-    #    scale-invariant calibration subsample stopped doing that, so
-    #    the first heavy consumer (dup_modality_agreement, 1.26→8.78 s)
-    #    silently inherited the cold build. Pre-warming here makes the
-    #    tier timings measure the CONSUMERS' plans, with the one-time
-    #    index build reported separately.
-    prewarmed: dict[str, float] = {}
-    if ext_names or heavy_names:
-        try:
-            t0 = time.perf_counter()
-            registry.QUERIES["doc_ngram_jaccard_pairs"](
-                spark, sf_dir
-            ).write.mode("overwrite").format("noop").save()
-            prewarmed["doc_ngram_jaccard_pairs"] = round(
-                time.perf_counter() - t0, 4
-            )
-        except Exception:
-            pass
-
     # Per-query fault isolation: one failing query must never take down
     # the whole run — record its error string and keep timing the rest,
     # so the emitted JSON line always exists and is always parseable.
@@ -298,6 +275,33 @@ def main() -> None:
         return round(time.perf_counter() - t0, 4)
 
     raw = {name: _time(name) for name in names}
+
+    # Between the headline and extended tiers: build the SHARED
+    # matstore pair artifact once, outside any query's timing — the
+    # production pattern: the dedup pair index is built once per corpus
+    # snapshot and every consumer reads it. Before r7,
+    # doc_minhash_calibration happened to build it as a side effect and
+    # the heavy tier read it warm; the r7 scale-invariant calibration
+    # subsample stopped doing that, so the first heavy consumer
+    # (dup_modality_agreement, 1.26→8.78 s) silently inherited the cold
+    # build. Pre-warming here makes the tier timings measure the
+    # CONSUMERS' plans, with the one-time index build reported
+    # separately. It must run AFTER the headline tier: the persisted
+    # artifact is corpus-pair-sized, and building it first measurably
+    # slowed every headline scan at sf1 (memory pressure — q1 3.5×).
+    prewarmed: dict[str, float] = {}
+    if ext_names or heavy_names:
+        try:
+            t0 = time.perf_counter()
+            registry.QUERIES["doc_ngram_jaccard_pairs"](
+                spark, sf_dir
+            ).write.mode("overwrite").format("noop").save()
+            prewarmed["doc_ngram_jaccard_pairs"] = round(
+                time.perf_counter() - t0, 4
+            )
+        except Exception:
+            pass
+
     raw_ext = {name: _time(name) for name in ext_names}
     raw_heavy = {name: _time(name) for name in heavy_names}
     timings = {k: v for k, v in raw.items() if v is not None}
