@@ -299,8 +299,14 @@ def main() -> None:
             prewarmed["doc_ngram_jaccard_pairs"] = round(
                 time.perf_counter() - t0, 4
             )
-        except Exception:
-            pass
+        except Exception as exc:  # noqa: BLE001
+            # A failed prewarm means every heavy consumer inherits the
+            # cold (or failing) build — the exact skew the prewarm
+            # exists to remove. Record it so the artifact shows the
+            # prewarm didn't land (r8 ADVICE).
+            prewarmed["doc_ngram_jaccard_pairs"] = (
+                f"err: {type(exc).__name__}: {str(exc)[:200]}"
+            )
 
     raw_ext = {name: _time(name) for name in ext_names}
     raw_heavy = {name: _time(name) for name in heavy_names}

@@ -30,7 +30,17 @@ from typing import Any
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 
-MAX_ENTRIES = 16
+# Capacity must exceed the number of DISTINCT materialization keys a
+# single session can touch per corpus snapshot (~22 across the
+# operators today), times the snapshots a bench session reads (the
+# warm-up dir + the timed dir). Round 8 set this to 16 and the sf1
+# bench measured the consequence: ~20 keys churned through the LRU
+# during the extended tier, evicting the shared pair artifact between
+# its prewarm and its last consumer — doc_dup_inter_source_matrix paid
+# a 409.8 s rebuild after a 683 s prewarm of the same artifact. The
+# entries are small (fixed-width rows per doc/pair, spilling to disk),
+# so capacity is cheap; eviction mid-session is not.
+MAX_ENTRIES = 64
 
 _CACHE: OrderedDict[tuple, Any] = OrderedDict()
 

@@ -593,7 +593,12 @@ def _ngram_jaccard_pairs_build(
                 f"~{n_docs * (n_docs - 1) // 2 * n_words:.1e} bitset word-ops "
                 f"(cap {_DENSE_GUARD_WORDOPS:.0e}) — the corpus is "
                 "candidate-dense at this size; use the banded path "
-                "(doc_dup_clusters / doc_minhash_lsh_pairs) at this scale"
+                "(doc_dup_clusters / doc_minhash_lsh_pairs) at this scale. "
+                "On degenerate corpora (all docs mutually ~similar) the "
+                "banded path's own bucket guard may trip too — then "
+                "sharpen the banding, quality-prune first "
+                "(doc_prune_then_dedup), or dedup per-source shards "
+                "independently"
             )
         return _jaccard_allpairs_from_packed(spark, packed, len(vocab))
     sh = _shingles_of(spark, docs).persist(StorageLevel.MEMORY_AND_DISK)
@@ -632,7 +637,11 @@ def _ngram_jaccard_pairs_build(
             f"doc_ngram_jaccard_pairs: prefix filtering leaves {est:.2e} "
             f"candidate rows (cap {_PAIR_GUARD_CANDIDATES:.0e}) — the "
             "corpus is candidate-dense at this size; use the banded path "
-            "(doc_dup_clusters / doc_minhash_lsh_pairs) at this scale"
+            "(doc_dup_clusters / doc_minhash_lsh_pairs) at this scale. "
+            "On degenerate corpora (all docs mutually ~similar) the "
+            "banded path's own bucket guard may trip too — then sharpen "
+            "the banding, quality-prune first (doc_prune_then_dedup), "
+            "or dedup per-source shards independently"
         )
     cand = (
         prefix.alias("pa")
@@ -646,7 +655,21 @@ def _ngram_jaccard_pairs_build(
         )
         .distinct()
     )
-    return _jaccard_on_pairs_join(cand, sh)
+    # Materialize the pair result BEFORE releasing the build inputs:
+    # prefix/sh exist only to feed this one build, and leaving them
+    # persisted for the session holds executor memory per corpus
+    # snapshot (r8 ADVICE). The result is persisted first so the
+    # matstore wrapper's own persist+count reads this cache, not a
+    # re-derivation through the now-unpersisted inputs.
+    result = _jaccard_on_pairs_join(cand, sh).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        result.count()
+    finally:
+        prefix.unpersist()
+        sh.unpersist()
+    return result
 
 
 def with_minhash_cols(
