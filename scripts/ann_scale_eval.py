@@ -166,8 +166,18 @@ def main() -> None:
             fractions.append(m / n_actual)
         record(tag, recalls, fractions, secs)
 
+    from the_hive_spark.functions.lsh import ivf_auto_params, lsh_auto_params
+
     lsh_eval(6, 16, 0, "srp_lsh_L16x6")
     lsh_eval(16, 1, 2, "srp_lsh_16bit_probe2")
+    # the REGISTERED code path: auto-sized from measured cardinality
+    # (what emb_ann_lsh_topk actually runs at this n)
+    ap = lsh_auto_params(n_actual)
+    lsh_eval(
+        ap["n_planes"], ap["n_tables"], ap["probe_distance"],
+        f"srp_lsh_auto[{ap['n_tables']}x{ap['n_planes']}"
+        f"p{ap['probe_distance']}]",
+    )
 
     # --------------------------------------------------------------- IVF
     def ivf_eval(n_clusters, n_probe, tag):
@@ -204,6 +214,12 @@ def main() -> None:
 
     ivf_eval(16, 3, "ivf_16_probe3")
     ivf_eval(256, 8, "ivf_256_probe8")
+    # the REGISTERED code path (emb_ann_ivf_topk's auto-sized config)
+    ip = ivf_auto_params(n_actual)
+    ivf_eval(
+        ip["n_clusters"], ip["n_probe"],
+        f"ivf_auto[{ip['n_clusters']}_probe{ip['n_probe']}]",
+    )
 
     # ------------------------------------------------------------ IVF-PQ
     from the_hive_spark.functions.pq import (

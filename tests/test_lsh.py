@@ -158,3 +158,32 @@ def test_ivf_prunes_scan(embeddings, query_vec):
     probe = [i for _, i in sims[:2]]
     probed = sum(counts.get(i, 0) for i in probe)
     assert probed < n, "probing 2/8 lists must scan a strict subset"
+
+
+def test_ann_auto_params_toy_and_scale():
+    """The auto-sizers must reproduce BOTH attested points exactly:
+    the toy configs at ≤10k vectors (what the rows-only driver checks
+    pin at sf0.001-0.1) and the 1M-eval winning configs at 1e6
+    (ANN_SCALE_EVAL.json: recall 1.0 at 0.71% / 3.1% scanned)."""
+    from the_hive_spark.functions.lsh import ivf_auto_params, lsh_auto_params
+
+    # toy regime: unchanged registered behavior
+    assert lsh_auto_params(200) == {
+        "n_tables": 16, "n_planes": 6, "probe_distance": 0}
+    assert lsh_auto_params(10_000) == {
+        "n_tables": 16, "n_planes": 6, "probe_distance": 0}
+    assert ivf_auto_params(200) == {"n_clusters": 16, "n_probe": 3}
+    assert ivf_auto_params(10_000) == {"n_clusters": 16, "n_probe": 3}
+    # 1M: exactly the eval-attested winners
+    assert lsh_auto_params(1_000_000) == {
+        "n_tables": 1, "n_planes": 16, "probe_distance": 2}
+    assert ivf_auto_params(1_000_000) == {"n_clusters": 256, "n_probe": 8}
+    # mid-scale (20k): bucket space grows, bounds hold
+    mid = lsh_auto_params(20_000)
+    assert mid["n_tables"] == 1 and 12 <= mid["n_planes"] <= 24
+    imid = ivf_auto_params(20_000)
+    assert imid == {"n_clusters": 32, "n_probe": 3}
+    # monotone, clamped at the ceiling
+    big = lsh_auto_params(10_000_000_000)
+    assert big["n_planes"] == 24
+    assert ivf_auto_params(10_000_000_000)["n_clusters"] == 1024

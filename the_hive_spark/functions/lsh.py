@@ -38,6 +38,54 @@ from the_hive_spark.operators.similarity import cosine
 DEFAULT_N_PLANES = 16
 DEFAULT_SEED = 0x48495645  # "HIVE"
 
+# Below this cardinality the auto-sizers keep the original toy configs
+# (L=16 × 6-bit OR-matched tables; IVF 16 lists / 3 probed): at a few
+# thousand vectors a 16-bit bucket space is mostly empty and KMeans
+# with 256 lists is over-fragmented, and the toy configs are what the
+# rows-only attests pin at sf0.001-0.1 (≤2 k distinct vectors).
+ANN_AUTO_TOY_MAX = 10_000
+
+
+def lsh_auto_params(n: int) -> dict:
+    """Size the SRP-LSH search index from the MEASURED corpus
+    cardinality — the same adaptive-plan pattern as the dense/sparse
+    dedup probe (operators/dedup.py).
+
+    Round 8's 1M-distinct-vector eval (ANN_SCALE_EVAL.json) proved the
+    fixed toy config (L=16 tables × 6 bits) over-scans 30× at real
+    cardinality: 6-bit tables have 64 buckets, so each table matches
+    ~n/64 of the corpus regardless of n — 23.8 % scanned at 1 M, vs
+    0.71 % for a single 16-bit table with Hamming-≤2 multiprobe at the
+    same recall 1.0. The bucket space must GROW with the corpus:
+    n_planes ≈ log₂(n) − 4 keeps the expected bucket occupancy near
+    2⁴ = 16 vectors, so the ~137 probed buckets (1 + 16 + C(16,2))
+    scan a bounded candidate set at any n. At n = 1e6 this yields
+    exactly the attested 16-bit/probe-2 winner.
+    """
+    if n <= ANN_AUTO_TOY_MAX:
+        return {"n_tables": 16, "n_planes": 6, "probe_distance": 0}
+    n_planes = min(24, max(12, round(np.log2(max(n, 2))) - 4))
+    return {"n_tables": 1, "n_planes": n_planes, "probe_distance": 2}
+
+
+def ivf_auto_params(n: int) -> dict:
+    """Size the IVF index from the measured corpus cardinality.
+
+    n_lists grows as ~√n/4 (snapped to a power of two, 16..1024) so
+    the per-list length grows as ~4√n and probing a fixed handful of
+    lists scans a shrinking fraction; n_probe = max(3, n_lists/32)
+    keeps the probed fraction ≈ 3 % past the toy regime. At n = 1e6
+    this yields 256 lists / 8 probed — the config the 1M eval attested
+    at recall 1.0 and 3.1 % scanned (vs 31.2 % for the fixed 16/3 toy
+    config); at toy sizes it stays 16/3, the rows-only attested
+    behavior.
+    """
+    if n <= ANN_AUTO_TOY_MAX:
+        return {"n_clusters": 16, "n_probe": 3}
+    n_lists = 2 ** int(round(np.log2(max(np.sqrt(n) / 4.0, 16.0))))
+    n_lists = min(1024, max(16, n_lists))
+    return {"n_clusters": n_lists, "n_probe": max(3, n_lists // 32)}
+
 
 def hyperplanes(dim: int, n_planes: int = DEFAULT_N_PLANES,
                 seed: int = DEFAULT_SEED) -> np.ndarray:

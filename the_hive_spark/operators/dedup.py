@@ -1703,3 +1703,231 @@ def doc_dup_inter_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("pair_rate_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------- round 9
+# Quality gate for prune-then-dedup: keep docs whose stopword ratio
+# clears the grid's first non-zero threshold (the same stopword-count
+# signal doc_quality_prune_sweep tunes over) and that carry a minimum
+# token mass. Word-soup / boilerplate mass — the exact content that
+# makes candidate-density guards trip — has a near-zero stopword ratio
+# and falls to the gate, which is why "quality-prune first" is the
+# remediation the enumeration guards name.
+PRUNE_STOP_PPM = 100_000
+PRUNE_MIN_TOKENS = 5
+_STOPWORDS = "'the','a','and','of','to','in','is','that','it','for'"
+
+
+def _prune_keep_col() -> "F.Column":
+    """keep = stopword_ppm >= PRUNE_STOP_PPM AND n_tokens >= MIN."""
+    n_tokens = F.size(F.expr("filter(split(text, ' '), t -> length(t) > 0)"))
+    n_stop = F.expr(
+        f"size(filter(split(lower(text), ' '),"
+        f" t -> array_contains(array({_STOPWORDS}), t)))"
+    )
+    stop_ppm = F.floor(
+        1000000.0 * n_stop / F.greatest(n_tokens, F.lit(1)) + F.lit(0.5)
+    )
+    return (stop_ppm >= PRUNE_STOP_PPM) & (n_tokens >= PRUNE_MIN_TOKENS)
+
+
+@query(
+    "doc_prune_then_dedup",
+    oracle=f"""
+WITH m AS (
+  SELECT source, doc_id, text,
+         len(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS n_tokens,
+         len(list_filter(string_split(lower(text), ' '),
+             t -> list_contains([{_STOPWORDS}], t))) AS n_stop
+  FROM documents WHERE length(text) > 0
+), gated AS (
+  SELECT source, doc_id, text,
+         (CAST(FLOOR(1000000.0 * n_stop / greatest(n_tokens, 1) + 0.5) AS BIGINT)
+            >= {PRUNE_STOP_PPM} AND n_tokens >= {PRUNE_MIN_TOKENS}) AS keep
+  FROM m
+), fam AS (
+  SELECT source, md5(text) AS h, COUNT(*) AS c
+  FROM gated WHERE keep GROUP BY source, h
+)
+SELECT g.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) - SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(COALESCE(f.n_unique, 0) AS BIGINT) AS n_unique_texts,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) - COALESCE(f.n_unique, 0)
+            AS BIGINT) AS n_dup_docs
+FROM gated g
+LEFT JOIN (SELECT source, COUNT(*) AS n_unique FROM fam GROUP BY source) f
+  ON f.source = g.source
+GROUP BY g.source, f.n_unique
+""",
+)
+def doc_prune_then_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-prune-THEN-exact-dedup funnel per source — the
+    remediation the candidate-density guards point at, as a
+    first-class operator: gate out low-quality mass first (stopword
+    ratio below the sweep's first threshold, or under 5 tokens — the
+    word-soup shape), then exact-dedup only the survivors. On a
+    degenerate corpus this is the difference between a guard-refused
+    quadratic job and a completing linear one (measured end-to-end in
+    GUARD_REMEDIATION.json); on a healthy corpus it reports the same
+    funnel numbers a curation pipeline logs per shard.
+
+    Plan: one corpus scan computes the gate predicate; survivors hash
+    into (source, md5) families with map-side combine; the per-source
+    rollup joins two ≤|sources|-row aggregates. No pair enumeration
+    anywhere — dedup cost is one shuffle keyed by digest, linear in
+    survivors at any K.
+    """
+    docs = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    gated = docs.select(
+        "source", "text", _prune_keep_col().alias("keep")
+    )
+    per_source = gated.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+    )
+    uniq = (
+        gated.filter("keep")
+        .groupBy("source", F.md5("text").alias("h"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_unique_texts"))
+    )
+    return (
+        per_source.join(uniq, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            (F.col("n_docs") - F.col("n_kept"))
+            .cast("bigint")
+            .alias("n_pruned"),
+            "n_kept",
+            F.coalesce("n_unique_texts", F.lit(0))
+            .cast("bigint")
+            .alias("n_unique_texts"),
+            (F.col("n_kept") - F.coalesce("n_unique_texts", F.lit(0)))
+            .cast("bigint")
+            .alias("n_dup_docs"),
+        )
+    )
+
+
+@query(
+    "doc_dup_family_stats",
+    oracle="""
+WITH fam AS (
+  SELECT md5(text) AS h, COUNT(*) AS family_size
+  FROM documents GROUP BY h
+)
+SELECT CAST(family_size AS BIGINT) AS family_size,
+       CAST(COUNT(*) AS BIGINT) AS n_families,
+       CAST(family_size * COUNT(*) AS BIGINT) AS n_docs,
+       CAST((family_size - 1) * COUNT(*) AS BIGINT) AS n_redundant_docs
+FROM fam GROUP BY family_size
+""",
+)
+def doc_dup_family_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate family-size histogram: how much of the corpus
+    sits in 1-doc families vs K-doc clone families — the first number
+    a dedup report leads with, and the distribution that decides
+    whether exact dedup alone recovers most of the redundant mass.
+    Verbatim-clone scale corpora show a spike at exactly K; real
+    corpora show a long geometric tail.
+
+    Plan: two map-side-combinable aggregations (digest → family size,
+    family size → histogram); both shuffles carry fixed-width rows and
+    the second input is one row per DISTINCT text, already a fraction
+    of the corpus. Linear at any K.
+    """
+    docs = table(spark, sf_dir, "documents")
+    fam = docs.groupBy(F.md5("text").alias("h")).agg(
+        F.count(F.lit(1)).alias("family_size")
+    )
+    return (
+        fam.groupBy("family_size")
+        .agg(F.count(F.lit(1)).alias("n_families"))
+        .select(
+            F.col("family_size").cast("bigint").alias("family_size"),
+            F.col("n_families").cast("bigint").alias("n_families"),
+            (F.col("family_size") * F.col("n_families"))
+            .cast("bigint")
+            .alias("n_docs"),
+            ((F.col("family_size") - 1) * F.col("n_families"))
+            .cast("bigint")
+            .alias("n_redundant_docs"),
+        )
+    )
+
+
+@query(
+    "doc_dedup_candidate_mass",
+    oracle=f"""
+WITH sh AS (
+  SELECT source, doc_id, unnest(list_distinct(
+           list_transform(range(1, greatest(length(text) - {SHINGLE_W - 1}, 1) + 1),
+                          i -> substring(text, i, {SHINGLE_W})))) AS shingle
+  FROM documents WHERE length(text) >= {SHINGLE_W}
+), df AS (
+  SELECT source, shingle, COUNT(*) AS c FROM sh GROUP BY source, shingle
+), mass AS (
+  SELECT source, SUM(c * (c - 1) // 2) AS candidate_mass,
+         SUM(c) AS n_postings
+  FROM df GROUP BY source
+), docs_per AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents
+  WHERE length(text) >= {SHINGLE_W} GROUP BY source
+)
+SELECT d.source, CAST(d.n_docs AS BIGINT) AS n_docs,
+       CAST(m.n_postings AS BIGINT) AS n_postings,
+       CAST(m.candidate_mass AS BIGINT) AS candidate_mass,
+       CAST(FLOOR(1.0 * m.candidate_mass / d.n_docs) AS BIGINT)
+         AS mass_per_doc
+FROM docs_per d JOIN mass m ON m.source = d.source
+""",
+)
+def doc_dedup_candidate_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source candidate-pair mass Σ_shingle C(df, 2) — the exact
+    quadratic term the round-8 enumeration guards measure before doing
+    quadratic work, promoted to a first-class audit: run it BEFORE a
+    dedup job to see which shards are candidate-dense and whether
+    per-source sharding (one of the guards' named remediations)
+    actually lowers the per-job mass. df is counted WITHIN each
+    source, so the row for source s is precisely the candidate volume
+    a per-source dedup shard would face.
+
+    Plan: shingle explode (fan-out repartitioned to cluster
+    parallelism) → one map-side-combined aggregate per (source,
+    shingle) → per-source sum; joined to a per-source doc count.
+    Linear in corpus size — this meters the quadratic job without
+    running it.
+    """
+    docs = table(spark, sf_dir, "documents").filter(
+        F.length("text") >= SHINGLE_W
+    )
+    n = spark.sparkContext.defaultParallelism
+    sh = docs.repartition(n, "doc_id").select(
+        "source", F.explode(shingles_expr()).alias("shingle")
+    )
+    df_counts = sh.groupBy("source", "shingle").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    mass = df_counts.groupBy("source").agg(
+        F.sum(F.expr("c * (c - 1) div 2")).cast("bigint")
+        .alias("candidate_mass"),
+        F.sum("c").cast("bigint").alias("n_postings"),
+    )
+    docs_per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    return docs_per.join(mass, "source").select(
+        "source",
+        "n_docs",
+        "n_postings",
+        "candidate_mass",
+        F.floor(1.0 * F.col("candidate_mass") / F.col("n_docs"))
+        .cast("bigint")
+        .alias("mass_per_doc"),
+    )

@@ -340,27 +340,29 @@ def _emb_near_dup_lsh_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("emb_ann_lsh_topk")  # approximate ⇒ no SQL oracle (rows-only check)
 def emb_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via multi-table sign-random-projection LSH
-    (L=16 tables × 6 bits, OR-matched), exact cosine re-rank.
+    """Approximate top-k via sign-random-projection LSH, exact cosine
+    re-rank — index shape AUTO-SIZED from the measured corpus
+    cardinality (functions/lsh.py:lsh_auto_params): ≤10 k vectors keeps
+    the toy L=16 × 6-bit OR-matched tables (the rows-only attested
+    behavior at sf0.001-0.1); past that, a single log₂(n)−4-bit table
+    with Hamming-≤2 multiprobe — the config the 1M-distinct-vector eval
+    attested at recall 1.0 and 0.71 % scanned (ANN_SCALE_EVAL.json; the
+    fixed toy config scanned 23.8 % at the same recall).
 
-    Deliberately registered without an oracle: recall < 1 by design
-    (~0.9 on this corpus), so no SQL can reproduce it exactly. The
-    recall floor against the exact path is enforced in
-    tests/test_lsh.py instead.
+    Deliberately registered without an oracle: recall < 1 by design,
+    so no SQL can reproduce it exactly. Recall floors against the
+    exact path are enforced in tests/test_lsh.py and re-attested at
+    20 k and 1 M distinct vectors by scripts/ann_scale_eval.py.
     """
-    from the_hive_spark.functions.lsh import ann_topk_lsh
+    from the_hive_spark.functions.lsh import ann_topk_lsh, lsh_auto_params
 
     emb = table(spark, sf_dir, "embeddings")
     row = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0]
     qv = [float(x) for x in row["embedding"]]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    params = lsh_auto_params(corpus.count())
     return (
-        ann_topk_lsh(
-            emb.filter(F.col("vec_id") != 0),
-            qv,
-            k=KNN_K,
-            n_planes=6,
-            n_tables=16,
-        )
+        ann_topk_lsh(corpus, qv, k=KNN_K, **params)
         .select("vec_id", "label", F.col("score").cast("double").alias("score"))
     )
 
@@ -417,21 +419,36 @@ def emb_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("emb_ann_ivf_topk")  # approximate ⇒ no SQL oracle (rows-only check)
 def emb_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via IVF (KMeans inverted lists, 3/16 probed,
-    exact cosine re-rank) — the second ANN family beside SRP-LSH. At
-    cluster scale `_cluster` is the table's partition key, so probing
-    IS partition pruning: the scan touches n_probe/n_clusters of the
-    corpus. Registered without an oracle (recall < 1 by design);
-    recall floors are asserted in tests/test_lsh.py."""
-    from the_hive_spark.functions.lsh import ivf_build, ivf_topk
+    """Approximate top-k via IVF (KMeans inverted lists, exact cosine
+    re-rank) — the second ANN family beside SRP-LSH. Index shape
+    AUTO-SIZED from the measured corpus cardinality
+    (functions/lsh.py:ivf_auto_params): ≤10 k vectors keeps the toy
+    16 lists / 3 probed (the rows-only attested behavior); past that
+    ~√n/4 lists with n_lists/32 probed — at 1 M that is the
+    eval-attested 256/8 config (recall 1.0, 3.1 % scanned, vs 31.2 %
+    for the fixed 16/3). At cluster scale `_cluster` is the table's
+    partition key, so probing IS partition pruning: the scan touches
+    n_probe/n_clusters of the corpus. Registered without an oracle
+    (recall < 1 by design); recall floors are asserted in
+    tests/test_lsh.py and re-attested at 20 k / 1 M by
+    scripts/ann_scale_eval.py."""
+    from the_hive_spark.functions.lsh import (
+        ivf_auto_params,
+        ivf_build,
+        ivf_topk,
+    )
 
     emb = table(spark, sf_dir, "embeddings")
     row = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0]
     qv = [float(x) for x in row["embedding"]]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    params = ivf_auto_params(corpus.count())
     assigned, centroids = ivf_build(
-        emb.filter(F.col("vec_id") != 0), n_clusters=16
+        corpus, n_clusters=params["n_clusters"]
     )
-    return ivf_topk(assigned, centroids, qv, k=KNN_K, n_probe=3).select(
+    return ivf_topk(
+        assigned, centroids, qv, k=KNN_K, n_probe=params["n_probe"]
+    ).select(
         "vec_id", "label", F.col("score").cast("double").alias("score")
     )
 
@@ -603,27 +620,41 @@ def emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed-deterministic, so the recall figures are stable row values
     (rows-only driver check; the hard floors live in tests/test_lsh.py).
     One row per method: (method, k, n_hits, recall_ppm)."""
-    from the_hive_spark.functions.lsh import ann_topk_lsh, ivf_build, ivf_topk
+    from the_hive_spark.functions.lsh import (
+        ann_topk_lsh,
+        ivf_auto_params,
+        ivf_build,
+        ivf_topk,
+        lsh_auto_params,
+    )
 
     emb = table(spark, sf_dir, "embeddings")
     row = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0]
     qv = [float(x) for x in row["embedding"]]
     corpus = emb.filter(F.col("vec_id") != 0)
+    n = corpus.count()
 
     exact = set(
         r["vec_id"]
         for r in cosine_topk(corpus, qv, k=KNN_K).select("vec_id").collect()
     )
+    # evaluate the REGISTERED index configs (auto-sized from measured
+    # cardinality, same code path as emb_ann_lsh_topk/emb_ann_ivf_topk)
     lsh_ids = set(
         r["vec_id"]
-        for r in ann_topk_lsh(corpus, qv, k=KNN_K, n_planes=6, n_tables=16)
+        for r in ann_topk_lsh(corpus, qv, k=KNN_K, **lsh_auto_params(n))
         .select("vec_id")
         .collect()
     )
-    assigned, centroids = ivf_build(corpus, n_clusters=16)
+    ivf_params = ivf_auto_params(n)
+    assigned, centroids = ivf_build(
+        corpus, n_clusters=ivf_params["n_clusters"]
+    )
     ivf_ids = set(
         r["vec_id"]
-        for r in ivf_topk(assigned, centroids, qv, k=KNN_K, n_probe=3)
+        for r in ivf_topk(
+            assigned, centroids, qv, k=KNN_K, n_probe=ivf_params["n_probe"]
+        )
         .select("vec_id")
         .collect()
     )
