@@ -216,6 +216,10 @@ EXTENDED = [
     "doc_tokenizer_fertility",
     "doc_vocab_growth_heaps",
     "doc_dup_inter_source_matrix",
+    # round-9 additions
+    "doc_prune_then_dedup",
+    "doc_dup_family_stats",
+    "doc_dedup_candidate_mass",
 ]
 
 

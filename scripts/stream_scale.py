@@ -264,9 +264,11 @@ def run_incdedup(spark, sf_dir: str, root: str, n_files: int,
     from pyspark import StorageLevel
 
     from the_hive_spark.operators.dedup import (
+        _PAIR_GUARD_CANDIDATES,
         N_MINHASH,
         SHINGLE_W,
         band_signatures,
+        corpus_band_density,
         incremental_near_dup_candidates,
         with_minhash_cols,
     )
@@ -284,12 +286,42 @@ def run_incdedup(spark, sf_dir: str, root: str, n_files: int,
     ).persist(StorageLevel.MEMORY_AND_DISK)
     corpus_bands.count()  # materialize before the clock starts
 
+    # Setup-time density guard (r8 verdict #5): measure the static
+    # index's bucket profile ONCE and project the whole replay's
+    # candidate volume before the first micro-batch. Same cap as the
+    # batch enumeration guards — past it the stream isn't screening,
+    # it's re-deriving the quadratic pair job one batch at a time.
+    density = corpus_band_density(corpus_bands)
+    expected_total = int(density["expected_hits_per_doc"] * n_docs)
+    if expected_total > _PAIR_GUARD_CANDIDATES:
+        corpus_bands.unpersist()
+        return {
+            "stage": "incdedup",
+            "guarded": True,
+            "n_docs_screened": 0,
+            "corpus_docs": n_docs,
+            "index_density": density,
+            "expected_total_hits": expected_total,
+            "guard_cap": _PAIR_GUARD_CANDIDATES,
+            "skip_reason": (
+                "corpus index is candidate-dense: projected "
+                f"{expected_total:.2e} candidate hits over the replay "
+                f"({density['expected_hits_per_doc']:.0f}/doc at "
+                f"{n_docs} docs) exceeds the pair-guard cap "
+                f"{_PAIR_GUARD_CANDIDATES:.0e}; remediations: sharpen "
+                "banding / quality-prune (doc_prune_then_dedup) / "
+                "per-source shards"
+            ),
+            "delivery_ok": True,  # guarded-by-design, not a failure
+            "batches": [],
+        }
+
     stream = (
         spark.readStream.schema("doc_id long, text string")
         .option("maxFilesPerTrigger", per_trigger)
         .parquet(backlog)
     )
-    hits = incremental_near_dup_candidates(stream, corpus_bands)
+    hits = incremental_near_dup_candidates(stream, corpus_bands, meter=True)
     counts = {"hits": 0, "self_hits": 0}
     lock = threading.Lock()
 
@@ -316,6 +348,33 @@ def run_incdedup(spark, sf_dir: str, root: str, n_files: int,
     corpus_bands.unpersist()
     progress = [seen[b] for b in sorted(seen)]
     batches = [p for p in progress if p.get("numInputRows", 0) > 0]
+    # Per-batch candidate-volume meter (observedMetrics attached by
+    # incremental_near_dup_candidates(meter=True)): record each
+    # batch's hits and hits/doc, and flag any batch after which the
+    # CUMULATIVE volume crossed the pair-guard cap — the alert a
+    # production monitor would page on (here the setup guard already
+    # bounds the projection, so alerts indicate projection error).
+    meter_rows = []
+    cum = 0
+    for p in batches:
+        m = p.get("observedMetrics", {}).get("incdedup_meter")
+        if not m:
+            continue
+        cum += m.get("candidate_hits", 0) or 0
+        meter_rows.append(
+            {
+                "batchId": p["batchId"],
+                "candidate_hits": m.get("candidate_hits", 0),
+                "docs_screened": m.get("docs_screened", 0),
+                "hits_per_doc": round(
+                    (m.get("candidate_hits", 0) or 0)
+                    / max(m.get("docs_screened", 0) or 0, 1),
+                    1,
+                ),
+                "cumulative_hits": cum,
+                "alert": cum > _PAIR_GUARD_CANDIDATES,
+            }
+        )
     return {
         "stage": "incdedup",
         "n_docs_screened": n_docs,
@@ -324,6 +383,10 @@ def run_incdedup(spark, sf_dir: str, root: str, n_files: int,
         "wall_sec": round(wall, 1),
         "docs_per_sec": round(n_docs / wall, 1),
         "candidate_hits": counts["hits"],
+        "index_density": density,
+        "expected_total_hits": expected_total,
+        "meter": meter_rows,
+        "meter_alerts": sum(1 for r in meter_rows if r["alert"]),
         # every doc collides with its own index entry on all bands, so
         # self-hits == docs proves end-to-end delivery of the join
         "delivery_ok": counts["self_hits"] >= n_docs,

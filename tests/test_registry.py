@@ -21,26 +21,23 @@ _ROOT = os.path.join(os.path.dirname(__file__), "..")
 
 # Queries whose PLANS changed since their latest driver row. A green
 # row earned under an old plan does not attest a new one (the repo's
-# _PLAN_CHANGED policy, r6) — each MUST hold an r8 gate slot:
-# - doc_bpe_token_stats: rewritten to run-collapsing character
-#   arithmetic (text_analysis.py, commit 6bfd0ad) five minutes AFTER
-#   the r7 rotation froze, so its only driver rows attest the OLD plan.
-# - doc_ngram_jaccard_pairs / doc_minhash_calibration /
-#   dup_modality_agreement: the round-8 pair-enumeration scale guards
-#   (dedup._ngram_jaccard_pairs_build measures its quadratic term
-#   before doing quadratic work) changed the direct query's plan, the
-#   calibration's sparse fallback, and the agreement consumer's cold
-#   artifact build.
-_PLAN_CHANGED_R8 = [
-    "doc_bpe_token_stats",
+# _PLAN_CHANGED policy, r6) — each MUST hold an r9 gate slot:
+# the round-9 memory-hygiene fix (dedup._ngram_jaccard_pairs_build
+# materializes the pair result and unpersists its prefix/shingle
+# caches; r8 ADVICE) changed the executed build of the direct query
+# and the calibration's sparse fallback, and both matstore consumers
+# of the shared pair artifact re-attest alongside (their artifact's
+# build AND retention — matstore capacity 16 → 64 — changed).
+_PLAN_CHANGED_R9 = [
     "doc_ngram_jaccard_pairs",
     "doc_minhash_calibration",
     "dup_modality_agreement",
+    "doc_dup_inter_source_matrix",
 ]
 
 
 def _driver_checked(
-    rounds=("01", "02", "03", "04", "05", "06", "07"),
+    rounds=("01", "02", "03", "04", "05", "06", "07", "08"),
 ) -> set[str]:
     """Names with a GREEN driver CORRECTNESS row in the given rounds
     (a ``no_oracle`` err row is not a verification — round 4's
@@ -77,37 +74,37 @@ def test_top50_budget():
     )
     names = json.loads(out.stdout.strip().splitlines()[-1])
     assert len(names) >= 50
-    assert names[: len(registry._GATE_R8)] == registry._GATE_R8
+    assert names[: len(registry._GATE_R9)] == registry._GATE_R9
 
 
-def test_gate_r8_all_oracled():
+def test_gate_r9_all_oracled():
     """EVERY gate slot must have a DuckDB oracle. The driver returns
     ``err: "no_oracle"`` for rows-only queries — it does NOT fall back
     to a rows+schema check — so a rows-only slot verifies nothing
     (round 4 burned 11 of 50 slots this way, CORRECTNESS_r04.json).
     This makes the mistake structurally impossible for all future
     rotations."""
-    assert len(registry._GATE_R8) == 50
-    unoracled = [n for n in registry._GATE_R8 if n not in registry.ORACLES]
+    assert len(registry._GATE_R9) == 50
+    unoracled = [n for n in registry._GATE_R9 if n not in registry.ORACLES]
     assert not unoracled, unoracled
 
 
-def test_gate_r8_slots():
-    """Slots 1-4: the round-8 plan-change re-attests. The rest:
-    re-attests whose latest green row is from round 3 or 4 (the oldest
-    in the record) — or round-8 additions swapped into the tail."""
-    assert registry._GATE_R8[:4] == _PLAN_CHANGED_R8
+def test_gate_r9_slots():
+    """Slots 1-4: the round-9 plan-change re-attests. The rest:
+    re-attests whose latest green row is from round 4 or 5 (the oldest
+    in the record) — or round-9 additions swapped into the tail."""
+    assert registry._GATE_R9[:4] == _PLAN_CHANGED_R9
     checked = _driver_checked()
     if not checked:
         return  # fresh clone without driver artifacts
-    old_only = _driver_checked(("01", "02", "03", "04")) - _driver_checked(
-        ("05", "06", "07")
+    old_only = _driver_checked(("01", "02", "03", "04", "05")) - _driver_checked(
+        ("06", "07", "08")
     )
-    added_r8 = set(registry._ADDED_R8)
-    for n in registry._GATE_R8[4:]:
-        assert n in old_only or n in added_r8, (
-            f"re-attest slot {n} is neither an r3/r4-only row nor a "
-            "round-8 addition"
+    added_r9 = set(registry._ADDED_R9)
+    for n in registry._GATE_R9[4:]:
+        assert n in old_only or n in added_r9, (
+            f"re-attest slot {n} is neither an r4/r5-only row nor a "
+            "round-9 addition"
         )
 
 
@@ -118,26 +115,26 @@ def test_no_green_query_left_behind():
     checked = _driver_checked()
     if not checked:
         return
-    added_r8 = set(registry._ADDED_R8)
+    added_r9 = set(registry._ADDED_R9)
     never = [
         n
         for n in registry.ORACLES
         if n not in checked
-        and n not in registry._GATE_R8
-        and n not in added_r8
+        and n not in registry._GATE_R9
+        and n not in added_r9
     ]
     assert not never, (
-        "oracled queries with no driver row missing from the r8 gate "
-        "(and not declared in _ADDED_R8 for the round-9 rotation): "
+        "oracled queries with no driver row missing from the r9 gate "
+        "(and not declared in _ADDED_R9 for the round-10 rotation): "
         + str(never)
     )
 
 
 def test_plan_changed_queries_regated():
-    """The post-r7-freeze plan edits invalidated these queries' old
-    driver rows; each must hold a gate slot this round."""
-    for n in _PLAN_CHANGED_R8:
-        assert n in registry._GATE_R8, n
+    """The round-9 plan edits invalidated these queries' old driver
+    rows; each must hold a gate slot this round."""
+    for n in _PLAN_CHANGED_R9:
+        assert n in registry._GATE_R9, n
 
 
 def test_every_query_has_callable_and_unique_name():

@@ -964,3 +964,109 @@ def test_analyze_batch_backlog_scale(spark, tmp_path):
         r["document_id"] for r in eng.read_table("alerts").collect()
     }
     assert {f"doc{i:04d}" for i in range(0, n, 7)} <= alert_docs
+
+
+def test_corpus_band_density_and_setup_guard(spark):
+    """Density math is exact on a hand corpus: K identical docs give
+    identical signatures — every band bucket holds K rows, so
+    sum_c2 = N_BANDS·K², expected hits/doc = N_BANDS·K — and the
+    setup guard refuses a stream against such an index while a sane
+    cap admits a diverse one."""
+    import pandas as pd
+    import pytest
+
+    from the_hive_spark.operators.dedup import (
+        N_BANDS,
+        N_MINHASH,
+        band_signatures,
+        corpus_band_density,
+        incremental_near_dup_candidates,
+        with_minhash_cols,
+    )
+
+    k = 12
+    rows = [
+        {"doc_id": i, "text": "same exact content for every document here"}
+        for i in range(k)
+    ]
+    dense = band_signatures(
+        with_minhash_cols(spark.createDataFrame(pd.DataFrame(rows))).select(
+            "doc_id", *[f"mh{s}" for s in range(N_MINHASH)]
+        )
+    ).cache()
+    d = corpus_band_density(dense)
+    assert d["n_docs"] == k
+    assert d["max_bucket"] == k
+    assert d["sum_c2"] == N_BANDS * k * k
+    assert d["expected_hits_per_doc"] == N_BANDS * k
+
+    new = spark.createDataFrame(
+        pd.DataFrame([{"doc_id": 99,
+                       "text": "same exact content for every document here"}])
+    )
+    with pytest.raises(ValueError, match="candidate-dense"):
+        incremental_near_dup_candidates(
+            new, dense, max_expected_hits_per_doc=N_BANDS * k - 1
+        )
+    # a cap above the measured density admits the stream
+    ok = incremental_near_dup_candidates(
+        new, dense, max_expected_hits_per_doc=N_BANDS * k + 1
+    )
+    assert ok.count() == N_BANDS * k  # collides with all k on all bands
+
+
+def test_incdedup_meter_observes_batch_volume(spark, tmp_path):
+    """meter=True attaches an ``observe`` whose per-batch metrics the
+    streaming progress carries — the per-batch candidate-volume meter
+    stream_scale records and alerts on."""
+    import json as _json
+
+    import pandas as pd
+
+    from the_hive_spark.operators.dedup import (
+        N_BANDS,
+        N_MINHASH,
+        band_signatures,
+        incremental_near_dup_candidates,
+        with_minhash_cols,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog while counting "
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            [{"doc_id": i, "text": base + f"sheep number {i}"} for i in range(6)]
+        )
+    )
+    bands = band_signatures(
+        with_minhash_cols(corpus).select(
+            "doc_id", *[f"mh{s}" for s in range(N_MINHASH)]
+        )
+    ).cache()
+    src = tmp_path / "meter_src"
+    src.mkdir()
+    pd.DataFrame(
+        [{"doc_id": 100, "text": base + "sheep number 2"}]
+    ).to_parquet(src / "b0.parquet")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src)
+    )
+    hits = incremental_near_dup_candidates(stream, bands, meter=True)
+    q = (
+        hits.writeStream.format("memory")
+        .queryName("meter_hits")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    metered = [
+        _json.loads(p.json).get("observedMetrics", {}).get("incdedup_meter")
+        for p in q.recentProgress
+    ]
+    metered = [m for m in metered if m]
+    assert metered, "progress must carry the incdedup_meter metrics"
+    total = sum(m["candidate_hits"] for m in metered)
+    # doc 100 is a near-dup of corpus doc 2: all bands collide there,
+    # and the observed total must equal the delivered hit count
+    assert total == spark.sql("SELECT COUNT(*) n FROM meter_hits").collect()[0]["n"]
+    assert total >= N_BANDS

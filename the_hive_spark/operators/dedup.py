@@ -735,8 +735,48 @@ def band_signatures(sig: DataFrame) -> DataFrame:
     )
 
 
+def corpus_band_density(corpus_bands: DataFrame) -> dict:
+    """Bucket-density profile of a pre-banded corpus index — the
+    STREAMING analogue of the batch guards' measure-the-quadratic-term
+    aggregate, computed once on the static side before a stream joins
+    against it.
+
+    For an incoming doc drawn from the corpus distribution, each of
+    its N_BANDS band keys lands in bucket b with probability
+    c_b/n_docs, contributing c_b corpus hits — so the expected
+    candidate hits per screened doc is Σ_buckets c_b² / n_docs (the
+    word-soup pathology makes this explode: measured 2,218 hits/doc at
+    50 k sf1 docs, SCALE_STREAM_V2.json). One linear aggregate on an
+    already-persisted index; returns exact integers.
+    """
+    row = (
+        corpus_bands.groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum("c").alias("n_postings"),
+            F.sum(F.expr("c * c")).alias("sum_c2"),
+            F.max("c").alias("max_bucket"),
+            F.count(F.lit(1)).alias("n_buckets"),
+        )
+        .collect()[0]
+    )
+    n_docs = (row["n_postings"] or 0) // max(N_BANDS, 1)
+    exp_per_doc = (row["sum_c2"] or 0) / max(n_docs, 1)
+    return {
+        "n_docs": int(n_docs),
+        "n_postings": int(row["n_postings"] or 0),
+        "n_buckets": int(row["n_buckets"] or 0),
+        "max_bucket": int(row["max_bucket"] or 0),
+        "sum_c2": int(row["sum_c2"] or 0),
+        "expected_hits_per_doc": round(exp_per_doc, 1),
+    }
+
+
 def incremental_near_dup_candidates(
-    new_docs: DataFrame, corpus_bands: DataFrame
+    new_docs: DataFrame,
+    corpus_bands: DataFrame,
+    meter: bool = False,
+    max_expected_hits_per_doc: float | None = None,
 ) -> DataFrame:
     """Near-dup screening for INCOMING documents against an indexed
     corpus — the continuous-ingest form of MinHash dedup: signatures
@@ -751,15 +791,51 @@ def incremental_near_dup_candidates(
     test's oracle. Aggregation to per-pair n_bands (and the exact
     verify) belongs in foreachBatch, where the candidate set is tiny.
     At scale the corpus index is bucketed on band_key so each
-    micro-batch joins without shuffling the static side."""
+    micro-batch joins without shuffling the static side.
+
+    Candidate-density protection (the streaming face of the batch
+    enumeration guards):
+
+    - ``max_expected_hits_per_doc``: refuse at STREAM SETUP when the
+      static index's measured density (``corpus_band_density``)
+      projects more candidate hits per screened doc than the cap —
+      failing before the first micro-batch beats discovering mid-
+      stream that every batch goes quadratic.
+    - ``meter=True``: attach a named ``observe`` to the hit stream so
+      every micro-batch's StreamingQueryProgress carries
+      ``observedMetrics["incdedup_meter"]`` = (candidate_hits,
+      docs_screened) — the per-batch candidate-volume metric a
+      production monitor alerts on (scripts/stream_scale.py stops the
+      query when the cumulative volume crosses the batch guards' cap).
+    """
+    if max_expected_hits_per_doc is not None:
+        d = corpus_band_density(corpus_bands)
+        if d["expected_hits_per_doc"] > max_expected_hits_per_doc:
+            raise ValueError(
+                "incremental_near_dup_candidates: corpus index density "
+                f"projects {d['expected_hits_per_doc']:.0f} candidate "
+                f"hits per screened doc (cap "
+                f"{max_expected_hits_per_doc:.0f}; max bucket "
+                f"{d['max_bucket']}) — the index is candidate-dense; "
+                "sharpen the banding, quality-prune the corpus "
+                "(doc_prune_then_dedup), or shard per source before "
+                "screening a stream against it"
+            )
     new_sig = with_minhash_cols(
         new_docs.filter(F.length("text") >= SHINGLE_W)
     ).select("doc_id", *[f"mh{s}" for s in range(N_MINHASH)])
     nb = band_signatures(new_sig).withColumnRenamed("doc_id", "new_doc_id")
     cb = corpus_bands.withColumnRenamed("doc_id", "corpus_doc_id")
-    return nb.join(cb, ["band", "band_key"]).select(
+    hits = nb.join(cb, ["band", "band_key"]).select(
         "new_doc_id", "corpus_doc_id", "band"
     )
+    if meter:
+        hits = hits.observe(
+            "incdedup_meter",
+            F.count(F.lit(1)).alias("candidate_hits"),
+            F.approx_count_distinct("new_doc_id").alias("docs_screened"),
+        )
+    return hits
 
 
 def _lsh_band_pairs(sig: DataFrame) -> DataFrame:

@@ -359,6 +359,92 @@ _GATE_R8 = [
     "doc_dup_inter_source_matrix",
 ]
 
+# ROUND-9 GATE. Slots 1-4: MANDATORY plan-change re-attests — the
+# round-9 memory-hygiene fix (dedup._ngram_jaccard_pairs_build now
+# materializes the pair result and releases its prefix/shingle caches;
+# r8 ADVICE) changed the executed build of the direct query, the
+# calibration's sparse fallback, and both matstore consumers of the
+# shared pair artifact (whose retention also changed: matstore
+# capacity 16 → 64 after the sf1 eviction anomaly). Slots 5-38: the
+# 34 r4-only rows — the oldest driver evidence in the record (five
+# rounds of shared-helper churn since their r4 green) — with the six
+# rows the round-8 additions displaced from r8's tail first (the
+# declared r9 front at the r8 rotation comment), then _GATE_R4
+# registration order. Slots 39-47: the oldest r5-only rows, in
+# _GATE_R5 registration order. Slots 48-50: round-9 additions (new
+# work earns its driver row the round it lands; the r5-only re-attests
+# they displaced — graph_bfs_3hop, doc_term_cooccurrence_lift,
+# q_join_skew_profile — head the r10 plan with the other 33 r5-only
+# rows).
+_GATE_R9 = [
+    # --- slots 1-4: round-9 plan-change re-attests ---
+    "doc_ngram_jaccard_pairs",
+    "doc_minhash_calibration",
+    "dup_modality_agreement",
+    "doc_dup_inter_source_matrix",
+    # --- slots 5-10: the declared r9 front (displaced from r8's tail
+    # by the round-8 additions) ---
+    "emb_label_stats",
+    "emb_label_affinity",
+    "emb_label_outliers",
+    "emb_norm_outliers",
+    "doc_reservoir_sample",
+    "doc_curriculum_shards",
+    # --- slots 11-38: the remaining 28 r4-only rows (_GATE_R4 order) ---
+    "doc_mix_weights",
+    "doc_pack_efficiency",
+    "emb_semantic_dup_clusters",
+    "doc_hybrid_rrf_topk",
+    "q2_min_cost_supplier",
+    "q13_customer_order_distribution",
+    "q16_supplier_part_variety",
+    "q22_lapsed_rich_customers",
+    "q_rolling_revenue_7d",
+    "q_cohort_ltv_matrix",
+    "q_next_part_pairs",
+    "q_table_stats_profile",
+    "events_daily_gapfill",
+    "events_drift_chi2_by_type",
+    "events_forecast_holt",
+    "events_acf_by_lag",
+    "events_type_diversity_daily",
+    "hive_chat_citations",
+    "hive_chat_answer",
+    "doc_tfidf_topk",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q9_product_profit",
+    "q21_waiting_suppliers",
+    "q_referential_integrity_audit",
+    "q_basket_affinity_lift",
+    "q_customer_value_deciles",
+    "q_supply_concentration_hhi",
+    # --- slots 39-47: oldest r5-only rows (_GATE_R5 order) ---
+    "doc_temperature_mix",
+    "q_constraint_audit",
+    "doc_dup_spans",
+    "events_peak_concurrency",
+    "q_kanonymity_audit",
+    "doc_dup_span_coverage",
+    "events_rollup_multigrain",
+    "events_dau_wau_mau",
+    "doc_source_overlap",
+    # --- slots 48-50: round-9 additions (new work earns its driver
+    # row the round it lands) ---
+    "doc_prune_then_dedup",
+    "doc_dup_family_stats",
+    "doc_dedup_candidate_mass",
+]
+
+# Queries ADDED in round 9 (same policy as _ADDED_R5-R8: oracled ones
+# are swapped into _GATE_R9's tail when feasible; any that miss the
+# gate are the front of the round-10 rotation).
+_ADDED_R9: list[str] = [
+    "doc_prune_then_dedup",
+    "doc_dup_family_stats",
+    "doc_dedup_candidate_mass",
+]
+
 # Queries ADDED in round 8 (same policy as _ADDED_R5-R7: oracled ones
 # are swapped into _GATE_R8's tail when feasible; any that miss the
 # gate are the front of the round-9 rotation).
@@ -595,7 +681,7 @@ def load_all() -> None:
     The driver's correctness gate hash-checks the first 50 entries of
     ``QUERIES`` only, so registration order is a verification budget.
     Rather than encode the budget in fragile import order, imports stay
-    alphabetical-ish and ``_GATE_R8`` (above) pins the explicit
+    alphabetical-ish and ``_GATE_R9`` (above) pins the explicit
     rotation: QUERIES is rebuilt with the listed names first, then all
     remaining registrations in their original order. Pinned by
     tests/test_registry.py, which also asserts every gate slot has a
@@ -613,13 +699,12 @@ def load_all() -> None:
     green every round; 0 hash failures in 7 rounds, all 221 oracled
     queries driver-green all-time as of r7).
 
-    Round-9 rotation plan: (a) any _ADDED_R8 queries that miss the r8
-    gate, (b) re-attests of whatever round-9 edits touch, then (c) the
-    next-oldest rows — the r4-only rows displaced from r8 slots 41-50
-    by round-8 additions, then the remaining r4-only rows (the
-    emb_* diagnostics, doc_* sampling/sharding, events_* forecasting
-    families and the round-4 re-attest analytics whose latest green
-    row is round 4), in _GATE_R4 registration order, then r5-only.
+    Round-10 rotation plan: (a) any _ADDED_R9 queries that miss the
+    r9 gate, (b) re-attests of whatever round-10 edits touch, then
+    (c) the next-oldest rows — the three r5-only rows displaced from
+    r9 slots 48-50 by the round-9 additions (graph_bfs_3hop,
+    doc_term_cooccurrence_lift, q_join_skew_profile), then the
+    remaining 33 r5-only rows in _GATE_R5 registration order.
     """
     from the_hive_spark.operators import (  # noqa: F401
         timeline,
@@ -638,14 +723,14 @@ def load_all() -> None:
         warehouse,
     )
 
-    missing = [n for n in _GATE_R8 if n not in QUERIES]
+    missing = [n for n in _GATE_R9 if n not in QUERIES]
     if missing:  # defensive: a renamed query must fail loudly, not
         # silently shift every later gate slot by one.
         raise RuntimeError(f"gate rotation names not registered: {missing}")
-    unoracled = [n for n in _GATE_R8 if n not in ORACLES]
+    unoracled = [n for n in _GATE_R9 if n not in ORACLES]
     if unoracled:  # rows-only slots verify nothing (driver: no_oracle)
         raise RuntimeError(f"gate slots without an oracle: {unoracled}")
-    rotated = {n: QUERIES[n] for n in _GATE_R8}
+    rotated = {n: QUERIES[n] for n in _GATE_R9}
     rotated.update((n, fn) for n, fn in QUERIES.items() if n not in rotated)
     QUERIES.clear()
     QUERIES.update(rotated)
