@@ -1,0 +1,233 @@
+#!/usr/bin/env python
+"""Demonstrate ONE guard remediation end-to-end on a candidate-dense
+corpus (r8 verdict ask #4).
+
+Round 8's enumeration guards refuse candidate-dense corpora fast and
+point at remediations ("quality-prune first / banded path / per-source
+shards") — but every suggested path was itself guarded at sf10p, so
+the remediation was advice, not a demonstrated path. This script
+builds the adversarial corpus, measures the refusal, then runs the
+named remediation (quality-prune-then-dedup, the registered
+doc_prune_then_dedup gate) and the downstream dedup to completion:
+
+corpus   = the sf1 documents (50 k real docs, 10 sources)
+         + 50 k word-soup docs (~30-word stopword-free vocabulary,
+           150 words each — every pair shares most shingles, pairwise
+           Jaccard concentrated near the threshold: the shape that
+           wrote >70 GB of candidate shuffle and died on ENOSPC before
+           the guards existed)
+
+steps    1. doc_dedup_candidate_mass — the pre-dedup audit: the soup
+            source must carry orders of magnitude more Σ C(df,2) mass
+            per doc than any real source (how a pipeline would KNOW to
+            prune before paying for a dead job).
+         2. doc_ngram_jaccard_pairs on the mixed corpus — expect the
+            measured-before-quadratic-work guard to refuse, in seconds.
+         3. quality-prune with the registered gate (stopword ppm ≥
+            100k ∧ ≥5 tokens): soup has zero stopwords by construction
+            and falls out entirely.
+         4. exact pair enumeration AND the banded-LSH pair path on the
+            survivors — both must COMPLETE, timed end-to-end.
+
+Writes GUARD_REMEDIATION.json. Usage:
+  python scripts/guard_remediation.py [SF_DIR] [--out FILE]
+         [--soup-docs N]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import pyspark.sql.functions as F
+
+from the_hive_spark.session import get_spark
+
+SOUP_VOCAB = 30
+SOUP_WORDS_PER_DOC = 150
+SOUP_OFFSET = 10_000_000_000
+
+
+def build_corpus(sf_dir: str, dst: str, n_soup: int) -> None:
+    """Mixed corpus parquet: real docs verbatim + deterministic
+    word-soup (pure function of doc index — regeneration identical)."""
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.cpu_count() or 8}")
+    # ~30 stopword-free 6-letter words; doc i samples word
+    # hash(i*9973 + pos) % 30 at each position
+    vocab_sql = (
+        "list_transform(range(0, %d), v -> concat('w', lpad(CAST(v AS "
+        "VARCHAR), 2, '0'), 'xqz'))" % SOUP_VOCAB
+    )
+    con.execute(
+        f"""
+COPY (
+  SELECT * FROM read_parquet('{sf_dir}/documents.parquet')
+  UNION ALL
+  SELECT i + {SOUP_OFFSET} AS doc_id,
+         array_to_string(list_transform(range(0, {SOUP_WORDS_PER_DOC}),
+           p -> ({vocab_sql})[1 + CAST(hash(i * 9973 + p) % {SOUP_VOCAB}
+                                       AS INT)]), ' ') AS text,
+         'xx' AS lang, 'soup' AS source,
+         0 AS n_chars
+  FROM (SELECT unnest(range(0, {n_soup})) AS i)
+) TO '{dst}/documents.parquet' (FORMAT PARQUET)
+"""
+    )
+
+
+def main() -> None:
+    argv = sys.argv[1:]
+    sf_dir = (
+        argv[0] if argv and not argv[0].startswith("--")
+        else "/tmp/spark_graft_sf1"
+    )
+    out_path = (
+        argv[argv.index("--out") + 1] if "--out" in argv
+        else "GUARD_REMEDIATION.json"
+    )
+    n_soup = (
+        int(argv[argv.index("--soup-docs") + 1])
+        if "--soup-docs" in argv
+        else 50_000
+    )
+    dst = "/tmp/guard_remediation_corpus"
+    t0 = time.perf_counter()
+    build_corpus(sf_dir, dst, n_soup)
+    gen_sec = round(time.perf_counter() - t0, 1)
+
+    spark = get_spark(app_name="guard-remediation")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from the_hive_spark.operators.dedup import (
+        SHINGLE_W,
+        _lsh_band_pairs,
+        _ngram_jaccard_pairs_build,
+        _prune_keep_col,
+        doc_dedup_candidate_mass,
+        doc_ngram_jaccard_pairs,
+        with_minhash_cols,
+        N_MINHASH,
+    )
+    from the_hive_spark.tables import table
+
+    out: dict = {
+        "corpus": {
+            "sf_dir": sf_dir,
+            "n_soup_docs": n_soup,
+            "soup_vocab": SOUP_VOCAB,
+            "soup_words_per_doc": SOUP_WORDS_PER_DOC,
+            "gen_sec": gen_sec,
+        }
+    }
+
+    # 1. the audit: per-source candidate mass (linear, completes)
+    t0 = time.perf_counter()
+    mass_rows = sorted(
+        (r.asDict() for r in doc_dedup_candidate_mass(spark, dst).collect()),
+        key=lambda r: -r["candidate_mass"],
+    )
+    out["step1_candidate_mass_audit"] = {
+        "sec": round(time.perf_counter() - t0, 1),
+        "per_source_top": mass_rows[:3],
+        "soup_mass_per_doc": next(
+            (r["mass_per_doc"] for r in mass_rows if r["source"] == "soup"), None
+        ),
+        "max_real_mass_per_doc": max(
+            (r["mass_per_doc"] for r in mass_rows if r["source"] != "soup"),
+            default=None,
+        ),
+    }
+    print(json.dumps(out["step1_candidate_mass_audit"], default=str), flush=True)
+
+    # 2. the refused job: exact enumeration on the mixed corpus
+    t0 = time.perf_counter()
+    try:
+        doc_ngram_jaccard_pairs(spark, dst).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        out["step2_guard"] = {
+            "refused": False,
+            "sec": round(time.perf_counter() - t0, 1),
+            "note": "guard did NOT trip — corpus not dense enough",
+        }
+    except ValueError as exc:
+        out["step2_guard"] = {
+            "refused": True,
+            "sec_to_refusal": round(time.perf_counter() - t0, 1),
+            "message": str(exc)[:400],
+        }
+    print(json.dumps(out["step2_guard"]), flush=True)
+
+    # 3. the remediation: quality-prune with the registered gate
+    t0 = time.perf_counter()
+    docs = table(spark, dst, "documents").filter(
+        F.length("text") >= SHINGLE_W
+    )
+    pruned = docs.filter(_prune_keep_col()).persist()
+    kept_by_side = {
+        ("soup" if r["source"] == "soup" else "real"): r["n"]
+        for r in pruned.groupBy(
+            F.when(F.col("source") == "soup", "soup")
+            .otherwise("real")
+            .alias("source")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_kept = pruned.count()
+    out["step3_prune"] = {
+        "sec": round(time.perf_counter() - t0, 1),
+        "n_in": docs.count(),
+        "n_kept": n_kept,
+        "kept_soup": kept_by_side.get("soup", 0),
+        "kept_real": kept_by_side.get("real", 0),
+    }
+    print(json.dumps(out["step3_prune"]), flush=True)
+
+    # 4a. exact enumeration on survivors — must complete now
+    t0 = time.perf_counter()
+    pairs = _ngram_jaccard_pairs_build(
+        spark, dst, docs=pruned.select("doc_id", "text"),
+        vocab_key="remediated",
+    )
+    n_pairs = pairs.count()
+    out["step4a_exact_pairs_on_pruned"] = {
+        "completed": True,
+        "sec": round(time.perf_counter() - t0, 1),
+        "n_pairs": n_pairs,
+    }
+    print(json.dumps(out["step4a_exact_pairs_on_pruned"]), flush=True)
+
+    # 4b. banded-LSH candidate path on survivors — must complete too
+    t0 = time.perf_counter()
+    sig = with_minhash_cols(pruned.select("doc_id", "text")).select(
+        "doc_id", *[f"mh{s}" for s in range(N_MINHASH)]
+    )
+    n_band_pairs = _lsh_band_pairs(sig).count()
+    out["step4b_banded_pairs_on_pruned"] = {
+        "completed": True,
+        "sec": round(time.perf_counter() - t0, 1),
+        "n_candidate_pairs": n_band_pairs,
+    }
+    print(json.dumps(out["step4b_banded_pairs_on_pruned"]), flush=True)
+
+    out["conclusion"] = (
+        "the guard-refused exact job completes after the registered "
+        "quality gate removes the candidate-dense mass; prune-first is "
+        "a demonstrated path, not advice"
+    )
+    with open(out_path, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print("wrote", out_path, flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
