@@ -329,32 +329,56 @@ def _jaccard_allpairs_from_packed(
     )[:, :n_vocab]
     bc = spark.sparkContext.broadcast((corpus01_u8, sizes, ids))
 
+    # Chunked scoring (round 9): the unchunked matmul materialized a
+    # (arrow_batch × n) float32 product plus int64 union/ppm copies —
+    # ~29 GB of transients per worker at n = 100 k, and 32 workers
+    # kernel-OOMed a 125 GB box on a job the wordops guard correctly
+    # ADMITTED (1.7e11 < 2e11 cap; measured by scripts/
+    # guard_remediation.py). Same fix as the r8 embedding brute
+    # scorer: iterate (A-rows × corpus-rows) tiles so transients are
+    # ≤ a few hundred MB per worker at ANY corpus size, float32 cast
+    # per corpus tile, identical arithmetic (counts ≤ vocab < 2²⁴ are
+    # exact in float32).
+    a_chunk, c_chunk = 2048, 4096
+
     def score(batches):
         mat01, n_all, ids_all = bc.value
-        all01 = mat01.astype(np.float32)  # cheap cast, once per task
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             A = np.stack(
                 [np.frombuffer(b, dtype=np.uint64) for b in pdf["bits"]]
             )
-            a01 = _unpack01(A, n_vocab)
-            a_ids = pdf["doc_id"].to_numpy(np.int64)
-            n_a = pdf["n_sh"].to_numpy(np.int64)
-            inter = (a01 @ all01.T).astype(np.int64)
-            union = n_a[:, None] + n_all[None, :] - inter
-            ppm = np.floor(1000000.0 * inter / union + 0.5).astype(np.int64)
-            keep = (a_ids[:, None] < ids_all[None, :]) & (
-                ppm >= JACCARD_THRESHOLD_PPM
-            )
-            ii, jj = np.nonzero(keep)
-            yield pd.DataFrame(
-                {
-                    "doc_a": a_ids[ii],
-                    "doc_b": ids_all[jj],
-                    "jaccard_ppm": ppm[ii, jj],
-                }
-            )
+            a_ids_full = pdf["doc_id"].to_numpy(np.int64)
+            n_a_full = pdf["n_sh"].to_numpy(np.int64)
+            for a0 in range(0, len(a_ids_full), a_chunk):
+                a1 = min(a0 + a_chunk, len(a_ids_full))
+                a01 = _unpack01(A[a0:a1], n_vocab)
+                a_ids = a_ids_full[a0:a1]
+                n_a = n_a_full[a0:a1]
+                out_a, out_b, out_ppm = [], [], []
+                for c0 in range(0, len(ids_all), c_chunk):
+                    c1 = min(c0 + c_chunk, len(ids_all))
+                    c01 = mat01[c0:c1].astype(np.float32)
+                    inter = (a01 @ c01.T).astype(np.int64)
+                    union = n_a[:, None] + n_all[None, c0:c1] - inter
+                    ppm = np.floor(
+                        1000000.0 * inter / union + 0.5
+                    ).astype(np.int64)
+                    keep = (a_ids[:, None] < ids_all[None, c0:c1]) & (
+                        ppm >= JACCARD_THRESHOLD_PPM
+                    )
+                    ii, jj = np.nonzero(keep)
+                    out_a.append(a_ids[ii])
+                    out_b.append(ids_all[c0:c1][jj])
+                    out_ppm.append(ppm[ii, jj])
+                yield pd.DataFrame(
+                    {
+                        "doc_a": np.concatenate(out_a),
+                        "doc_b": np.concatenate(out_b),
+                        "jaccard_ppm": np.concatenate(out_ppm),
+                    }
+                )
 
     return packed_df.select("doc_id", "n_sh", "bits").mapInPandas(
         score, "doc_a long, doc_b long, jaccard_ppm long"
