@@ -268,14 +268,49 @@ def main() -> None:
     # so the emitted JSON line always exists and is always parseable.
     errors: dict[str, str] = {}
 
+    # Optional per-query wall budget (seconds) for scale-trend runs at
+    # big SF dirs: SPARK_GRAFT_BENCH_TIMEOUT=240 cancels a query's job
+    # group past the budget and records it as a documented skip. The
+    # verbatim-clone corpora make a handful of pair/band-join queries
+    # quadratic in the clone factor (q_part_substitution_candidates ran
+    # >40 min single-threaded at sf10 — the data artifact the perturbed
+    # corpora exist to avoid, see scripts/make_scale_data.py), and one
+    # such query must not eat the whole tier's wall budget. The driver
+    # never sets it, so default runs are unchanged.
+    budget_sec = float(os.environ.get("SPARK_GRAFT_BENCH_TIMEOUT", "0"))
+
     def _time(name: str) -> float | None:
+        import threading
+
         fn = registry.QUERIES[name]
+        timer = None
+        if budget_sec > 0:
+            spark.sparkContext.setJobGroup(
+                f"bench:{name}", name, interruptOnCancel=True
+            )
+            timer = threading.Timer(
+                budget_sec,
+                lambda: spark.sparkContext.cancelJobGroup(f"bench:{name}"),
+            )
+            timer.daemon = True
+            timer.start()
         t0 = time.perf_counter()
         try:
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         except Exception as exc:  # noqa: BLE001
-            errors[name] = f"{type(exc).__name__}: {str(exc)[:300]}"
+            took = time.perf_counter() - t0
+            if budget_sec > 0 and took >= budget_sec:
+                errors[name] = (
+                    f"cancelled_at_budget: exceeded "
+                    f"{budget_sec:.0f}s per-query budget ({took:.0f}s)"
+                )
+            else:
+                errors[name] = f"{type(exc).__name__}: {str(exc)[:300]}"
             return None
+        finally:
+            if timer is not None:
+                timer.cancel()
+                spark.sparkContext.setJobGroup("", "")
         return round(time.perf_counter() - t0, 4)
 
     raw = {name: _time(name) for name in names}
