@@ -283,34 +283,57 @@ def main() -> None:
         import threading
 
         fn = registry.QUERIES[name]
-        timer = None
+        done = threading.Event()
+        canceller = None
         if budget_sec > 0:
             spark.sparkContext.setJobGroup(
                 f"bench:{name}", name, interruptOnCancel=True
             )
-            timer = threading.Timer(
-                budget_sec,
-                lambda: spark.sparkContext.cancelJobGroup(f"bench:{name}"),
-            )
-            timer.daemon = True
-            timer.start()
+
+            # cancelJobGroup only cancels jobs RUNNING at the instant
+            # it fires; a multi-job query that happens to be in
+            # driver-side Python between Spark jobs when the budget
+            # elapses would sail on (PySpark 4.1 has no
+            # cancelJobGroupAndFutureJobs). Re-arm the cancel every
+            # second until the query thread actually returns.
+            def _cancel_until_done() -> None:
+                expired = not done.wait(budget_sec)
+                while expired:
+                    spark.sparkContext.cancelJobGroup(f"bench:{name}")
+                    expired = not done.wait(1.0)
+
+            canceller = threading.Thread(target=_cancel_until_done, daemon=True)
+            canceller.start()
         t0 = time.perf_counter()
         try:
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         except Exception as exc:  # noqa: BLE001
             took = time.perf_counter() - t0
-            if budget_sec > 0 and took >= budget_sec:
+            msg = str(exc)
+            # Classify as a budget cancellation only when the error IS
+            # the job-group cancellation; a genuine failure that merely
+            # happens after the deadline (e.g. an OOM at minute 5 under
+            # a 4-minute budget) must keep its real error string.
+            cancelled = "cancel" in msg.lower() or f"bench:{name}" in msg
+            if budget_sec > 0 and took >= budget_sec and cancelled:
                 errors[name] = (
                     f"cancelled_at_budget: exceeded "
                     f"{budget_sec:.0f}s per-query budget ({took:.0f}s)"
                 )
             else:
-                errors[name] = f"{type(exc).__name__}: {str(exc)[:300]}"
+                errors[name] = f"{type(exc).__name__}: {msg[:300]}"
             return None
         finally:
-            if timer is not None:
-                timer.cancel()
-                spark.sparkContext.setJobGroup("", "")
+            done.set()
+            if canceller is not None:
+                canceller.join(timeout=2.0)
+                # setJobGroup("", "") would ASSIGN the empty string as a
+                # group id (a stray cancelJobGroup("") could then kill
+                # unrelated work); null the local properties instead.
+                spark.sparkContext.setLocalProperty("spark.jobGroup.id", None)
+                spark.sparkContext.setLocalProperty(
+                    "spark.job.interruptOnCancel", None
+                )
         return round(time.perf_counter() - t0, 4)
 
     raw = {name: _time(name) for name in names}

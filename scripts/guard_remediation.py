@@ -70,13 +70,16 @@ def build_corpus(sf_dir: str, dst: str, n_soup: int) -> None:
 COPY (
   SELECT * FROM read_parquet('{sf_dir}/documents.parquet')
   UNION ALL
-  SELECT i + {SOUP_OFFSET} AS doc_id,
-         array_to_string(list_transform(range(0, {SOUP_WORDS_PER_DOC}),
-           p -> ({vocab_sql})[1 + CAST(hash(i * 9973 + p) % {SOUP_VOCAB}
-                                       AS INT)]), ' ') AS text,
-         'xx' AS lang, 'soup' AS source,
-         0 AS n_chars
-  FROM (SELECT unnest(range(0, {n_soup})) AS i)
+  SELECT doc_id, text, lang, source,
+         length(text) AS n_chars
+  FROM (
+    SELECT i + {SOUP_OFFSET} AS doc_id,
+           array_to_string(list_transform(range(0, {SOUP_WORDS_PER_DOC}),
+             p -> ({vocab_sql})[1 + CAST(hash(i * 9973 + p) % {SOUP_VOCAB}
+                                         AS INT)]), ' ') AS text,
+           'xx' AS lang, 'soup' AS source
+    FROM (SELECT unnest(range(0, {n_soup})) AS i)
+  )
 ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
 """
     )
