@@ -178,7 +178,9 @@ def main() -> None:
     results: dict[str, dict] = {}
     bad = 0
     for name in registry.QUERIES:
-        if name not in registry.ORACLES:
+        if name not in registry.ORACLES and name not in spark_only:
+            # rows-only queries may still run as completion evidence
+            # when explicitly listed in --spark-only
             continue
         if only is not None and not any(name.startswith(p) for p in only):
             continue

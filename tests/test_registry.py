@@ -19,25 +19,17 @@ registry.load_all()
 
 _ROOT = os.path.join(os.path.dirname(__file__), "..")
 
-# Queries whose PLANS changed since their latest driver row. A green
-# row earned under an old plan does not attest a new one (the repo's
-# _PLAN_CHANGED policy, r6) — each MUST hold an r9 gate slot:
-# the round-9 memory-hygiene fix (dedup._ngram_jaccard_pairs_build
-# materializes the pair result and unpersists its prefix/shingle
-# caches; r8 ADVICE) changed the executed build of the direct query
-# and the calibration's sparse fallback, and both matstore consumers
-# of the shared pair artifact re-attest alongside (their artifact's
-# build AND retention — matstore capacity 16 → 64 — changed).
-_PLAN_CHANGED_R9 = [
-    "doc_ngram_jaccard_pairs",
-    "doc_minhash_calibration",
-    "dup_modality_agreement",
-    "doc_dup_inter_source_matrix",
-]
+# Queries whose PLANS changed since their latest driver row (the
+# repo's _PLAN_CHANGED policy, r6). Round 10 changed no executed plan
+# of a previously-gated query — the round's edits are additive (three
+# new meter queries) plus harness fixes (bench budget canceller,
+# sweep rows-only execution) that touch no query plan — so the list
+# is empty and the gate budget goes entirely to rotation.
+_PLAN_CHANGED_R10: list[str] = []
 
 
 def _driver_checked(
-    rounds=("01", "02", "03", "04", "05", "06", "07", "08"),
+    rounds=("01", "02", "03", "04", "05", "06", "07", "08", "09"),
 ) -> set[str]:
     """Names with a GREEN driver CORRECTNESS row in the given rounds
     (a ``no_oracle`` err row is not a verification — round 4's
@@ -74,38 +66,49 @@ def test_top50_budget():
     )
     names = json.loads(out.stdout.strip().splitlines()[-1])
     assert len(names) >= 50
-    assert names[: len(registry._GATE_R9)] == registry._GATE_R9
+    assert names[: len(registry._GATE_R10)] == registry._GATE_R10
 
 
-def test_gate_r9_all_oracled():
-    """EVERY gate slot must have a DuckDB oracle. The driver returns
-    ``err: "no_oracle"`` for rows-only queries — it does NOT fall back
-    to a rows+schema check — so a rows-only slot verifies nothing
-    (round 4 burned 11 of 50 slots this way, CORRECTNESS_r04.json).
-    This makes the mistake structurally impossible for all future
-    rotations."""
-    assert len(registry._GATE_R9) == 50
-    unoracled = [n for n in registry._GATE_R9 if n not in registry.ORACLES]
-    assert not unoracled, unoracled
+def test_gate_r10_oracles():
+    """Every gate slot must have a DuckDB oracle UNLESS it is one of
+    the five slots explicitly declared rows-only this round (the r9
+    ask: drive the never-gated rows-only queries through the harness
+    once — the driver records rows + err:no_oracle for them, which is
+    execution evidence by declared intent, not a burned slot like
+    round 4's accidental 11). An UNDECLARED oracle-less slot is still
+    a hard failure, and a declared slot that ever GAINS an oracle must
+    leave the allowlist (load_all enforces both at import)."""
+    assert len(registry._GATE_R10) == 50
+    unoracled = {
+        n for n in registry._GATE_R10 if n not in registry.ORACLES
+    }
+    assert unoracled == registry._GATE_R10_ROWS_ONLY
+    assert registry._GATE_R10_ROWS_ONLY <= set(registry._GATE_R10)
 
 
-def test_gate_r9_slots():
-    """Slots 1-4: the round-9 plan-change re-attests. The rest:
-    re-attests whose latest green row is from round 4 or 5 (the oldest
-    in the record) — or round-9 additions swapped into the tail."""
-    assert registry._GATE_R9[:4] == _PLAN_CHANGED_R9
-    checked = _driver_checked()
+def test_gate_r10_slots():
+    """Slots 1-36: the 36 rows whose latest green driver row is round
+    5 — the oldest oracled evidence in the record. Slots 37-41: the
+    five rows-only queries with NO driver row in any round. Slots
+    42-47: rows whose latest green row is round 6. Slots 48-50:
+    round-10 additions."""
+    assert _PLAN_CHANGED_R10 == []  # additive round: no re-attests due
+    checked = _driver_checked(
+        ("01", "02", "03", "04", "05", "06", "07", "08", "09")
+    )
     if not checked:
         return  # fresh clone without driver artifacts
-    old_only = _driver_checked(("01", "02", "03", "04", "05")) - _driver_checked(
-        ("06", "07", "08")
+    r5_only = _driver_checked(("01", "02", "03", "04", "05")) - _driver_checked(
+        ("06", "07", "08", "09")
     )
-    added_r9 = set(registry._ADDED_R9)
-    for n in registry._GATE_R9[4:]:
-        assert n in old_only or n in added_r9, (
-            f"re-attest slot {n} is neither an r4/r5-only row nor a "
-            "round-9 addition"
-        )
+    r6_only = _driver_checked(("06",)) - _driver_checked(("07", "08", "09"))
+    for n in registry._GATE_R10[:36]:
+        assert n in r5_only, f"slot {n} is not an r5-only row"
+    for n in registry._GATE_R10[36:41]:
+        assert n in registry._GATE_R10_ROWS_ONLY and n not in checked, n
+    for n in registry._GATE_R10[41:47]:
+        assert n in r6_only, f"slot {n} is not an r6-only row"
+    assert registry._GATE_R10[47:] == registry._ADDED_R10
 
 
 def test_no_green_query_left_behind():
@@ -115,26 +118,27 @@ def test_no_green_query_left_behind():
     checked = _driver_checked()
     if not checked:
         return
-    added_r9 = set(registry._ADDED_R9)
+    added_r10 = set(registry._ADDED_R10)
     never = [
         n
         for n in registry.ORACLES
         if n not in checked
-        and n not in registry._GATE_R9
-        and n not in added_r9
+        and n not in registry._GATE_R10
+        and n not in added_r10
     ]
     assert not never, (
-        "oracled queries with no driver row missing from the r9 gate "
-        "(and not declared in _ADDED_R9 for the round-10 rotation): "
+        "oracled queries with no driver row missing from the r10 gate "
+        "(and not declared in _ADDED_R10 for the round-11 rotation): "
         + str(never)
     )
 
 
 def test_plan_changed_queries_regated():
-    """The round-9 plan edits invalidated these queries' old driver
-    rows; each must hold a gate slot this round."""
-    for n in _PLAN_CHANGED_R9:
-        assert n in registry._GATE_R9, n
+    """Any round-10 plan edit invalidates old driver rows; each such
+    query must hold a gate slot this round (empty this round — the
+    assertion keeps the policy hook alive for future rotations)."""
+    for n in _PLAN_CHANGED_R10:
+        assert n in registry._GATE_R10, n
 
 
 def test_every_query_has_callable_and_unique_name():

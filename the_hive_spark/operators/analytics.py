@@ -3564,3 +3564,75 @@ def q_fd_violation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+@query(
+    "q_basket_pair_mass",
+    oracle=f"""
+WITH b AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), freq AS (
+  SELECT l_partkey FROM b GROUP BY l_partkey
+  HAVING COUNT(*) >= {FREQ_ITEMSET_MIN_COUNT}
+), per_basket AS (
+  SELECT l_orderkey,
+         COUNT(*) AS n_items,
+         SUM(CASE WHEN f.l_partkey IS NOT NULL THEN 1 ELSE 0 END) AS n_freq
+  FROM b LEFT JOIN freq f USING (l_partkey)
+  GROUP BY l_orderkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_baskets,
+       CAST(SUM(n_items) AS BIGINT) AS n_postings,
+       CAST((SELECT COUNT(*) FROM freq) AS BIGINT) AS n_frequent_items,
+       CAST(SUM(n_items * (n_items - 1) // 2) AS BIGINT)
+         AS basket_pair_mass,
+       CAST(SUM(n_freq * (n_freq - 1) // 2) AS BIGINT)
+         AS frequent_pair_mass
+FROM per_basket
+""",
+)
+def q_basket_pair_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Itemset-mining candidate-mass meter: per-basket pair volume
+    Σ C(|basket|,2) and, after the support-{FREQ_ITEMSET_MIN_COUNT}
+    single-item prune, the surviving candidate mass
+    Σ C(|basket ∩ frequent|,2) — the exact pair space FP-growth's
+    conditional trees (and any a-priori pass) enumerate. Run it BEFORE
+    q_frequent_itemsets to see whether the job is tractable: the
+    ABSOLUTE support threshold means a K-replicated corpus
+    (scripts/make_scale_data.py verbatim mode) multiplies every item's
+    support by K without adding baskets per item, so the frequent-item
+    set — and with it the conditional-tree work — explodes
+    combinatorially while the corpus grows only K-fold. This meter
+    states that in advance with a linear plan (the documented cause of
+    the sf10 bench budget cancellation — SF10_CANCELLATIONS.md).
+
+    Plan: one distinct projection of the fact table, a broadcast-able
+    frequent-item set (HAVING on a map-side-combined count), one
+    per-basket aggregate, one global rollup — no pair enumeration.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    freq = (
+        b.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("s"))
+        .filter(F.col("s") >= FREQ_ITEMSET_MIN_COUNT)
+        .select("l_partkey", F.lit(1).alias("is_freq"))
+    )
+    per_basket = (
+        b.join(F.broadcast(freq), "l_partkey", "left")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.coalesce("is_freq", F.lit(0))).alias("n_freq"),
+        )
+    )
+    n_frequent = freq.count()
+    return per_basket.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_baskets"),
+        F.sum("n_items").cast("bigint").alias("n_postings"),
+        F.lit(n_frequent).cast("bigint").alias("n_frequent_items"),
+        F.sum(F.expr("n_items * (n_items - 1) div 2")).cast("bigint")
+        .alias("basket_pair_mass"),
+        F.sum(F.expr("n_freq * (n_freq - 1) div 2")).cast("bigint")
+        .alias("frequent_pair_mass"),
+    )

@@ -612,3 +612,55 @@ def media_silence_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_windows") >= SILENCE_MIN_WINDOWS)
         .drop("grp")
     )
+
+
+@query(
+    "media_payload_dup_mass",
+    oracle="""
+WITH media AS (
+  SELECT doc_id AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         text AS payload
+  FROM documents
+), fam AS (
+  SELECT kind, payload, COUNT(*) AS c FROM media GROUP BY kind, payload
+)
+SELECT kind,
+       CAST(COUNT(*) AS BIGINT) AS n_families,
+       CAST(SUM(c) AS BIGINT) AS n_media,
+       CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_families,
+       CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS exact_pair_mass
+FROM fam GROUP BY kind
+""",
+)
+def media_payload_dup_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-identical media duplication mass per kind: group payloads
+    by exact bytes and report the family count, duplicate families,
+    and pair mass Σ C(c,2) — the meter to run BEFORE a perceptual
+    near-dup job. Byte-equal payloads decode to the same pixels and
+    hash to the same 64-bit aHash, so each size-c family contributes
+    C(c,2) hamming-0 pairs to media_phash_near_dup's OUTPUT (and ≥
+    C(c,2) band-join rows per colliding chunk): on a K-replicated
+    corpus the pair job's result is itself quadratic in K, which no
+    plan can make linear. This meter says so in advance at linear
+    cost (the documented cause of the sf10 bench budget
+    cancellation — SF10_CANCELLATIONS.md).
+
+    Plan: one scan → payload-keyed map-side-combined count → per-kind
+    rollup. The payload grouping key is the raw bytes (no hashing), so
+    the oracle compares exact byte equality, collision-free.
+    """
+    media = documents_as_media(table(spark, sf_dir, "documents"))
+    fam = media.groupBy("kind", "content").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return fam.groupBy("kind").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_families"),
+        F.sum("c").cast("bigint").alias("n_media"),
+        F.sum((F.col("c") > 1).cast("long")).cast("bigint")
+        .alias("n_dup_families"),
+        F.sum(F.expr("c * (c - 1) div 2")).cast("bigint")
+        .alias("exact_pair_mass"),
+    )

@@ -1690,3 +1690,71 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "prefix_dim int, k int, n_hits bigint, recall_ppm bigint"
     )
+
+
+@query(
+    "emb_exact_dup_mass",
+    oracle="""
+WITH qv AS (
+  SELECT label,
+         list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS k
+  FROM embeddings
+), fam AS (
+  SELECT label, k, COUNT(*) AS c FROM qv GROUP BY label, k
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_families,
+       CAST(SUM(c) AS BIGINT) AS n_vecs,
+       CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_families,
+       CAST(SUM(c - 1) AS BIGINT) AS dup_vecs,
+       CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS exact_pair_mass
+FROM fam GROUP BY label
+""",
+)
+def emb_exact_dup_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate vector mass per label: group vectors by their
+    quantized (milli-unit int64) image and report, per label, the
+    family count, duplicate-vector count Σ(c−1), and the pair mass
+    Σ C(c,2) — the embedding-side sibling of doc_dedup_candidate_mass,
+    and the audit to run BEFORE a semantic-dedup job. Exact-duplicate
+    vectors sit at cosine 1.0, so every family of size c contributes
+    C(c,2) verified near-dup pairs no matter how the candidates are
+    generated: this meter is the exact lower bound on the pair volume
+    emb_near_dup_lsh / emb_semantic_dup_rates / _clusters must emit.
+    On a K-replicated corpus (scripts/make_scale_data.py verbatim
+    mode) the mass grows as K² while the corpus grows as K — the meter
+    states, linearly and in advance, why those pair jobs cannot be
+    subquadratic on such a corpus (measured: EMB_DUP_DECOMP.json).
+
+    Plan: one scan → two map-side-combinable fixed-width aggregations
+    (quantized-vector key, then label) — linear at any corpus size,
+    no joins, no pair enumeration.
+    """
+    from the_hive_spark.functions.vectorops import qvec_spark
+
+    emb = table(spark, sf_dir, "embeddings")
+    fam = (
+        emb.select(
+            "label", F.expr(qvec_spark("embedding")).alias("k")
+        )
+        .groupBy("label", "k")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return fam.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_families"),
+        F.sum("c").cast("bigint").alias("n_vecs"),
+        F.sum((F.col("c") > 1).cast("long")).cast("bigint")
+        .alias("n_dup_families"),
+        F.sum(F.col("c") - 1).cast("bigint").alias("dup_vecs"),
+        F.sum(F.expr("c * (c - 1) div 2")).cast("bigint")
+        .alias("exact_pair_mass"),
+    ).select(
+        F.col("label").cast("bigint").alias("label"),
+        "n_families",
+        "n_vecs",
+        "n_dup_families",
+        "dup_vecs",
+        "exact_pair_mass",
+    )

@@ -376,6 +376,97 @@ _GATE_R8 = [
 # they displaced — graph_bfs_3hop, doc_term_cooccurrence_lift,
 # q_join_skew_profile — head the r10 plan with the other 33 r5-only
 # rows).
+# ROUND-10 GATE. Slots 1-36: ALL 36 remaining r5-only rows — the
+# oldest driver evidence in the record (r9 ask #2: "no driver row
+# older than r6") — headed by the three rows the round-9 additions
+# displaced from r9's tail (graph_bfs_3hop, doc_term_cooccurrence_lift,
+# q_join_skew_profile), then _GATE_R5 registration order. Slots 37-41:
+# the five rows-only queries that have NEVER run under the driver's
+# harness (r9 ask #7) — they carry no oracle by design (ROWS_ONLY.md),
+# so the driver records a rows-executed row (err:no_oracle), proving
+# they run under the gate like the r4 ANN rows did. Slots 42-47: the
+# oldest r6-only rows, _GATE_R6 registration order (the r11 front
+# continues there). Slots 48-50: round-10 additions (new work earns
+# its driver row the round it lands).
+_GATE_R10 = [
+    # --- slots 1-36: the 36 r5-only rows (oldest driver evidence) ---
+    "graph_bfs_3hop",
+    "doc_term_cooccurrence_lift",
+    "q_join_skew_profile",
+    "emb_component_histogram",
+    "events_attribution_ushape",
+    "q_frequent_itemsets",
+    "events_frequent_sequences",
+    "q_price_quantity_correlation",
+    "events_bot_regularity",
+    "doc_rake_keyphrases",
+    "events_slo_burn",
+    "q_duplicate_payment_audit",
+    "q_revenue_waterfall",
+    "rule_cross_apply",
+    "keyword_alerts",
+    "keyword_autotags",
+    "graph_nodes",
+    "graph_neighborhood",
+    "graph_degree_topk",
+    "media_inventory",
+    "media_frame_sample",
+    "media_dedup_fingerprint",
+    "doc_dedup_exact",
+    "doc_dedup_corpus",
+    "doc_corpus_filtered",
+    "doc_simhash",
+    "doc_simhash_hamming_pairs",
+    "q1_pricing_summary",
+    "doc_ngram_novelty",
+    "doc_split_leakage",
+    "doc_dedup_canonical",
+    "doc_quality_prune_sweep",
+    "graph_jaccard_neighbors",
+    "events_value_winsorized",
+    "q_trade_flow_matrix",
+    "events_funnel_latency",
+    # --- slots 37-41: rows-only queries never driver-gated (the
+    # driver records rows + err:no_oracle for these, like the r4 ANN
+    # rows — execution-under-harness evidence, not a hash claim) ---
+    "emb_matryoshka_recall",
+    "media_phash_near_dup",
+    "media_silence_runs",
+    "doc_bpe_encode",
+    "doc_compressibility",
+    # --- slots 42-47: oldest r6-only rows (_GATE_R6 order) ---
+    "q_nation_yoy_growth",
+    "q_order_fulfillment_latency",
+    "q_weighted_median_price",
+    "graph_clustering_coefficient",
+    "events_survival_curve",
+    "events_time_weighted_value",
+    # --- slots 48-50: round-10 additions ---
+    "emb_exact_dup_mass",
+    "q_basket_pair_mass",
+    "media_payload_dup_mass",
+]
+
+# _GATE_R10 slots that intentionally carry no oracle (rows-only by
+# design, ROWS_ONLY.md) — load_all()'s oracle check exempts exactly
+# these; any OTHER gate slot without an oracle is still a hard error.
+_GATE_R10_ROWS_ONLY = {
+    "emb_matryoshka_recall",
+    "media_phash_near_dup",
+    "media_silence_runs",
+    "doc_bpe_encode",
+    "doc_compressibility",
+}
+
+# Queries ADDED in round 10 (same policy as _ADDED_R5-R9: oracled ones
+# are swapped into _GATE_R10's tail when feasible; any that miss the
+# gate are the front of the round-11 rotation).
+_ADDED_R10: list[str] = [
+    "emb_exact_dup_mass",
+    "q_basket_pair_mass",
+    "media_payload_dup_mass",
+]
+
 _GATE_R9 = [
     # --- slots 1-4: round-9 plan-change re-attests ---
     "doc_ngram_jaccard_pairs",
@@ -699,12 +790,11 @@ def load_all() -> None:
     green every round; 0 hash failures in 7 rounds, all 221 oracled
     queries driver-green all-time as of r7).
 
-    Round-10 rotation plan: (a) any _ADDED_R9 queries that miss the
-    r9 gate, (b) re-attests of whatever round-10 edits touch, then
-    (c) the next-oldest rows — the three r5-only rows displaced from
-    r9 slots 48-50 by the round-9 additions (graph_bfs_3hop,
-    doc_term_cooccurrence_lift, q_join_skew_profile), then the
-    remaining 33 r5-only rows in _GATE_R5 registration order.
+    Round-11 rotation plan: (a) any _ADDED_R10 queries that miss the
+    r10 gate, (b) re-attests of whatever round-11 edits touch, then
+    (c) the next-oldest rows — the 41 remaining r6-only rows in
+    _GATE_R6 registration order (q_equidepth_histogram is the first
+    not taken by r10 slots 42-47), then the r4-era rows-only rows.
     """
     from the_hive_spark.operators import (  # noqa: F401
         timeline,
@@ -723,14 +813,26 @@ def load_all() -> None:
         warehouse,
     )
 
-    missing = [n for n in _GATE_R9 if n not in QUERIES]
+    missing = [n for n in _GATE_R10 if n not in QUERIES]
     if missing:  # defensive: a renamed query must fail loudly, not
         # silently shift every later gate slot by one.
         raise RuntimeError(f"gate rotation names not registered: {missing}")
-    unoracled = [n for n in _GATE_R9 if n not in ORACLES]
-    if unoracled:  # rows-only slots verify nothing (driver: no_oracle)
+    unoracled = [
+        n
+        for n in _GATE_R10
+        if n not in ORACLES and n not in _GATE_R10_ROWS_ONLY
+    ]
+    if unoracled:  # an UNDECLARED oracle-less slot verifies nothing
+        # (driver: no_oracle) — only the five declared rows-only slots
+        # (never-gated, r9 ask #7) may run without one this round.
         raise RuntimeError(f"gate slots without an oracle: {unoracled}")
-    rotated = {n: QUERIES[n] for n in _GATE_R9}
+    oracled_rows_only = [n for n in _GATE_R10_ROWS_ONLY if n in ORACLES]
+    if oracled_rows_only:  # the exemption must never mask a REAL
+        # oracle: a query that gains one must leave the allowlist.
+        raise RuntimeError(
+            f"rows-only gate slots now have oracles: {oracled_rows_only}"
+        )
+    rotated = {n: QUERIES[n] for n in _GATE_R10}
     rotated.update((n, fn) for n, fn in QUERIES.items() if n not in rotated)
     QUERIES.clear()
     QUERIES.update(rotated)
