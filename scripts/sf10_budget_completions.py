@@ -1,0 +1,164 @@
+#!/usr/bin/env python
+"""Resolve the six sf10 per-query budget cancellations (r9 VERDICT
+ask #3): for each query that hit BENCH_SF10's 240 s cap, EITHER a
+completion at a raised budget OR the measured quadratic term that
+makes the clone corpus intrinsically hostile — never an unexplained
+cancellation.
+
+The evidence has two layers, matching the guards' philosophy (meter
+the quadratic term before deciding to run the quadratic job):
+
+1. The round-10 mass meters run FIRST (linear plans, seconds): they
+   measure the pair-output floor each query faces on this corpus —
+   emb_exact_dup_mass (quantized-vector family mass, the floor for
+   emb_semantic_dup_rates), media_payload_dup_mass (byte-identical
+   media family mass, the floor for media_phash_near_dup), and
+   q_basket_pair_mass (the itemset pair space q_frequent_itemsets
+   enumerates). On the verbatim-clone sf10 corpus every base family
+   of size m becomes size 100m, so pair mass grows 10,000× while the
+   corpus grows 100× — quadratic BY DATA, which no plan fixes.
+2. Each cancelled query then gets one attempt at RAISED_BUDGET
+   seconds (vs BENCH_SF10's 240): a completion records its real wall
+   time; a second cancellation records that the query is
+   clone-corpus-hostile past the raised budget too, with layer 1
+   carrying the why.
+
+Cross-evidence recorded from existing artifacts: on the perturbed
+sf10p corpus (bounded families) q_part_substitution_candidates
+completed in 24.1 s WITH an oracle hash-match
+(SCALE_PERTURB_SF10.json) — the cancellations are a clone-corpus
+artifact, not a plan defect.
+
+Writes SCALE_SF10_CANCELLED.json.
+Usage: python scripts/sf10_budget_completions.py [SF_DIR] [--budget N]
+Defaults: /tmp/spark_graft_sf10, budget 900.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from the_hive_spark import registry
+from the_hive_spark.session import get_spark
+
+CANCELLED_AT_240 = [
+    "q_frequent_itemsets",
+    "q_part_substitution_candidates",
+    "emb_semantic_dup_rates",
+    "media_phash_near_dup",
+    "cust_er_clusters3",
+    "cust_golden_record",
+]
+METERS = [
+    "q_basket_pair_mass",
+    "emb_exact_dup_mass",
+    "media_payload_dup_mass",
+]
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/tmp/spark_graft_sf10"
+    budget = float(
+        sys.argv[sys.argv.index("--budget") + 1]
+        if "--budget" in sys.argv
+        else 900
+    )
+    registry.load_all()
+    spark = get_spark(app_name="sf10-budget-completions")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    result: dict = {
+        "sf_dir": sf_dir,
+        "raised_budget_sec": budget,
+        "prior_budget_sec": 240,
+        "meters": {},
+        "queries": {},
+        "cross_evidence": {
+            "q_part_substitution_candidates": "completed 24.1 s with oracle "
+            "hash-match on the perturbed sf10p corpus "
+            "(SCALE_PERTURB_SF10.json) — bounded families remove the "
+            "quadratic term",
+        },
+    }
+
+    # layer 1: the linear meters that measure each cancellation's
+    # quadratic term (collected — each returns a few rows)
+    for name in METERS:
+        t0 = time.perf_counter()
+        try:
+            rows = [
+                r.asDict() for r in registry.QUERIES[name](spark, sf_dir).collect()
+            ]
+            result["meters"][name] = {
+                "sec": round(time.perf_counter() - t0, 2),
+                "rows": rows[:40],
+            }
+        except Exception as exc:  # noqa: BLE001
+            result["meters"][name] = {
+                "err": f"{type(exc).__name__}: {str(exc)[:300]}",
+                "sec": round(time.perf_counter() - t0, 2),
+            }
+        print(name, str(result["meters"][name])[:400], flush=True)
+
+    # layer 2: one raised-budget attempt per cancelled query, with the
+    # same re-arming job-group canceller bench.py uses
+    for name in CANCELLED_AT_240:
+        fn = registry.QUERIES[name]
+        done = threading.Event()
+        spark.sparkContext.setJobGroup(
+            f"budget:{name}", name, interruptOnCancel=True
+        )
+
+        def _cancel_until_done() -> None:
+            expired = not done.wait(budget)
+            while expired:
+                spark.sparkContext.cancelJobGroup(f"budget:{name}")
+                expired = not done.wait(1.0)
+
+        t = threading.Thread(target=_cancel_until_done, daemon=True)
+        t.start()
+        t0 = time.perf_counter()
+        try:
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            result["queries"][name] = {
+                "sec": round(time.perf_counter() - t0, 2),
+                "completed": True,
+            }
+        except Exception as exc:  # noqa: BLE001
+            took = time.perf_counter() - t0
+            msg = str(exc)
+            cancelled = "cancel" in msg.lower() or f"budget:{name}" in msg
+            if took >= budget and cancelled:
+                result["queries"][name] = {
+                    "sec": round(took, 2),
+                    "completed": False,
+                    "err": f"cancelled_at_raised_budget ({budget:.0f}s)",
+                }
+            else:
+                result["queries"][name] = {
+                    "sec": round(took, 2),
+                    "completed": False,
+                    "err": f"{type(exc).__name__}: {msg[:300]}",
+                }
+        finally:
+            done.set()
+            for prop in ("spark.jobGroup.id", "spark.job.description",
+                         "spark.job.interruptOnCancel"):
+                spark.sparkContext.setLocalProperty(prop, None)
+        print(name, result["queries"][name], flush=True)
+
+    with open("SCALE_SF10_CANCELLED.json", "w") as fh:
+        json.dump(result, fh, indent=1)
+    print(json.dumps({k: result[k] for k in ("meters", "queries")}, default=str)[:1500])
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -76,23 +76,30 @@ def test_hash31_duck_matches_python(token):
 @given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
                min_size=SHINGLE_W, max_size=60))
 def test_dense_minhash_chunks_match_sql(text):
-    """The dense plan's driver-side md5-chunk minima == the sparse
-    oracle's MIN(substring(md5(shingle), 1+4c, 4)) per chunk."""
+    """The dense plan's driver-side salted-md5-chunk minima == the
+    sparse oracle's MIN(_mh_sql_expr(c)) per chunk."""
+    from the_hive_spark.operators.dedup import (
+        _MH_CHUNKS_PER_DIGEST,
+        _mh_sql_expr,
+    )
+
     shingles = _py_shingle_set(text)
+
+    def py_mh(s: str, c: int) -> str:
+        d = c // _MH_CHUNKS_PER_DIGEST
+        data = s if d == 0 else f"{s}{d}"
+        off = 4 * (c % _MH_CHUNKS_PER_DIGEST)
+        return hashlib.md5(data.encode()).hexdigest()[off : off + 4]
+
     py_sig = [
-        min(
-            hashlib.md5(s.encode()).hexdigest()[4 * c : 4 * c + 4]
-            for s in shingles
-        )
-        for c in range(N_MINHASH)
+        min(py_mh(s, c) for s in shingles) for c in range(N_MINHASH)
     ]
     con = duckdb.connect()
     sql_sig = list(
         con.execute(
             "SELECT "
             + ", ".join(
-                f"MIN(substring(md5(s), {1 + 4 * c}, 4))"
-                for c in range(N_MINHASH)
+                f"MIN({_mh_sql_expr(c, 's')})" for c in range(N_MINHASH)
             )
             + " FROM (SELECT unnest(?) AS s)",
             [sorted(shingles)],

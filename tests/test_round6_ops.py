@@ -98,8 +98,13 @@ def test_minhash_calibration_matches_python_md5(spark, tmp_path):
         return {t[i:i + SHINGLE_W] for i in range(len(t) - SHINGLE_W + 1)}
 
     def sig(t):
-        hs = [hashlib.md5(s.encode()).hexdigest() for s in shingles(t)]
-        return [min(h[4 * c:4 * c + 4] for h in hs) for c in range(N_MINHASH)]
+        def mh(s, c):
+            d = c // 8
+            data = s if d == 0 else f"{s}{d}"
+            off = 4 * (c % 8)
+            return hashlib.md5(data.encode()).hexdigest()[off:off + 4]
+        return [min(mh(s, c) for s in shingles(t))
+                for c in range(N_MINHASH)]
 
     texts = {d: t for d, t, _ in docs}
     for (a, b), (jac, est, err) in got.items():
@@ -291,8 +296,13 @@ def test_minhash_calibration_bounded_sample(spark, tmp_path):
         return {t[i:i + SHINGLE_W] for i in range(len(t) - SHINGLE_W + 1)}
 
     def sig(t):
-        hs = [hashlib.md5(s.encode()).hexdigest() for s in shingles(t)]
-        return [min(h[4 * c:4 * c + 4] for h in hs) for c in range(N_MINHASH)]
+        def mh(s, c):
+            d = c // 8
+            data = s if d == 0 else f"{s}{d}"
+            off = 4 * (c % 8)
+            return hashlib.md5(data.encode()).hexdigest()[off:off + 4]
+        return [min(mh(s, c) for s in shingles(t))
+                for c in range(N_MINHASH)]
 
     for (a, b), (jac, est, err) in got.items():
         if a not in texts or b not in texts:

@@ -34,8 +34,53 @@ from the_hive_spark.tables import table
 
 SHINGLE_W = 5  # character shingle width
 JACCARD_THRESHOLD_PPM = 400_000
-N_MINHASH = 8
-N_BANDS = 4  # 2 rows per band
+# 32 MinHash values in 16 bands × 2 rows. Widened from 8/4 in round
+# 10: the sf10r ground-truth eval (scripts/dedup_ground_truth.py +
+# scripts/dedup_scale_100x.py) measured cluster recall 0.37 with the
+# old 4-band signature — P(≥2 of 4 band collisions) at J=0.55 is
+# ~0.35, so borderline-but-true near-dups (every-4th-token rewrites)
+# were mostly invisible; on the earlier corpora near-dups were
+# near-verbatim (J→1) and the miss rate never surfaced. With 16
+# bands the same ≥2-collision filter keeps P(candidate) ≈ 0.97 at
+# J=0.4 and ≥0.999 at J≥0.5 while background (J≈0.01) pairs stay
+# ~1e-7. Hashes come from 4 salted md5 digests × 8 16-bit chunks
+# (one-permutation-hashing per digest; salts make the digests
+# independent) — identical recipe in Spark, DuckDB oracles, and the
+# dense packer, see _mh_sql_expr.
+N_MINHASH = 32
+N_BANDS = 16  # 2 rows per band
+_MH_CHUNKS_PER_DIGEST = 8  # md5 = 32 hex chars = 8 × 4-char chunks
+
+
+def _mh_sql_expr(s: int, shingle: str = "shingle") -> str:
+    """Hash value s of the MinHash family as a SQL expression valid in
+    BOTH Spark SQL and DuckDB: 16-bit hex chunk s%8 of
+    md5(shingle || salt) with salt = s//8 ('' for digest 0, so the
+    first 8 hashes are byte-identical to the pre-widening scheme).
+    Fixed-width lowercase hex keeps lexicographic MIN = numeric min
+    identically in both engines."""
+    salt = s // _MH_CHUNKS_PER_DIGEST
+    src = shingle if salt == 0 else f"concat({shingle}, '{salt}')"
+    return f"substring(md5({src}), {1 + 4 * (s % _MH_CHUNKS_PER_DIGEST)}, 4)"
+
+
+def _mh_sig_select_sql() -> str:
+    """DuckDB select list for the per-doc signature CTE: one MIN per
+    hash value, generated from the same constants the engine uses so
+    oracle and engine cannot drift."""
+    return ",\n         ".join(
+        f"MIN({_mh_sql_expr(s)}) AS mh{s}" for s in range(N_MINHASH)
+    )
+
+
+def _mh_bands_union_sql() -> str:
+    """DuckDB N_BANDS-way UNION ALL banding of the signature CTE."""
+    parts = ["SELECT doc_id, 0 AS band, concat(mh0, mh1) AS band_key FROM sig"]
+    parts += [
+        f"SELECT doc_id, {b}, concat(mh{2 * b}, mh{2 * b + 1}) FROM sig"
+        for b in range(1, N_BANDS)
+    ]
+    return " UNION ALL\n  ".join(parts)
 
 
 def _shingles_sql(text_col: str = "text", w: int = SHINGLE_W) -> str:
@@ -234,7 +279,7 @@ def _dense_packed_df(
     with_minhash: bool = False,
 ) -> DataFrame:
     """One executor pass over the text column → per-doc packed bitset
-    (+ optionally the 8 MinHash chunk-minima). The md5 of every vocab
+    (+ optionally the N_MINHASH chunk-minima). The salted md5s of every vocab
     shingle is computed ONCE (|vocab| digests, driver-side, broadcast)
     instead of once per (doc, shingle) occurrence — the dense-regime
     equivalent of map-side hashing."""
@@ -247,11 +292,23 @@ def _dense_packed_df(
     n_vocab = len(vocab)
     n_words = (n_vocab + 63) // 64
     if with_minhash:
-        # (n_vocab, N_MINHASH) uint16: chunk s of md5(shingle)
+        # (n_vocab, N_MINHASH) uint16: chunk c%8 of the salted digest
+        # md5(shingle + str(c//8)) — the exact _mh_sql_expr recipe
+        def _hx(s: str, d: int) -> str:
+            data = s if d == 0 else f"{s}{d}"
+            return hashlib.md5(data.encode()).hexdigest()
+
         chunkvals = np.array(
             [
                 [
-                    int(hashlib.md5(s.encode()).hexdigest()[4 * c : 4 * c + 4], 16)
+                    int(
+                        _hx(s, c // _MH_CHUNKS_PER_DIGEST)[
+                            4 * (c % _MH_CHUNKS_PER_DIGEST) : 4
+                            * (c % _MH_CHUNKS_PER_DIGEST)
+                            + 4
+                        ],
+                        16,
+                    )
                     for c in range(N_MINHASH)
                 ]
                 for s in vocab
@@ -699,30 +756,43 @@ def _ngram_jaccard_pairs_build(
 def with_minhash_cols(
     df: DataFrame, text_col: str = "text", w: int = SHINGLE_W
 ) -> DataFrame:
-    """Append the 8 MinHash chunk-minimum columns (mh0..mh7) computed
-    PER ROW — no explode, no shuffle: shingle array → one md5 per
-    shingle → array_min of each fixed-width hex chunk. Numerically
-    identical to the explode + groupBy(min) form (min over the same
-    distinct-shingle md5 chunks), but the plan is a pure map: it runs
-    on a streaming micro-batch as-is (no aggregation state, no
-    watermark needed) and at 100 TB it turns signature computation
-    from a corpus-wide shuffle into scan-local work. The md5 array
-    sits in its own projection so the 8 chunk-min expressions share
-    one hashing pass (CollapseProject does not inline a non-cheap
-    alias referenced 8 times)."""
-    sigs = F.expr(f"transform({_shingles_sql(text_col, w)}, s -> md5(s))")
+    """Append the N_MINHASH MinHash chunk-minimum columns (mh0..)
+    computed PER ROW — no explode, no shuffle: shingle array → one
+    salted md5 array per digest → array_min of each fixed-width hex
+    chunk. Numerically identical to the explode + groupBy(min) form
+    (min over the same distinct-shingle md5 chunks), but the plan is
+    a pure map: it runs on a streaming micro-batch as-is (no
+    aggregation state, no watermark needed) and at 100 TB it turns
+    signature computation from a corpus-wide shuffle into scan-local
+    work. The shingle array and each md5 array sit in their own
+    projections so each hashing pass runs once (CollapseProject does
+    not inline a non-cheap alias referenced 8 times)."""
+    n_digests = N_MINHASH // _MH_CHUNKS_PER_DIGEST
+    sig_cols = []
+    for d in range(n_digests):
+        inner = "s" if d == 0 else f"concat(s, '{d}')"
+        sig_cols.append(
+            F.expr(f"transform(_sh, s -> md5({inner}))").alias(f"_sigs{d}")
+        )
     mins = [
         F.expr(
-            f"array_min(transform(_sigs, h -> substring(h, {1 + 4 * s}, 4)))"
+            f"array_min(transform(_sigs{s // _MH_CHUNKS_PER_DIGEST},"
+            f" h -> substring(h, {1 + 4 * (s % _MH_CHUNKS_PER_DIGEST)}, 4)))"
         ).alias(f"mh{s}")
         for s in range(N_MINHASH)
     ]
-    return df.withColumn("_sigs", sigs).select("*", *mins).drop("_sigs")
+    return (
+        df.withColumn("_sh", F.expr(_shingles_sql(text_col, w)))
+        .select("*", *sig_cols)
+        .select("*", *mins)
+        .drop("_sh", *[f"_sigs{d}" for d in range(n_digests)])
+    )
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc MinHash signature: 8 16-bit chunk minima of one md5 per
-    shingle — per-row map-only form (see with_minhash_cols)."""
+    """Per-doc MinHash signature: N_MINHASH 16-bit chunk minima of the
+    salted md5s per shingle — per-row map-only form (see
+    with_minhash_cols)."""
     docs = table(spark, sf_dir, "documents").filter(
         F.length("text") >= SHINGLE_W
     )
@@ -733,15 +803,17 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_signatures_from(sh: DataFrame) -> DataFrame:
-    """One md5 per shingle, split into 8 disjoint 4-hex-char (16-bit)
-    chunks, min per chunk — the one-permutation-hashing trick: 8×
-    less hashing than 8 seeded digests for statistically equivalent
-    MinHash estimates (chunks of a cryptographic hash are independent
-    uniform draws). Fixed-width hex substrings make lexicographic min
-    = numeric min, identically in Spark and DuckDB."""
-    h = F.md5("shingle")
+    """Four salted md5 digests per shingle, each split into 8 disjoint
+    4-hex-char (16-bit) chunks, min per chunk — one-permutation
+    hashing per digest: 8× less hashing than 32 seeded digests for
+    statistically equivalent MinHash estimates (chunks of a
+    cryptographic hash are independent uniform draws; distinct salts
+    make the digests independent of each other). Fixed-width hex
+    substrings make lexicographic min = numeric min, identically in
+    Spark and DuckDB. Subexpression elimination collapses the 8
+    chunk-min aggregates over each digest to one md5 call."""
     aggs = [
-        F.min(F.substring(h, 1 + 4 * s, 4)).alias(f"mh{s}")
+        F.min(F.expr(_mh_sql_expr(s))).alias(f"mh{s}")
         for s in range(N_MINHASH)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
@@ -936,16 +1008,10 @@ WITH sh AS (
   FROM documents WHERE length(text) >= {SHINGLE_W}
 ), sig AS (
   SELECT doc_id,
-         MIN(substring(md5(shingle), 1, 4)) AS mh0, MIN(substring(md5(shingle), 5, 4)) AS mh1,
-         MIN(substring(md5(shingle), 9, 4)) AS mh2, MIN(substring(md5(shingle), 13, 4)) AS mh3,
-         MIN(substring(md5(shingle), 17, 4)) AS mh4, MIN(substring(md5(shingle), 21, 4)) AS mh5,
-         MIN(substring(md5(shingle), 25, 4)) AS mh6, MIN(substring(md5(shingle), 29, 4)) AS mh7
+         {_mh_sig_select_sql()}
   FROM sh GROUP BY doc_id
 ), bands AS (
-  SELECT doc_id, 0 AS band, concat(mh0, mh1) AS band_key FROM sig UNION ALL
-  SELECT doc_id, 1, concat(mh2, mh3) FROM sig UNION ALL
-  SELECT doc_id, 2, concat(mh4, mh5) FROM sig UNION ALL
-  SELECT doc_id, 3, concat(mh6, mh7) FROM sig
+  {_mh_bands_union_sql()}
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
 FROM bands a JOIN bands b
@@ -954,13 +1020,14 @@ GROUP BY doc_a, doc_b
 """,
 )
 def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(8) + LSH(4 bands × 2 rows) candidate pairs.
+    """MinHash(N_MINHASH) + LSH(N_BANDS bands × 2 rows) candidate pairs.
 
     The scale path for near-dup detection: signatures are fixed-width
     regardless of document size, and the band join touches only
     hash-colliding pairs. Downstream, doc_ngram_jaccard_pairs-style
     exact re-check confirms candidates (banding params: P(collide) ≈
-    1-(1-j²)⁴, ~50% at j=0.4).
+    1-(1-j²)¹⁶, ~94% at j=0.4 and ~0.16% at the j≈0.01 background —
+    the r10 widening from 4 to 16 bands, see the N_MINHASH comment).
 
     Signatures come from the per-row map-only form
     (``with_minhash_cols`` — no explode, no shuffle, no regime probe);
@@ -1185,16 +1252,10 @@ WITH RECURSIVE sh AS (
   FROM documents WHERE length(text) >= {SHINGLE_W}
 ), sig AS (
   SELECT doc_id,
-         MIN(substring(md5(shingle), 1, 4)) AS mh0, MIN(substring(md5(shingle), 5, 4)) AS mh1,
-         MIN(substring(md5(shingle), 9, 4)) AS mh2, MIN(substring(md5(shingle), 13, 4)) AS mh3,
-         MIN(substring(md5(shingle), 17, 4)) AS mh4, MIN(substring(md5(shingle), 21, 4)) AS mh5,
-         MIN(substring(md5(shingle), 25, 4)) AS mh6, MIN(substring(md5(shingle), 29, 4)) AS mh7
+         {_mh_sig_select_sql()}
   FROM sh GROUP BY doc_id
 ), bands AS (
-  SELECT doc_id, 0 AS band, concat(mh0, mh1) AS band_key FROM sig UNION ALL
-  SELECT doc_id, 1, concat(mh2, mh3) FROM sig UNION ALL
-  SELECT doc_id, 2, concat(mh4, mh5) FROM sig UNION ALL
-  SELECT doc_id, 3, concat(mh6, mh7) FROM sig
+  {_mh_bands_union_sql()}
 ), cand AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
@@ -1528,15 +1589,11 @@ def doc_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sig_sql() -> str:
-    """DuckDB CTE body for the per-doc 8-chunk MinHash signature —
-    the EXACT hash recipe of with_minhash_cols (one md5 per distinct
-    shingle, min of each fixed-width hex chunk), so estimate and
-    engine cannot drift."""
-    chunk_mins = ", ".join(
-        f"MIN(substring(md5(shingle), {1 + 4 * s}, 4)) AS mh{s}"
-        for s in range(N_MINHASH)
-    )
-    return f"SELECT doc_id, {chunk_mins} FROM sh GROUP BY doc_id"
+    """DuckDB CTE body for the per-doc N_MINHASH-chunk MinHash
+    signature — the EXACT hash recipe of with_minhash_cols (salted
+    md5 digests per distinct shingle, min of each fixed-width hex
+    chunk), so estimate and engine cannot drift."""
+    return f"SELECT doc_id, {_mh_sig_select_sql()} FROM sh GROUP BY doc_id"
 
 
 CALIB_MAX_DOCS = 2000  # bounded audit subsample (see calibration docstring)
@@ -1588,8 +1645,9 @@ ORDER BY p.doc_a, p.doc_b
 )
 def doc_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash calibration audit: for every EXACT-verified near-dup
-    pair in a bounded corpus subsample, the 8-chunk MinHash estimate
-    (matching chunks / 8, in ppm) next to the true Jaccard and the
+    pair in a bounded corpus subsample, the N_MINHASH-chunk MinHash
+    estimate (matching chunks / N_MINHASH, in ppm) next to the true
+    Jaccard and the
     absolute error — the query that answers "can I trust the sketch's
     threshold before switching the pipeline from exact verification
     to signature-only dedup", i.e. the sketch's measured error ON THE
