@@ -94,13 +94,16 @@ def measure(spark, sf_dir: str) -> dict:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    dirs = args or ["/tmp/spark_graft_sf1", "/tmp/spark_graft_sf10"]
-    out = (
-        sys.argv[sys.argv.index("--out") + 1]
-        if "--out" in sys.argv
-        else "EMB_DUP_DECOMP.json"
-    )
+    argv = sys.argv[1:]
+    out = "EMB_DUP_DECOMP.json"
+    if "--out" in argv:
+        i = argv.index("--out")
+        out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    dirs = [a for a in argv if not a.startswith("--")] or [
+        "/tmp/spark_graft_sf1",
+        "/tmp/spark_graft_sf10",
+    ]
     registry.load_all()
     spark = get_spark(app_name="emb-dup-decomp")
     spark.sparkContext.setLogLevel("ERROR")
