@@ -20,12 +20,19 @@ registry.load_all()
 _ROOT = os.path.join(os.path.dirname(__file__), "..")
 
 # Queries whose PLANS changed since their latest driver row (the
-# repo's _PLAN_CHANGED policy, r6). Round 10 changed no executed plan
-# of a previously-gated query — the round's edits are additive (three
-# new meter queries) plus harness fixes (bench budget canceller,
-# sweep rows-only execution) that touch no query plan — so the list
-# is empty and the gate budget goes entirely to rotation.
-_PLAN_CHANGED_R10: list[str] = []
+# repo's _PLAN_CHANGED policy, r6). The round-10 MinHash widening
+# (8 hashes/4 bands → 32/16, dedup.py N_MINHASH comment) changed the
+# executed plans AND generated oracles of the banded dedup family
+# plus the calibration audit — all six re-attest at gate slots 42-47,
+# displacing the six oldest r6-only rows to the round-11 front.
+_PLAN_CHANGED_R10: list[str] = [
+    "doc_minhash_lsh_pairs",
+    "doc_dup_clusters",
+    "doc_near_dedup_corpus",
+    "doc_dup_rates_by_source",
+    "doc_curation_funnel",
+    "doc_minhash_calibration",
+]
 
 
 def _driver_checked(
@@ -90,9 +97,9 @@ def test_gate_r10_slots():
     """Slots 1-36: the 36 rows whose latest green driver row is round
     5 — the oldest oracled evidence in the record. Slots 37-41: the
     five rows-only queries with NO driver row in any round. Slots
-    42-47: rows whose latest green row is round 6. Slots 48-50:
-    round-10 additions."""
-    assert _PLAN_CHANGED_R10 == []  # additive round: no re-attests due
+    42-47: the mandatory plan-change re-attests (the MinHash widening;
+    these displaced the six oldest r6-only rows to the r11 front).
+    Slots 48-50: round-10 additions."""
     checked = _driver_checked(
         ("01", "02", "03", "04", "05", "06", "07", "08", "09")
     )
@@ -101,13 +108,11 @@ def test_gate_r10_slots():
     r5_only = _driver_checked(("01", "02", "03", "04", "05")) - _driver_checked(
         ("06", "07", "08", "09")
     )
-    r6_only = _driver_checked(("06",)) - _driver_checked(("07", "08", "09"))
     for n in registry._GATE_R10[:36]:
         assert n in r5_only, f"slot {n} is not an r5-only row"
     for n in registry._GATE_R10[36:41]:
         assert n in registry._GATE_R10_ROWS_ONLY and n not in checked, n
-    for n in registry._GATE_R10[41:47]:
-        assert n in r6_only, f"slot {n} is not an r6-only row"
+    assert registry._GATE_R10[41:47] == _PLAN_CHANGED_R10
     assert registry._GATE_R10[47:] == registry._ADDED_R10
 
 
@@ -135,8 +140,8 @@ def test_no_green_query_left_behind():
 
 def test_plan_changed_queries_regated():
     """Any round-10 plan edit invalidates old driver rows; each such
-    query must hold a gate slot this round (empty this round — the
-    assertion keeps the policy hook alive for future rotations)."""
+    query must hold a gate slot this round (six this round: the
+    MinHash-widening re-attests at slots 42-47)."""
     for n in _PLAN_CHANGED_R10:
         assert n in registry._GATE_R10, n
 

@@ -434,13 +434,23 @@ _GATE_R10 = [
     "media_silence_runs",
     "doc_bpe_encode",
     "doc_compressibility",
-    # --- slots 42-47: oldest r6-only rows (_GATE_R6 order) ---
-    "q_nation_yoy_growth",
-    "q_order_fulfillment_latency",
-    "q_weighted_median_price",
-    "graph_clustering_coefficient",
-    "events_survival_curve",
-    "events_time_weighted_value",
+    # --- slots 42-47: MANDATORY plan-change re-attests — the r10
+    # MinHash widening (8 hashes/4 bands → 32/16 after the sf10r
+    # ground-truth eval measured recall 0.37, dedup.py N_MINHASH
+    # comment) changed the executed plans AND oracles of the whole
+    # banded family plus the calibration audit. These displace the
+    # six oldest r6-only rows that held these slots when the gate was
+    # first frozen (q_nation_yoy_growth, q_order_fulfillment_latency,
+    # q_weighted_median_price, graph_clustering_coefficient,
+    # events_survival_curve, events_time_weighted_value) — those now
+    # head the round-11 front, same policy as the r9 tail
+    # displacement. ---
+    "doc_minhash_lsh_pairs",
+    "doc_dup_clusters",
+    "doc_near_dedup_corpus",
+    "doc_dup_rates_by_source",
+    "doc_curation_funnel",
+    "doc_minhash_calibration",
     # --- slots 48-50: round-10 additions ---
     "emb_exact_dup_mass",
     "q_basket_pair_mass",
@@ -792,9 +802,12 @@ def load_all() -> None:
 
     Round-11 rotation plan: (a) any _ADDED_R10 queries that miss the
     r10 gate, (b) re-attests of whatever round-11 edits touch, then
-    (c) the next-oldest rows — the 41 remaining r6-only rows in
-    _GATE_R6 registration order (q_equidepth_histogram is the first
-    not taken by r10 slots 42-47), then the r4-era rows-only rows.
+    (c) the six r6-only rows the r10 MinHash plan-change re-attests
+    displaced from slots 42-47 (q_nation_yoy_growth,
+    q_order_fulfillment_latency, q_weighted_median_price,
+    graph_clustering_coefficient, events_survival_curve,
+    events_time_weighted_value), then the remaining r6-only rows in
+    _GATE_R6 registration order, then the r4-era rows-only rows.
     """
     from the_hive_spark.operators import (  # noqa: F401
         timeline,
