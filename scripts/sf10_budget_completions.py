@@ -47,13 +47,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from the_hive_spark import registry
 from the_hive_spark.session import get_spark
 
+# q_frequent_itemsets runs LAST: its FP-tree build can OOM the whole
+# local-mode JVM (measured — see the layer-2 comment), and the crash
+# must not cost the other five their attempt.
 CANCELLED_AT_240 = [
-    "q_frequent_itemsets",
     "q_part_substitution_candidates",
     "emb_semantic_dup_rates",
     "media_phash_near_dup",
     "cust_er_clusters3",
     "cust_golden_record",
+    "q_frequent_itemsets",
 ]
 METERS = [
     "q_basket_pair_mass",
@@ -108,8 +111,16 @@ def main() -> None:
         print(name, str(result["meters"][name])[:400], flush=True)
 
     # layer 2: one raised-budget attempt per cancelled query, with the
-    # same re-arming job-group canceller bench.py uses
+    # same re-arming job-group canceller bench.py uses. Each attempt
+    # checks for (and survives) a dead SparkContext: the first run of
+    # this script found q_frequent_itemsets KILLS the 20g JVM outright
+    # (FP-tree build OOM on the 1.2e8 frequent-pair mass the meter
+    # measures) — a crashed context must cost one datapoint, not the
+    # remaining five.
     for name in CANCELLED_AT_240:
+        if spark.sparkContext._jsc.sc().isStopped():
+            spark = get_spark(app_name=f"sf10-budget-{name}")
+            spark.sparkContext.setLogLevel("ERROR")
         fn = registry.QUERIES[name]
         done = threading.Event()
         spark.sparkContext.setJobGroup(
