@@ -2578,6 +2578,11 @@ def q_join_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 FREQ_ITEMSET_MIN_COUNT = 12  # absolute basket-support threshold
+# FP-growth lattice-width cap: frequent-item count past which the
+# FP-tree state OOMs rather than slows (measured: 2.0e6 items killed
+# an 80g local JVM; 2.0e5 completed in 119 s on 20g — see the
+# q_frequent_itemsets docstring). Midpoint with a safety margin.
+_FREQ_ITEMSET_MAX_ITEMS = 500_000
 
 
 @query(
@@ -2628,6 +2633,20 @@ def q_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     polynomial; FPGrowth itself emits all sizes (the filter is on OUR
     side, so a regression that invented phantom large itemsets would
     still surface as missing/mismatched small ones).
+
+    Lattice-width guard (same contract as the dedup enumeration
+    guards — measure the blow-up term linearly, refuse before paying
+    for a dead job): FP-growth's tree/conditional-base state scales
+    with the number of FREQUENT ITEMS, and a degenerate corpus can
+    make that explode while every scan stays cheap — measured on the
+    sf10 clone corpus (SCALE_SF10_CANCELLED.json): 2.0M frequent
+    items (every cloned part id keeps full support) OOMed the
+    local-mode JVM at BOTH 20g and 80g heap, where sf1's 200k items
+    completed in 119 s on 20g. The guard counts frequent items with
+    one aggregate on the already-persisted baskets (the same first
+    scan FP-growth itself runs) and refuses past the cap, naming the
+    remediations. Real corpora grow distinct frequent items
+    sublinearly (Heaps' law); clone corpora grow them ×K.
     """
     from pyspark.ml.fpm import FPGrowth
 
@@ -2643,6 +2662,23 @@ def q_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n_baskets = baskets.count()  # scalar job (also caches for fit())
+    n_freq_items = (
+        baskets.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= FREQ_ITEMSET_MIN_COUNT)
+        .count()
+    )
+    if n_freq_items > _FREQ_ITEMSET_MAX_ITEMS:
+        baskets.unpersist()
+        raise ValueError(
+            f"q_frequent_itemsets: {n_freq_items:.2e} frequent items "
+            f"(cap {_FREQ_ITEMSET_MAX_ITEMS:.0e}) — the FP-growth "
+            "lattice is item-dense at this size (measured: 2.0e6 "
+            "frequent items OOMs an 80g local JVM); raise the support "
+            "threshold, mine per-category shards independently, or "
+            "meter the pair space first (q_basket_pair_mass)"
+        )
     fp = FPGrowth(
         itemsCol="items",
         # clamped for tiny inputs, same reasoning as PrefixSpan's
