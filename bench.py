@@ -223,8 +223,36 @@ EXTENDED = [
 ]
 
 
+def _machine_load() -> dict:
+    """Loadavg + concurrent-JVM snapshot, stamped into every bench
+    artifact: three r10 measurements of the identical tree spanned
+    8.5–12.3 s purely from machine contention, and each round's
+    regression adjudication burned builder+judge time re-deriving
+    that. With the stamp, a slow number carrying load1 ≈ 30 reads as
+    contention on its face (r10 VERDICT ask #6)."""
+    snap: dict = {}
+    try:
+        la = os.getloadavg()
+        snap["loadavg"] = [round(x, 2) for x in la]
+    except OSError:
+        pass
+    try:
+        n_jvm = sum(
+            1
+            for p in os.listdir("/proc")
+            if p.isdigit()
+            and os.path.exists(f"/proc/{p}/comm")
+            and open(f"/proc/{p}/comm").read().strip() == "java"
+        )
+        snap["n_jvms"] = n_jvm
+    except OSError:
+        pass
+    return snap
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    load_start = _machine_load()
     registry.load_all()
     spark = get_spark(app_name="the-hive-spark-bench")
     # The driver parses the LAST ~2.6 KB of output: WARN spam (e.g.
@@ -399,6 +427,8 @@ def main() -> None:
         "heavy_total": round(sum(heavy_timings.values()), 4),
         "prewarmed": prewarmed,
         "sf": sf_val,
+        "load_start": load_start,
+        "load_end": _machine_load(),
     }
     if errors:
         detail["errors"] = errors
@@ -418,6 +448,11 @@ def main() -> None:
         "n_extended_ok": len(ext_timings),
         "n_heavy_ok": len(heavy_timings),
         "n_errors": len(errors),
+        "load1": (
+            detail["load_end"].get("loadavg", [None])[0]
+            if detail["load_end"]
+            else None
+        ),
         "value": round(sum(timings.values()), 2),
     }
     text = json.dumps(line, separators=(",", ":"))

@@ -11,7 +11,8 @@ refusal, because the verbatim-clone (sf10) and hash-noise-filler
 make_realistic_corpus.py's preamble for the shingle-space argument).
 sf10r is the corpus shape banding is FOR — bounded near-dup families
 inside a letters-only topical background with ~0.01 cross-doc
-Jaccard — and this script shows the same 8-hash/4-band code path,
+Jaccard — and this script shows the default N_MINHASH/N_BANDS (32
+hashes / 16 bands, the signature widened in round 10) code path,
 zero knob changes, pruning C(500k,2) ≈ 1.25e11 possible pairs down to
 a measured band-candidate count and completing the whole family.
 

@@ -2996,7 +2996,9 @@ def q_part_substitution_candidates(spark: SparkSession, sf_dir: str) -> DataFram
     completeness then forces ~500 bands TOTAL regardless of N, so
     occupancy is N/500 and candidates grow as N²/500: measured 6.4e9
     candidates / 106 s at sf1. Geometric banding is output-
-    proportional instead — 60 s at sf1, where the 10×-clone corpus
+    proportional instead — ~107 s at sf1 in the r10 sweeps (both
+    SCALE_SF1_SWEEP rows; an earlier unloaded run read 60 s, so the
+    figure is contention-sensitive), where the 10×-clone corpus
     genuinely qualifies ~4e8 pairs (every part gains 9 same-price
     clones), so the remaining cost IS the output, not the candidate
     generation — and needs no ANALYZE-style pre-scan at all: plan

@@ -41,9 +41,14 @@ JACCARD_THRESHOLD_PPM = 400_000
 # ~0.35, so borderline-but-true near-dups (every-4th-token rewrites)
 # were mostly invisible; on the earlier corpora near-dups were
 # near-verbatim (J→1) and the miss rate never surfaced. With 16
-# bands the same ≥2-collision filter keeps P(candidate) ≈ 0.97 at
-# J=0.4 and ≥0.999 at J≥0.5 while background (J≈0.01) pairs stay
-# ~1e-7. Hashes come from 4 salted md5 digests × 8 16-bit chunks
+# bands of 2 rows, P(≥2 of 16 bands collide) =
+# 1-(1-J²)¹⁶-16·J²·(1-J²)¹⁵ ≈ 0.75 at J=0.4 and ≈ 0.94 at J=0.5,
+# while background (J≈0.01) pairs stay ~1.2e-6 — the DIRECT pair
+# probability; measured end-to-end cluster recall is higher (0.9828
+# at 500k docs, DEDUP_SCALE_100X.json) because borderline pairs are
+# transitively connected through each family's high-J spokes, which
+# is why the pipeline unions exact-verified edges and runs CC.
+# Hashes come from 4 salted md5 digests × 8 16-bit chunks
 # (one-permutation-hashing per digest; salts make the digests
 # independent) — identical recipe in Spark, DuckDB oracles, and the
 # dense packer, see _mh_sql_expr.
@@ -944,7 +949,7 @@ def _lsh_band_pairs(sig: DataFrame) -> DataFrame:
     Python packer). Persisting turns both sides into InMemoryTableScan
     — the signatures are computed exactly once. MEMORY_AND_DISK so an
     at-scale run spills instead of recomputing; the cached rows are
-    fixed-width (4 rows/doc), tiny relative to the corpus. NOT
+    fixed-width (N_BANDS=16 rows/doc), tiny relative to the corpus. NOT
     right-sized down (functions/partitioning.py): a band self-join's
     output fans out well past its input, so collapsing the cached
     partitions would serialize the join stage — measured 35% slower
@@ -1325,7 +1330,14 @@ def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return materialized(
         spark,
-        ("dup_cluster_labels", sf_dir, SHINGLE_W, JACCARD_THRESHOLD_PPM),
+        (
+            "dup_cluster_labels",
+            sf_dir,
+            SHINGLE_W,
+            JACCARD_THRESHOLD_PPM,
+            N_MINHASH,
+            N_BANDS,
+        ),
         lambda: _dup_cluster_labels(spark, sf_dir),
     )
 
