@@ -218,6 +218,79 @@ def ann_topk_lsh(
     )
 
 
+# Cap on the banded self-join's exact output volume (Σ C(bucket, 2),
+# measured with one aggregate BEFORE the join runs) — the embedding
+# counterpart of operators/dedup.py::_PAIR_GUARD_CANDIDATES. Sized to
+# the measured completing regime: the sf10 clone corpus (200k vectors,
+# 9.9M true pairs colliding in all 16 bands) metered 2.4e8 and
+# completes in ~170 s on local[32] (EMB_DUP_DECOMP.json); the 500k
+# graded corpus under the same 16×12 banding meters ~4.9e8 of pure
+# background collisions (16·2⁻¹²·C(500k,2)) whose vector join-back
+# alone is a ~250 GB shuffle — refuse and name the re-sizing instead.
+BAND_GUARD_CANDIDATES = 250_000_000
+
+
+def srp_collision_prob(cos_sim: float, bits_per_band: int, n_bands: int) -> float:
+    """P(candidate) for a pair at the given cosine under banded
+    sign-random-projection LSH: per-bit agreement p = 1 − θ/π
+    (Goemans–Williamson), per-band match p^bits, OR over bands."""
+    p_bit = 1.0 - np.arccos(max(-1.0, min(1.0, cos_sim))) / np.pi
+    p_band = p_bit ** bits_per_band
+    return 1.0 - (1.0 - p_band) ** n_bands
+
+
+def srp_banding_for_threshold(
+    threshold: float,
+    n: int,
+    recall_floor: float = 0.99,
+    mass_cap: int = BAND_GUARD_CANDIDATES,
+    max_bands: int = 64,
+) -> dict:
+    """Size (n_planes, n_bands) for ``lsh_near_dup_candidates`` from
+    the cosine threshold and the MEASURED corpus cardinality — the
+    near-dup counterpart of ``lsh_auto_params``, and the remediation
+    the band-mass guard names when a fixed banding under-prunes.
+
+    Solved analytically from the SRP collision curve: for each band
+    width b, the band count meeting the recall floor at the threshold
+    is L(b) = ⌈ln(1−floor)/ln(1−p(τ)^b)⌉, and the expected background
+    (cos ≈ 0 ⇒ per-band 2⁻ᵇ) candidate mass is L·2⁻ᵇ·C(n,2). Wider
+    bands prune harder but need more of them; the smallest b whose
+    background mass fits under half the guard cap wins (half: true
+    near-dup collisions, which the analytic form can't know, share
+    the same cap at run time). The registered emb_near_dup_lsh keeps
+    its attested 16×12 shape at driver scale; this sizer is for the
+    regimes where that shape meters over the cap (≳300k vectors at
+    τ=0.95) or for users running at a lower threshold (e.g. SemDeDup
+    at τ=0.8, where 12-bit bands would need L=46 and 13-bit L=58 —
+    per-cosine-bucket recall of both regimes is measured in
+    EMB_DEDUP_SCALE_GRADED.json).
+    """
+    p_bit = 1.0 - np.arccos(max(-1.0, min(1.0, threshold))) / np.pi
+    pairs = n * (n - 1) / 2.0
+    best = None
+    for bits in range(8, 25):
+        p_band = p_bit ** bits
+        if p_band >= 1.0:
+            continue
+        n_bands = int(np.ceil(np.log(1.0 - recall_floor) / np.log(1.0 - p_band)))
+        if n_bands > max_bands:
+            continue
+        bg_mass = n_bands * (2.0 ** -bits) * pairs
+        if bg_mass <= mass_cap / 2.0:
+            best = {"n_planes": bits * n_bands, "n_bands": n_bands}
+            break
+    if best is None:
+        raise ValueError(
+            f"no SRP banding with ≤{max_bands} bands reaches recall "
+            f"{recall_floor} at cos {threshold} within the {mass_cap:.0e} "
+            "candidate budget at this cardinality — lower the floor, "
+            "raise the cap, or pre-partition the corpus (per-source "
+            "shards dedup independently)"
+        )
+    return best
+
+
 def lsh_near_dup_candidates(
     embeddings: DataFrame,
     id_col: str = "vec_id",
@@ -225,6 +298,8 @@ def lsh_near_dup_candidates(
     n_planes: int = 32,
     n_bands: int = 8,
     seed: int = DEFAULT_SEED,
+    with_vectors: bool = True,
+    mass_guard: bool = True,
 ) -> DataFrame:
     """Banded-signature candidate pairs for near-duplicate mining.
 
@@ -234,6 +309,19 @@ def lsh_near_dup_candidates(
     pair space shrinks from O(n²) to the within-bucket pairs of each
     band — the only shuffle is the band-value equi-join, which is how
     this survives a 100× scale-up where the cross join cannot.
+
+    ``mass_guard`` meters the join's exact output volume (Σ C(bucket,2)
+    over the persisted banded table — one linear aggregate) BEFORE the
+    join runs and refuses past ``BAND_GUARD_CANDIDATES``, naming
+    ``srp_banding_for_threshold`` as the remediation — the same
+    measure-then-refuse contract as the text family's
+    ``_guard_band_buckets`` (operators/dedup.py), added in round 11
+    after the graded-corpus eval metered a ~4.9e8-candidate join at
+    500k vectors under the fixed 16×12 banding.
+
+    ``with_vectors=False`` skips the vector join-back and returns bare
+    (id_a, id_b) — for recall evals and mass studies that only need
+    the candidate id set.
 
     Returns distinct (id_a < id_b) candidate pairs; callers re-check
     with the exact cosine (see near_dup_pairs_lsh).
@@ -254,6 +342,28 @@ def lsh_near_dup_candidates(
         .withColumnsRenamed({"pos": "band", "col": "val"})
     )
 
+    if mass_guard:
+        # Persist once: the guard aggregate and both join sides read
+        # the same banded table, and signatures are the expensive part.
+        banded = banded.persist()
+        est = (
+            banded.groupBy("band", "val")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.sum(F.expr("c * (c - 1) div 2")).alias("cand"))
+            .collect()[0]["cand"]
+            or 0
+        )
+        if est > BAND_GUARD_CANDIDATES:
+            banded.unpersist()
+            raise ValueError(
+                f"SRP band buckets hold {est:.2e} candidate pairs (cap "
+                f"{BAND_GUARD_CANDIDATES:.0e}) — the {n_bands}×"
+                f"{bits_per_band}-bit banding under-prunes at this "
+                "cardinality; re-size with srp_banding_for_threshold"
+                "(threshold, n) (wider bands, more of them), or dedup "
+                "per-source shards independently"
+            )
+
     # The band equi-join carries ONLY (id, band, val) — never the
     # vectors: shipping d-dim arrays through an exploded ×n_bands
     # shuffle is what breaks at scale. Vectors join back afterward,
@@ -273,6 +383,8 @@ def lsh_near_dup_candidates(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    if not with_vectors:
+        return pairs
     vecs = embeddings.select(F.col(id_col), F.col(vec_col))
     return (
         pairs.join(

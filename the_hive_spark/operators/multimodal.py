@@ -416,6 +416,11 @@ def media_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PHASH_GRID = 8  # aHash grid: 8×8 block means → 64-bit fingerprint
 PHASH_HAMMING_MAX = 3
+# Cap on the phash band join's metered output volume — same scale as
+# the text family's _PAIR_GUARD_CANDIDATES (operators/dedup.py): past
+# ~2e8 pairs the bucket join is the corpus telling you it is mostly
+# duplicates, and the answer is exact-dedup first, not a bigger join.
+_PHASH_GUARD_CANDIDATES = 200_000_000
 # 64 bits split into 4×16-bit chunks: any pair within hamming 3 agrees
 # exactly on ≥1 chunk (pigeonhole), so candidates are equi-join-able
 _PHASH_CHUNKS = [(0, 16), (16, 16), (32, 16), (48, 16)]
@@ -522,9 +527,15 @@ def media_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_simhash_hamming_pairs: 4×16-bit chunk equi-joins produce the
     candidates, bit_count(xor) verifies — never an all-pairs join, and
     the chunk value is the partition key that survives a billion
-    images. Rows-only by design (the decode seam is Python); the hash
-    and the pair set are pinned against a pure-Python reference in
-    tests/test_multimodal.py.
+    images. Guarded since round 11 by the text family's measure-then-
+    refuse contract: one aggregate meters the bucket join's exact
+    output volume before it runs and refuses past
+    {_PHASH_GUARD_CANDIDATES:.0e} naming the data-side remediation
+    (tests/test_round11_ops.py pins both directions; the sf10 row in
+    SCALE_PHASH_GUARD.json replaces r10's 900 s cancellation with a
+    ~30 s metered refusal). Rows-only by design (the decode seam is
+    Python); the hash and the pair set are pinned against a
+    pure-Python reference in tests/test_multimodal.py.
     """
     media = documents_as_media(table(spark, sf_dir, "documents"))
     sig = image_phash(media, fake=True)
@@ -550,6 +561,31 @@ def media_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "media_id", "phash", F.explode(F.array(*chunk_exprs)).alias("bv")
         ).select("media_id", "phash", "bv.band", "bv.val"),
     )
+    # Measure-then-refuse (r10 VERDICT ask #4): Σ C(bucket,2) over the
+    # already-materialized banded table is the band join's exact output
+    # volume, metered with ONE aggregate before the join runs — the
+    # same contract as the text family's _guard_band_buckets. Without
+    # it, sf10's clone corpus (100 identical copies of every image ⇒
+    # every bucket 100-deep) burned a full 900 s budget instead of
+    # refusing in seconds. The pigeonhole banding itself can't be
+    # "sharpened" (4×16 bits is what makes hamming≤3 exact), so the
+    # remediations are data-side.
+    est = (
+        banded.groupBy("band", "val")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.expr("c * (c - 1) div 2")).alias("cand"))
+        .collect()[0]["cand"]
+        or 0
+    )
+    if est > _PHASH_GUARD_CANDIDATES:
+        raise ValueError(
+            f"phash pigeonhole buckets hold {est:.2e} candidate pairs "
+            f"(cap {_PHASH_GUARD_CANDIDATES:.0e}) — the image corpus is "
+            "duplicate-dense at this size (hash-identical payloads "
+            "collide in every band); pre-prune exact byte duplicates "
+            "first (media_dedup_fingerprint keep-one, then re-run on "
+            "survivors), or dedup per-source shards independently"
+        )
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
