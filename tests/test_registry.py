@@ -20,23 +20,23 @@ registry.load_all()
 _ROOT = os.path.join(os.path.dirname(__file__), "..")
 
 # Queries whose PLANS changed since their latest driver row (the
-# repo's _PLAN_CHANGED policy, r6). The round-10 MinHash widening
-# (8 hashes/4 bands → 32/16, dedup.py N_MINHASH comment) changed the
-# executed plans AND generated oracles of the banded dedup family
-# plus the calibration audit — all six re-attest at gate slots 42-47,
-# displacing the six oldest r6-only rows to the round-11 front.
-_PLAN_CHANGED_R10: list[str] = [
-    "doc_minhash_lsh_pairs",
-    "doc_dup_clusters",
-    "doc_near_dedup_corpus",
-    "doc_dup_rates_by_source",
-    "doc_curation_funnel",
-    "doc_minhash_calibration",
+# repo's _PLAN_CHANGED policy, r6). The round-11 band-mass guard in
+# functions/lsh.py::lsh_near_dup_candidates adds a metered aggregate +
+# persist to the executed plan of the embedding near-dup family —
+# emb_near_dup_lsh and its three consumers re-attest at gate slots
+# 3-6 (results unchanged; the guard refuses only past the cap).
+# media_phash_near_dup gained the same guard but is rows-only by
+# design, so it re-executes at slot 7 under the declared exemption.
+_PLAN_CHANGED_R11: list[str] = [
+    "emb_near_dup_lsh",
+    "emb_semantic_dup_clusters",
+    "emb_semantic_dup_rates",
+    "dup_modality_agreement",
 ]
 
 
 def _driver_checked(
-    rounds=("01", "02", "03", "04", "05", "06", "07", "08", "09"),
+    rounds=("01", "02", "03", "04", "05", "06", "07", "08", "09", "10"),
 ) -> set[str]:
     """Names with a GREEN driver CORRECTNESS row in the given rounds
     (a ``no_oracle`` err row is not a verification — round 4's
@@ -73,47 +73,42 @@ def test_top50_budget():
     )
     names = json.loads(out.stdout.strip().splitlines()[-1])
     assert len(names) >= 50
-    assert names[: len(registry._GATE_R10)] == registry._GATE_R10
+    assert names[: len(registry._GATE_R11)] == registry._GATE_R11
 
 
-def test_gate_r10_oracles():
-    """Every gate slot must have a DuckDB oracle UNLESS it is one of
-    the five slots explicitly declared rows-only this round (the r9
-    ask: drive the never-gated rows-only queries through the harness
-    once — the driver records rows + err:no_oracle for them, which is
-    execution evidence by declared intent, not a burned slot like
-    round 4's accidental 11). An UNDECLARED oracle-less slot is still
-    a hard failure, and a declared slot that ever GAINS an oracle must
-    leave the allowlist (load_all enforces both at import)."""
-    assert len(registry._GATE_R10) == 50
+def test_gate_r11_oracles():
+    """Every gate slot must have a DuckDB oracle UNLESS it is the one
+    slot explicitly declared rows-only this round (media_phash_near_dup
+    re-executing because its plan gained the band-mass guard — the
+    driver records rows + err:no_oracle, execution evidence by
+    declared intent, not a burned slot like round 4's accidental 11).
+    An UNDECLARED oracle-less slot is still a hard failure, and a
+    declared slot that ever GAINS an oracle must leave the allowlist
+    (load_all enforces both at import)."""
+    assert len(registry._GATE_R11) == 50
     unoracled = {
-        n for n in registry._GATE_R10 if n not in registry.ORACLES
+        n for n in registry._GATE_R11 if n not in registry.ORACLES
     }
-    assert unoracled == registry._GATE_R10_ROWS_ONLY
-    assert registry._GATE_R10_ROWS_ONLY <= set(registry._GATE_R10)
+    assert unoracled == registry._GATE_R11_ROWS_ONLY
+    assert registry._GATE_R11_ROWS_ONLY <= set(registry._GATE_R11)
 
 
-def test_gate_r10_slots():
-    """Slots 1-36: the 36 rows whose latest green driver row is round
-    5 — the oldest oracled evidence in the record. Slots 37-41: the
-    five rows-only queries with NO driver row in any round. Slots
-    42-47: the mandatory plan-change re-attests (the MinHash widening;
-    these displaced the six oldest r6-only rows to the r11 front).
-    Slots 48-50: round-10 additions."""
-    checked = _driver_checked(
-        ("01", "02", "03", "04", "05", "06", "07", "08", "09")
-    )
+def test_gate_r11_slots():
+    """Slots 1-2: round-11 additions. Slots 3-6: the SRP band-guard
+    plan-change re-attests. Slot 7: the phash guard plan-change
+    (rows-only by design). Slots 8-50: rows whose latest green driver
+    row is round 6 — the oldest oracled evidence in the record, headed
+    by the six rows the r10 widening re-attests displaced."""
+    checked = _driver_checked()
     if not checked:
         return  # fresh clone without driver artifacts
-    r5_only = _driver_checked(("01", "02", "03", "04", "05")) - _driver_checked(
-        ("06", "07", "08", "09")
-    )
-    for n in registry._GATE_R10[:36]:
-        assert n in r5_only, f"slot {n} is not an r5-only row"
-    for n in registry._GATE_R10[36:41]:
-        assert n in registry._GATE_R10_ROWS_ONLY and n not in checked, n
-    assert registry._GATE_R10[41:47] == _PLAN_CHANGED_R10
-    assert registry._GATE_R10[47:] == registry._ADDED_R10
+    assert registry._GATE_R11[:2] == registry._ADDED_R11
+    assert registry._GATE_R11[2:6] == _PLAN_CHANGED_R11
+    assert registry._GATE_R11[6] == "media_phash_near_dup"
+    r6_only = _driver_checked(("01", "02", "03", "04", "05", "06")) - \
+        _driver_checked(("07", "08", "09", "10"))
+    for n in registry._GATE_R11[7:]:
+        assert n in r6_only, f"slot {n} is not an r6-only row"
 
 
 def test_no_green_query_left_behind():
@@ -123,27 +118,27 @@ def test_no_green_query_left_behind():
     checked = _driver_checked()
     if not checked:
         return
-    added_r10 = set(registry._ADDED_R10)
+    added_r11 = set(registry._ADDED_R11)
     never = [
         n
         for n in registry.ORACLES
         if n not in checked
-        and n not in registry._GATE_R10
-        and n not in added_r10
+        and n not in registry._GATE_R11
+        and n not in added_r11
     ]
     assert not never, (
-        "oracled queries with no driver row missing from the r10 gate "
-        "(and not declared in _ADDED_R10 for the round-11 rotation): "
+        "oracled queries with no driver row missing from the r11 gate "
+        "(and not declared in _ADDED_R11 for the round-12 rotation): "
         + str(never)
     )
 
 
 def test_plan_changed_queries_regated():
-    """Any round-10 plan edit invalidates old driver rows; each such
-    query must hold a gate slot this round (six this round: the
-    MinHash-widening re-attests at slots 42-47)."""
-    for n in _PLAN_CHANGED_R10:
-        assert n in registry._GATE_R10, n
+    """Any round-11 plan edit invalidates old driver rows; each such
+    query must hold a gate slot this round (the four embedding-family
+    re-attests at slots 3-6, plus the rows-only phash slot 7)."""
+    for n in _PLAN_CHANGED_R11 + ["media_phash_near_dup"]:
+        assert n in registry._GATE_R11, n
 
 
 def test_every_query_has_callable_and_unique_name():

@@ -3674,3 +3674,54 @@ def q_basket_pair_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("n_freq * (n_freq - 1) div 2")).cast("bigint")
         .alias("frequent_pair_mass"),
     )
+
+
+@query(
+    "q_part_price_tie_mass",
+    oracle="""
+WITH p AS (
+  SELECT p_brand,
+         CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM part
+), g AS (
+  SELECT p_brand, cents, COUNT(*) AS c FROM p GROUP BY 1, 2
+)
+SELECT p_brand,
+       CAST(SUM(c) AS BIGINT) AS n_parts,
+       CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_tie_prices,
+       CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS tie_pair_mass
+FROM g GROUP BY p_brand
+""",
+)
+def q_part_price_tie_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-price tie mass per brand: Σ C(n, 2) over (brand, cents)
+    groups — the linear pre-flight meter for the substitution range
+    join (q_part_substitution_candidates), same family as
+    q_basket_pair_mass / emb_exact_dup_mass / doc_dedup_candidate_mass.
+
+    rel_diff_ppm = 0 ⇔ equal cents under the integer quantization, so
+    the tie tier is the substitution join's irreducible output FLOOR:
+    a clone-replicated corpus announces its C(K,2) quadratics here in
+    one groupBy before any banding runs (the sf10 shape that cancelled
+    at 900 s meters as ~45× sf1 mass), while a realistic log-uniform
+    catalog meters collision-bounded mass (PART_SUBST_SCALE.json pairs
+    this meter with a completing 2M-part run). Two hash aggregations,
+    both keyed by (brand, cents) then brand — no join, no explode;
+    partial aggregation makes the first map-side at any scale.
+    """
+    p = table(spark, sf_dir, "part").select(
+        "p_brand",
+        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    g = p.groupBy("p_brand", "cents").agg(F.count(F.lit(1)).alias("c"))
+    return g.groupBy("p_brand").agg(
+        F.sum("c").cast("bigint").alias("n_parts"),
+        F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_tie_prices"),
+        F.sum(F.expr("c * (c - 1) div 2")).cast("bigint")
+        .alias("tie_pair_mass"),
+    )

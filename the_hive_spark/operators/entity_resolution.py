@@ -518,3 +518,72 @@ def cust_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
             "golden_segment",
         )
     )
+
+
+@query(
+    "cust_blocking_candidate_mass",
+    oracle="""
+WITH names AS (SELECT DISTINCT c_name FROM customer),
+m AS (
+  SELECT length(c_name) AS len, i,
+         substring(c_name, 1, i - 1) || chr(1) || substring(c_name, i + 1)
+           AS masked
+  FROM names, unnest(range(1, length(c_name) + 1)) AS t(i)
+), b AS (
+  SELECT len, i, masked, COUNT(*) AS c FROM m GROUP BY 1, 2, 3
+), mass AS (
+  SELECT len, SUM(c * (c - 1) // 2) AS candidate_mass FROM b GROUP BY len
+), nn AS (
+  SELECT length(c_name) AS len, COUNT(*) AS n_names FROM names GROUP BY 1
+)
+SELECT CAST(nn.len AS BIGINT) AS len,
+       CAST(nn.n_names AS BIGINT) AS n_names,
+       CAST(COALESCE(mass.candidate_mass, 0) AS BIGINT) AS candidate_mass
+FROM nn LEFT JOIN mass USING (len)
+""",
+)
+def cust_blocking_candidate_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Masked-position block-bucket mass per name length: Σ C(c, 2)
+    over (len, position, masked-form) buckets of the DISTINCT name
+    space — the pre-flight meter for the fuzzy-ER chain
+    (cust_fuzzy_match_pairs → clusters → golden record), same
+    measure-then-refuse family as doc_dedup_candidate_mass and the r11
+    SRP/phash band guards.
+
+    Because the blocking is output-optimal (two distinct equal-length
+    names share a masked form iff they are already a Hamming-≤1
+    match), this mass IS the name-pair join's exact output volume: a
+    clone corpus meters ~0 here (clones collapse in the DISTINCT) but
+    announces its record-expansion quadratics in the identical-name
+    group sizes, while a typo corpus meters the true near-miss volume
+    (ER_SCALE_REALISTIC.json pairs this meter with the completing 500k
+    run). One explode (len(name) rows per DISTINCT name, the shingle
+    fan-out class) + two hash aggregations; no join touches records.
+    """
+    names = table(spark, sf_dir, "customer").select("c_name").distinct()
+    masked = names.select(
+        F.length("c_name").alias("len"),
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, length(c_name)),"
+                " i -> concat(substring(c_name, 1, i - 1), chr(1),"
+                " substring(c_name, i + 1)))"
+            )
+        ).alias("i", "masked"),
+    )
+    b = masked.groupBy("len", "i", "masked").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    mass = b.groupBy("len").agg(
+        F.sum(F.expr("c * (c - 1) div 2")).cast("bigint")
+        .alias("candidate_mass")
+    )
+    nn = names.groupBy(F.length("c_name").alias("len")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_names")
+    )
+    return nn.join(mass, "len", "left").select(
+        F.col("len").cast("bigint").alias("len"),
+        "n_names",
+        F.coalesce("candidate_mass", F.lit(0)).cast("bigint")
+        .alias("candidate_mass"),
+    )

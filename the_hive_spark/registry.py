@@ -376,6 +376,92 @@ _GATE_R8 = [
 # they displaced — graph_bfs_3hop, doc_term_cooccurrence_lift,
 # q_join_skew_profile — head the r10 plan with the other 33 r5-only
 # rows).
+# ROUND-11 GATE. Slots 1-2: round-11 additions (the two pre-flight
+# mass meters that pair with this round's scale artifacts). Slots 3-6:
+# MANDATORY plan-change re-attests — the round-11 band-mass guard in
+# functions/lsh.py::lsh_near_dup_candidates adds a metered aggregate +
+# persist to the executed plan of the embedding near-dup family
+# (emb_near_dup_lsh and its three consumers; results unchanged, plans
+# not). Slot 7: media_phash_near_dup re-executes rows-only — its plan
+# gained the same guard this round (declared in _GATE_R11_ROWS_ONLY;
+# execution-under-harness evidence, not a hash claim). Slots 8-13: the
+# six r6-only rows the r10 widening re-attests displaced from r10
+# slots 42-47 (the debt the r10 gate comment promised the r11 front).
+# Slots 14-50: the next-oldest r6-only rows in _GATE_R6 registration
+# order; the four that don't fit (doc_chunks, q_order_backlog_daily,
+# q_part_skyline, events_lateness_profile) head the round-12 front.
+_GATE_R11 = [
+    # --- slots 1-2: round-11 additions ---
+    "q_part_price_tie_mass",
+    "cust_blocking_candidate_mass",
+    # --- slots 3-6: SRP band-guard plan-change re-attests ---
+    "emb_near_dup_lsh",
+    "emb_semantic_dup_clusters",
+    "emb_semantic_dup_rates",
+    "dup_modality_agreement",
+    # --- slot 7: phash guard plan-change, rows-only by design ---
+    "media_phash_near_dup",
+    # --- slots 8-13: the six displaced r6-only rows ---
+    "q_nation_yoy_growth",
+    "q_order_fulfillment_latency",
+    "q_weighted_median_price",
+    "graph_clustering_coefficient",
+    "events_survival_curve",
+    "events_time_weighted_value",
+    # --- slots 14-50: next-oldest r6-only rows, _GATE_R6 order ---
+    "q_equidepth_histogram",
+    "graph_label_propagation3",
+    "q_part_substitution_candidates",
+    "q2_min_acctbal_supplier",
+    "q4_order_priority",
+    "q6_revenue_forecast",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_late_priority_lines",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_part_supplier_variety",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q20_heavy_shippers",
+    "q22_idle_customers",
+    "q_active_parts_semi",
+    "q_brand_volume",
+    "q_cube_returnflag_status",
+    "q_mktsegment_yearly",
+    "q_order_interarrival",
+    "q_rollup_revenue",
+    "q_running_monthly_revenue",
+    "q_top_supplier_per_nation",
+    "hive_search_topk",
+    "hive_audit_recent",
+    "hive_events_by_doc",
+    "hive_stats",
+    "events_timeline",
+    "events_sessionization",
+    "events_retention",
+    "events_asof_last_order",
+    "events_funnel",
+]
+
+# The single _GATE_R11 slot that intentionally carries no oracle:
+# media_phash_near_dup is rows-only by design (the decode seam is
+# Python; ROWS_ONLY.md) and re-executes this round because its plan
+# gained the band-mass guard.
+_GATE_R11_ROWS_ONLY = {
+    "media_phash_near_dup",
+}
+
+# Queries ADDED in round 11 (same policy as _ADDED_R5-R10).
+_ADDED_R11: list[str] = [
+    "q_part_price_tie_mass",
+    "cust_blocking_candidate_mass",
+]
+
 # ROUND-10 GATE. Slots 1-36: ALL 36 remaining r5-only rows — the
 # oldest driver evidence in the record (r9 ask #2: "no driver row
 # older than r6") — headed by the three rows the round-9 additions
@@ -800,14 +886,12 @@ def load_all() -> None:
     green every round; 0 hash failures in 7 rounds, all 221 oracled
     queries driver-green all-time as of r7).
 
-    Round-11 rotation plan: (a) any _ADDED_R10 queries that miss the
-    r10 gate, (b) re-attests of whatever round-11 edits touch, then
-    (c) the six r6-only rows the r10 MinHash plan-change re-attests
-    displaced from slots 42-47 (q_nation_yoy_growth,
-    q_order_fulfillment_latency, q_weighted_median_price,
-    graph_clustering_coefficient, events_survival_curve,
-    events_time_weighted_value), then the remaining r6-only rows in
-    _GATE_R6 registration order, then the r4-era rows-only rows.
+    Round-12 rotation plan: (a) any _ADDED_R11 queries that miss the
+    r11 gate, (b) re-attests of whatever round-12 edits touch, then
+    (c) the four r6-only rows the r11 gate could not fit (doc_chunks,
+    q_order_backlog_daily, q_part_skyline, events_lateness_profile),
+    then the r7-only rows oldest-first in _GATE_R7 registration
+    order, then the r4-era rows-only rows.
     """
     from the_hive_spark.operators import (  # noqa: F401
         timeline,
@@ -826,26 +910,27 @@ def load_all() -> None:
         warehouse,
     )
 
-    missing = [n for n in _GATE_R10 if n not in QUERIES]
+    missing = [n for n in _GATE_R11 if n not in QUERIES]
     if missing:  # defensive: a renamed query must fail loudly, not
         # silently shift every later gate slot by one.
         raise RuntimeError(f"gate rotation names not registered: {missing}")
     unoracled = [
         n
-        for n in _GATE_R10
-        if n not in ORACLES and n not in _GATE_R10_ROWS_ONLY
+        for n in _GATE_R11
+        if n not in ORACLES and n not in _GATE_R11_ROWS_ONLY
     ]
     if unoracled:  # an UNDECLARED oracle-less slot verifies nothing
-        # (driver: no_oracle) — only the five declared rows-only slots
-        # (never-gated, r9 ask #7) may run without one this round.
+        # (driver: no_oracle) — only the declared rows-only slot (the
+        # phash guard plan-change re-execution) may run without one
+        # this round.
         raise RuntimeError(f"gate slots without an oracle: {unoracled}")
-    oracled_rows_only = [n for n in _GATE_R10_ROWS_ONLY if n in ORACLES]
+    oracled_rows_only = [n for n in _GATE_R11_ROWS_ONLY if n in ORACLES]
     if oracled_rows_only:  # the exemption must never mask a REAL
         # oracle: a query that gains one must leave the allowlist.
         raise RuntimeError(
             f"rows-only gate slots now have oracles: {oracled_rows_only}"
         )
-    rotated = {n: QUERIES[n] for n in _GATE_R10}
+    rotated = {n: QUERIES[n] for n in _GATE_R11}
     rotated.update((n, fn) for n, fn in QUERIES.items() if n not in rotated)
     QUERIES.clear()
     QUERIES.update(rotated)
