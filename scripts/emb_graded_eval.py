@@ -221,9 +221,14 @@ def measure(spark, corpus_dir: str, ids, X, n_planes: int, n_bands: int,
     res["n_true_pairs_ge_650k_ppm"] = int(len(ta))
     res["truth_sha"] = hashlib.sha256(
         np.stack([ta, tb, tppm]).tobytes()).hexdigest()[:16]
-    fam_mask = (ta < BG_ID_BASE) & (tb < BG_ID_BASE)
-    res["n_truth_pairs_background_chance"] = int((~fam_mask).sum())
-    res["max_background_ppm"] = int(tppm[~fam_mask].max()) if (~fam_mask).any() else None
+    # family ids are base (< BG_ID_BASE) or spoke (>= 1e12); a pair is
+    # within-family iff both are family ids of the SAME family index
+    is_fam_a = (ta < BG_ID_BASE) | (ta >= 10**12)
+    is_fam_b = (tb < BG_ID_BASE) | (tb >= 10**12)
+    same_fam = is_fam_a & is_fam_b & (ta % 10**12 == tb % 10**12)
+    res["n_truth_pairs_background_chance"] = int((~same_fam).sum())
+    res["max_background_ppm"] = (
+        int(tppm[~same_fam].max()) if (~same_fam).any() else None)
 
     import pandas as pd
 

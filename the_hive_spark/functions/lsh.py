@@ -357,7 +357,7 @@ def lsh_near_dup_candidates(
             banded.unpersist()
             raise ValueError(
                 f"SRP band buckets hold {est:.2e} candidate pairs (cap "
-                f"{BAND_GUARD_CANDIDATES:.0e}) — the {n_bands}×"
+                f"{BAND_GUARD_CANDIDATES:.2e}) — the {n_bands}×"
                 f"{bits_per_band}-bit banding under-prunes at this "
                 "cardinality; re-size with srp_banding_for_threshold"
                 "(threshold, n) (wider bands, more of them), or dedup "
