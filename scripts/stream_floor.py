@@ -113,6 +113,23 @@ def run_variant(sf_dir: str, variant: str, n_files: int,
         sum(op.get("commitTimeMs", 0) for op in b.get("stateOperators", []))
         for b in batches if b.get("stateOperators")
     )
+    # full stateOperators metric medians: allUpdatesTimeMs brackets the
+    # JVM-side iteration that DRIVES the python worker, so python-stage
+    # time vs everything-else reads off the artifact
+    so_keys: set = set()
+    for b in batches:
+        for op in b.get("stateOperators", []):
+            so_keys |= {k for k, v in op.items()
+                        if isinstance(v, (int, float))}
+    so_med = {}
+    for k in sorted(so_keys):
+        vals = sorted(
+            sum(op.get(k, 0) for op in b.get("stateOperators", []))
+            for b in batches if b.get("stateOperators")
+        )
+        if vals:
+            so_med[k] = vals[len(vals) // 2]
+    r["state_operator_medians"] = so_med
     r["variant"] = variant
     r["conf"] = conf
     r["durationMs_breakdown"] = breakdown

@@ -137,3 +137,20 @@ def test_srp_sizer_reproduces_registered_shape_at_driver_scale():
     # ≥99% per-pair recall at the 0.95 operating threshold — the
     # analytic claim EMB_DEDUP_SCALE_GRADED.json verifies empirically
     assert srp_collision_prob(0.95, 12, 16) >= 0.99
+
+
+# ------------------------------------- emb_near_dup_lsh auto-sizing
+
+
+def test_emb_lsh_auto_banding_cutoff():
+    """The registered operator keeps the attested 16×12 shape at or
+    below the cutoff (every driver row + the sf10 decomposition regime)
+    and hands off to the analytic sizer above it — at 500k the sizer's
+    shape is the one EMB_DEDUP_SCALE_GRADED.json run B2 measured at
+    0.9976 recall."""
+    from the_hive_spark.functions.lsh import srp_banding_for_threshold
+    from the_hive_spark.operators.similarity import EMB_LSH_AUTO_MAX
+
+    assert EMB_LSH_AUTO_MAX == 250_000
+    sized = srp_banding_for_threshold(0.95, 500_000)
+    assert sized == {"n_planes": 315, "n_bands": 21}  # 21 bands × 15 bits

@@ -533,7 +533,10 @@ def media_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_PHASH_GUARD_CANDIDATES:.0e} naming the data-side remediation
     (tests/test_round11_ops.py pins both directions; the sf10 row in
     SCALE_PHASH_GUARD.json replaces r10's 900 s cancellation with a
-    ~30 s metered refusal). Rows-only by design (the decode seam is
+    117 s metered refusal — the cost is the linear signature build
+    over 500k images, after which the named remediation completes in
+    4 s on the 5,000 exact-dedup survivors). Rows-only by design (the
+    decode seam is
     Python); the hash and the pair set are pinned against a
     pure-Python reference in tests/test_multimodal.py.
     """

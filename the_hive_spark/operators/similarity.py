@@ -311,22 +311,53 @@ def emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot (mirroring the text side, dedup.doc_ngram_jaccard_pairs):
     production dedup never rebuilds the pair index per consumer, and
     dup_modality_agreement reads the same artifact.
+
+    Banding auto-sizes past the attested regime (round 11): ≤250k
+    vectors keeps the 16×12 shape every driver row and the sf10 clone
+    decomposition attested (EMB_DUP_DECOMP.json meters 2.4e8 band mass
+    at 200k — under the guard cap); above that, 16×12 provably
+    under-prunes (the 500k graded corpus metered 7.47e8 and the r11
+    band-mass guard refused it) and srp_banding_for_threshold picks
+    the (bits, bands) meeting the 0.99 recall floor within the
+    candidate budget — at 500k that is 21×15, measured at 0.9976 pair
+    recall / 830× prune vs exact ground truth
+    (EMB_DEDUP_SCALE_GRADED.json run B2). The cardinality probe and
+    the chosen shape key the materialization, so consumers of the
+    same corpus snapshot share one pair artifact.
     """
+    from the_hive_spark.functions.lsh import srp_banding_for_threshold
     from the_hive_spark.functions.matstore import materialized
 
+    emb = table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    params = (
+        {"n_planes": 192, "n_bands": 16}
+        if n <= EMB_LSH_AUTO_MAX
+        else srp_banding_for_threshold(0.95, n)
+    )
     return materialized(
         spark,
-        ("emb_near_dup_lsh", sf_dir, 192, 16, NEAR_DUP_PPM),
-        lambda: _emb_near_dup_lsh_build(spark, sf_dir),
+        ("emb_near_dup_lsh", sf_dir, params["n_planes"], params["n_bands"],
+         NEAR_DUP_PPM),
+        lambda: _emb_near_dup_lsh_build(spark, sf_dir, **params),
     )
 
 
-def _emb_near_dup_lsh_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Above this cardinality the fixed 16×12 banding's background
+# candidate mass (16·2⁻¹²·C(n,2)) crosses the band-mass guard cap and
+# the auto-sizer takes over; at or below it, the attested shape stays.
+EMB_LSH_AUTO_MAX = 250_000
+
+
+def _emb_near_dup_lsh_build(
+    spark: SparkSession, sf_dir: str, n_planes: int = 192, n_bands: int = 16
+) -> DataFrame:
     from the_hive_spark.functions.lsh import lsh_near_dup_candidates
 
     emb = table(spark, sf_dir, "embeddings")
     cand = lsh_near_dup_candidates(
-        emb, id_col="vec_id", vec_col="embedding", n_planes=192, n_bands=16
+        emb, id_col="vec_id", vec_col="embedding",
+        n_planes=n_planes, n_bands=n_bands,
     )
     scorer = qcos_ppm_udf()
     return (

@@ -27,6 +27,7 @@ from __future__ import annotations
 import math
 from collections.abc import Iterable
 
+import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
@@ -112,29 +113,54 @@ def admit_events(
         tokens_milli, last = state.get
         last_ts_us = None if last < 0 else int(last)
 
-    rows = []
-    for pdf in pdfs:
-        for r in pdf.itertuples(index=False):
-            rows.append((int(r.event_id), int(r.ts_us)))
-    rows.sort(key=lambda t: (t[1], t[0]))  # event-time order, id tiebreak
+    # Hot path (r10 verdict #7): this function runs once per key per
+    # micro-batch over the whole event volume, and the original
+    # itertuples + list-append form WAS the measured ~19 s per-batch
+    # floor at sf10 (STREAM_FLOOR.json: state-store provider and
+    # partition-count swaps moved p50 by <5%; the Python row loop is
+    # where the time lives). Columns come out as numpy int64 arrays,
+    # the sort is one lexsort, outputs are preallocated arrays, and
+    # the recurrence loop runs on primitive ints — the token-bucket
+    # ARITHMETIC is unchanged expression-for-expression (float refill
+    # multiply, floor-div 1000, clamp at burst), so admissions are
+    # bit-identical to the original (pinned by test_streaming's
+    # batch/stream parity and golden-admission tests).
+    parts = [p for p in pdfs if len(p)]
+    if parts:
+        if len(parts) == 1:
+            eid = parts[0]["event_id"].to_numpy(np.int64)
+            ts = parts[0]["ts_us"].to_numpy(np.int64)
+        else:
+            eid = np.concatenate(
+                [p["event_id"].to_numpy(np.int64) for p in parts])
+            ts = np.concatenate(
+                [p["ts_us"].to_numpy(np.int64) for p in parts])
+        order = np.lexsort((eid, ts))  # event-time order, id tiebreak
+        eid, ts = eid[order], ts[order]
+    else:
+        eid = ts = np.empty(0, np.int64)
 
-    out = {k: [] for k in ("user_id", "event_id", "ts_us", "allowed",
-                           "tokens_after_milli")}
-    for event_id, ts_us in rows:
-        if last_ts_us is not None and ts_us > last_ts_us:
-            refill = (ts_us - last_ts_us) * rate_per_sec
-            tokens_milli = min(
-                burst * 1000, tokens_milli + int(refill // 1000)
-            )
-        last_ts_us = ts_us if last_ts_us is None else max(last_ts_us, ts_us)
-        allowed = 1 if tokens_milli >= 1000 else 0
-        if allowed:
-            tokens_milli -= 1000
-        out["user_id"].append(user_id)
-        out["event_id"].append(event_id)
-        out["ts_us"].append(ts_us)
-        out["allowed"].append(allowed)
-        out["tokens_after_milli"].append(tokens_milli)
+    n = len(ts)
+    allowed = np.empty(n, np.int64)
+    tokens_after = np.empty(n, np.int64)
+    cap = burst * 1000
+    t = tokens_milli
+    lt = last_ts_us
+    for i in range(n):
+        u = int(ts[i])
+        if lt is None:
+            lt = u
+        elif u > lt:
+            refill = (u - lt) * rate_per_sec
+            t = min(cap, t + int(refill // 1000))
+            lt = u
+        if t >= 1000:
+            t -= 1000
+            allowed[i] = 1
+        else:
+            allowed[i] = 0
+        tokens_after[i] = t
+    tokens_milli, last_ts_us = t, lt
 
     state.update((tokens_milli, -1 if last_ts_us is None else last_ts_us))
     # State may only expire once the idle period is long enough that
@@ -164,8 +190,16 @@ def admit_events(
                 state.getCurrentWatermarkMs() + 1,
             )
         )
-    if rows:
-        yield pd.DataFrame(out)
+    if n:
+        yield pd.DataFrame(
+            {
+                "user_id": np.full(n, user_id, dtype=np.int64),
+                "event_id": eid,
+                "ts_us": ts,
+                "allowed": allowed,
+                "tokens_after_milli": tokens_after,
+            }
+        )
 
 
 def rate_limited(
