@@ -106,18 +106,22 @@ def test_srp_guard_passes_benign_and_ids_only(spark):
 
 def test_srp_sizer_meets_recall_floor_within_budget():
     from the_hive_spark.functions.lsh import (
-        BAND_GUARD_CANDIDATES,
+        SRP_SIZER_MASS_BUDGET,
         srp_banding_for_threshold,
         srp_collision_prob,
     )
 
+    # the sizer budget is pinned: EMB_DEDUP_SCALE_GRADED.json measured
+    # THESE choices (21×15 at 0.95/500k, 36×11 at 0.8/100k) against
+    # exact ground truth; a budget change silently unlinks the numbers
+    assert SRP_SIZER_MASS_BUDGET == 250_000_000
     for tau, n in [(0.95, 500_000), (0.95, 1_000_000), (0.8, 100_000)]:
         floor = 0.95 if tau == 0.8 else 0.99
         p = srp_banding_for_threshold(tau, n, recall_floor=floor)
         bits = p["n_planes"] // p["n_bands"]
         assert srp_collision_prob(tau, bits, p["n_bands"]) >= floor
         bg_mass = p["n_bands"] * 2.0 ** -bits * n * (n - 1) / 2
-        assert bg_mass <= BAND_GUARD_CANDIDATES / 2
+        assert bg_mass <= SRP_SIZER_MASS_BUDGET / 2
 
 
 def test_srp_sizer_refuses_infeasible_regime():

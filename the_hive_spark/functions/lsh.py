@@ -220,14 +220,25 @@ def ann_topk_lsh(
 
 # Cap on the banded self-join's exact output volume (Σ C(bucket, 2),
 # measured with one aggregate BEFORE the join runs) — the embedding
-# counterpart of operators/dedup.py::_PAIR_GUARD_CANDIDATES. Sized to
-# the measured completing regime: the sf10 clone corpus (200k vectors,
-# 9.9M true pairs colliding in all 16 bands) metered 2.4e8 and
-# completes in ~170 s on local[32] (EMB_DUP_DECOMP.json); the 500k
-# graded corpus under the same 16×12 banding meters ~4.9e8 of pure
-# background collisions (16·2⁻¹²·C(500k,2)) whose vector join-back
-# alone is a ~250 GB shuffle — refuse and name the re-sizing instead.
-BAND_GUARD_CANDIDATES = 250_000_000
+# counterpart of operators/dedup.py::_PAIR_GUARD_CANDIDATES. Bracketed
+# by round-11 measurements: the sf10 clone corpus meters 2.78e8 under
+# 16×12 and COMPLETES in ~170 s on local[32] (EMB_DUP_DECOMP.json —
+# clone-family collisions, join-back ~70 GB), while the 500k graded
+# corpus meters 7.47e8 of pure background collisions whose vector
+# join-back alone is a ~390 GB shuffle — the melt regime. The cap sits
+# between the measured-completing and the refused points.
+BAND_GUARD_CANDIDATES = 400_000_000
+
+# The analytic sizer targets a TIGHTER budget than the guard refuses
+# at: srp_banding_for_threshold picks the banding whose EXPECTED
+# background mass stays under half of this, leaving the other half for
+# true-dup collision mass the analytic form can't know. 2.5e8 is the
+# value whose choices were ground-truth-measured in
+# EMB_DEDUP_SCALE_GRADED.json (21 bands × 15 bits at (0.95, 500k):
+# recall 0.9976; 36×11 at (0.8, 100k): recall 0.9905) — changing it
+# silently invalidates that linkage, so it is pinned by
+# tests/test_round11_ops.py.
+SRP_SIZER_MASS_BUDGET = 250_000_000
 
 
 def srp_collision_prob(cos_sim: float, bits_per_band: int, n_bands: int) -> float:
@@ -243,7 +254,7 @@ def srp_banding_for_threshold(
     threshold: float,
     n: int,
     recall_floor: float = 0.99,
-    mass_cap: int = BAND_GUARD_CANDIDATES,
+    mass_cap: int = SRP_SIZER_MASS_BUDGET,
     max_bands: int = 64,
 ) -> dict:
     """Size (n_planes, n_bands) for ``lsh_near_dup_candidates`` from
@@ -256,15 +267,17 @@ def srp_banding_for_threshold(
     is L(b) = ⌈ln(1−floor)/ln(1−p(τ)^b)⌉, and the expected background
     (cos ≈ 0 ⇒ per-band 2⁻ᵇ) candidate mass is L·2⁻ᵇ·C(n,2). Wider
     bands prune harder but need more of them; the smallest b whose
-    background mass fits under half the guard cap wins (half: true
-    near-dup collisions, which the analytic form can't know, share
-    the same cap at run time). The registered emb_near_dup_lsh keeps
-    its attested 16×12 shape at driver scale; this sizer is for the
-    regimes where that shape meters over the cap (≳300k vectors at
-    τ=0.95) or for users running at a lower threshold (e.g. SemDeDup
-    at τ=0.8, where 12-bit bands would need L=46 and 13-bit L=58 —
-    per-cosine-bucket recall of both regimes is measured in
-    EMB_DEDUP_SCALE_GRADED.json).
+    background mass fits under half the sizer budget wins (half: true
+    near-dup collisions, which the analytic form can't know, get the
+    other half before the run-time guard would complain). The
+    registered emb_near_dup_lsh keeps its attested 16×12 shape at
+    driver scale and hands off to this sizer past 250k vectors
+    (similarity.EMB_LSH_AUTO_MAX); it also serves users running at a
+    lower threshold (e.g. SemDeDup at τ=0.8). Per-cosine-bucket recall
+    of the sizer's choices is ground-truth-measured in
+    EMB_DEDUP_SCALE_GRADED.json (21×15 bits at (0.95, 500k): 0.9976;
+    36×11 at (0.8, 100k): 0.9905), which is why the budget constant is
+    pinned.
     """
     p_bit = 1.0 - np.arccos(max(-1.0, min(1.0, threshold))) / np.pi
     pairs = n * (n - 1) / 2.0
@@ -316,8 +329,9 @@ def lsh_near_dup_candidates(
     ``srp_banding_for_threshold`` as the remediation — the same
     measure-then-refuse contract as the text family's
     ``_guard_band_buckets`` (operators/dedup.py), added in round 11
-    after the graded-corpus eval metered a ~4.9e8-candidate join at
-    500k vectors under the fixed 16×12 banding.
+    after the graded-corpus eval metered a 7.47e8-candidate join at
+    500k vectors under the fixed 16×12 banding (a ~390 GB vector
+    join-back).
 
     ``with_vectors=False`` skips the vector join-back and returns bare
     (id_a, id_b) — for recall evals and mass studies that only need
