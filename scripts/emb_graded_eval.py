@@ -406,6 +406,25 @@ def main() -> None:
         print(json.dumps({"run": "C", **{k: r[k] for k in
               ("n_candidates", "pair_recall_at_threshold")}}), flush=True)
 
+    if "D" in runs:
+        # the top of the verdict's asked range: 1M vectors, sizer-
+        # chosen banding, full candidate-recall + verified-set check
+        n, fams = 1_000_000, 20_000
+        cdir = "/tmp/emb_graded_1m"
+        ids, X = make_corpus(n, fams, cdir)
+        sized = srp_banding_for_threshold(0.95, n)
+        t0 = time.perf_counter()
+        r = measure(spark, cdir, ids, X, thr_ppm=THRESH_PPM,
+                    do_clusters=True, **sized)
+        r["n_vectors"], r["n_families"] = n, fams
+        r["what"] = (f"srp_banding_for_threshold(0.95, {n}): "
+                     f"{sized['n_bands']}×{sized['n_planes']//sized['n_bands']}"
+                     " bits at 1M")
+        r["sec_total"] = round(time.perf_counter() - t0, 2)
+        report["runs"]["D_1m_sized"] = r
+        print(json.dumps({"run": "D", **{k: r[k] for k in
+              ("n_candidates", "pair_recall_at_threshold")}}), flush=True)
+
     report["load_end"] = _load()
     with open(out_path, "w") as fh:
         json.dump(report, fh, indent=1)
