@@ -62,6 +62,20 @@ VARIANTS = {
         "spark.sql.streaming.stateStore.rocksdb."
         "changelogCheckpointing.enabled": "true",
     },
+    # Spark 4 transformWithState: the path STREAM_FLOOR.json's pinned
+    # negative result names as the one that could break the per-key
+    # applyInPandasWithState protocol floor — a different state
+    # protocol (Arrow-batched dispatch + state-server connection).
+    # Same _bucket_admit recurrence (parity pinned in test_streaming);
+    # RocksDB provider is REQUIRED by the operator.
+    "tws": {
+        "limiter": "tws",
+        "spark.sql.streaming.stateStore.providerClass":
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled": "true",
+    },
 }
 
 
@@ -83,7 +97,15 @@ def run_variant(sf_dir: str, variant: str, n_files: int,
     from the_hive_spark.session import get_spark
 
     ss = _stream_scale()
-    conf = VARIANTS[variant]
+    conf = dict(VARIANTS[variant])
+    limiter_kind = conf.pop("limiter", "apws")
+    if limiter_kind == "tws":
+        # worker env freezes at JVM launch — shim before get_spark
+        from the_hive_spark.compat import ensure_tws_protobuf
+
+        if not ensure_tws_protobuf():
+            return {"variant": variant,
+                    "error": "no protobuf runtime for transformWithState"}
     # shuffle_partitions must go through get_spark's own arg so the
     # session default doesn't override the variant
     sp = int(conf.get("spark.sql.shuffle.partitions", "0")) or None
@@ -97,7 +119,13 @@ def run_variant(sf_dir: str, variant: str, n_files: int,
 
     shutil.rmtree(root, ignore_errors=True)
     os.makedirs(root, exist_ok=True)
-    r = ss.run_live(spark, sf_dir, root, n_files, feed_ms)
+    if limiter_kind == "tws":
+        from the_hive_spark.streaming.ratelimit import rate_limited_tws
+
+        r = ss.run_live(spark, sf_dir, root, n_files, feed_ms,
+                        limiter=rate_limited_tws)
+    else:
+        r = ss.run_live(spark, sf_dir, root, n_files, feed_ms)
     # durationMs breakdown + state commit times: where the floor lives
     batches = r.pop("batches", [])
     dur_keys = set()

@@ -395,12 +395,14 @@ def run_incdedup(spark, sf_dir: str, root: str, n_files: int,
 
 
 def run_live(spark, sf_dir: str, root: str, n_files: int,
-             feed_ms: int) -> dict:
+             feed_ms: int, limiter=rate_limited) -> dict:
     """Rate limiter under a LIVE default processing-time trigger: a
     feeder thread moves backlog files into the watched dir every
     ``feed_ms`` ms, so micro-batches form from ARRIVAL, not replay
     pacing — the per-batch triggerExecution distribution is the
-    latency number availableNow cannot give."""
+    latency number availableNow cannot give. ``limiter`` swaps the
+    operator harness (rate_limited / rate_limited_tws) under the
+    identical feed."""
     staging = os.path.join(root, "live_staging")
     watched = os.path.join(root, "live_src")
     n_events = _events_backlog(spark, sf_dir, staging, n_files)
@@ -425,7 +427,7 @@ def run_live(spark, sf_dir: str, root: str, n_files: int,
     stream = spark.readStream.schema(
         "user_id long, event_id long, ts_us long"
     ).parquet(watched)
-    verdicts = rate_limited(stream)
+    verdicts = limiter(stream)
     counts = {"out": 0}
     lock = threading.Lock()
 

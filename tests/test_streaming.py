@@ -882,6 +882,111 @@ def test_rate_limiter_pacing_parity_across_expiry(spark, tmp_path):
     assert idle_s > max(60, DEFAULT_BURST / DEFAULT_RATE_PER_SEC)
 
 
+def test_rate_limiter_tws_parity(spark, tmp_path):
+    """The Spark 4 transformWithState harness admits bit-identically
+    to applyInPandasWithState on the expiry-crossing scenario above —
+    same pure-python bucket simulation, both pacings. The paced leg
+    exercises the explicit-timer plumbing TWS adds (register on first
+    sight, delete+re-register on re-arm, stale-timer ignore in the
+    expiry callback): user 1's bucket expires mid-run and is
+    recreated, which must not change a single admission."""
+    import pandas as pd
+
+    from tests.conftest import TWS_AVAILABLE
+
+    if not TWS_AVAILABLE:
+        pytest.skip("no protobuf runtime for transformWithState")
+
+    from the_hive_spark.streaming.ratelimit import (
+        DEFAULT_BURST,
+        DEFAULT_RATE_PER_SEC,
+        rate_limited_tws,
+    )
+
+    sec = 1_000_000  # µs
+    files = [
+        [(1, 0, 0), (1, 1, 100_000), (1, 2, 200_000), (1, 3, 300_000),
+         (2, 100, 0)],
+        [(2, 101, 60 * sec)],
+        [(2, 102, 120 * sec), (2, 103, 180 * sec)],
+        [(2, 104, 240 * sec)],
+        [(1, 4, 300 * sec), (1, 5, int(300.1 * sec)),
+         (1, 6, int(300.2 * sec)), (1, 7, int(300.3 * sec)),
+         (2, 105, 300 * sec)],
+    ]
+
+    # transformWithState requires the RocksDB state store; the conf is
+    # read at query START from the session, so set/restore around the
+    # runs (other tests' already-running queries are unaffected)
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(prov_key, None)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        def run(paced: bool, tag: str):
+            src = tmp_path / f"tws_{tag}"
+            src.mkdir()
+            for i, rows in enumerate(files):
+                pd.DataFrame(
+                    [{"user_id": u, "event_id": e, "ts_us": t}
+                     for u, e, t in rows]
+                ).astype("int64").to_parquet(src / f"f{i}.parquet")
+            reader = spark.readStream.schema(
+                spark.read.parquet(str(src)).schema
+            )
+            if paced:
+                reader = reader.option("maxFilesPerTrigger", 1)
+            q = (
+                rate_limited_tws(
+                    reader.parquet(str(src)), late_tolerance="0 seconds"
+                )
+                .writeStream.format("memory")
+                .queryName(f"tws_{tag}")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+            return {
+                r["event_id"]: (r["allowed"], r["tokens_after_milli"])
+                for r in spark.sql(f"SELECT * FROM tws_{tag}").collect()
+            }
+
+        paced = run(True, "paced")
+        single = run(False, "single")
+    finally:
+        if old is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, old)
+
+    def simulate(events):
+        out = {}
+        tokens, last = DEFAULT_BURST * 1000, None
+        for eid, ts in sorted(events, key=lambda t: (t[1], t[0])):
+            if last is not None and ts > last:
+                tokens = min(
+                    DEFAULT_BURST * 1000,
+                    tokens + int((ts - last) * DEFAULT_RATE_PER_SEC // 1000),
+                )
+            last = ts if last is None else max(last, ts)
+            allowed = 1 if tokens >= 1000 else 0
+            if allowed:
+                tokens -= 1000
+            out[eid] = (allowed, tokens)
+        return out
+
+    want = {}
+    flat = [r for rows in files for r in rows]
+    for uid in (1, 2):
+        want.update(simulate([(e, t) for u, e, t in flat if u == uid]))
+    assert paced == want, f"TWS paced diverged: {paced} != {want}"
+    assert single == want, f"TWS single diverged: {single} != {want}"
+
+
 def test_streaming_sources_no_driver_side_batch_work():
     """Round-4 verdict scale wart: nothing under streaming/ may do
     per-batch driver-side work — no ``.collect()`` of row sets and no

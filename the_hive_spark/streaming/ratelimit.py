@@ -20,6 +20,12 @@ have returned the bucket to full burst anyway. State per key is two
 scalars (milli-tokens, last event-time µs); ``applyInPandasWithState``
 shards keys across executors, so capacity is O(distinct keys /
 cluster), with no coordination between keys.
+
+Two operator harnesses share one recurrence: :func:`rate_limited`
+(applyInPandasWithState, any state store) and
+:func:`rate_limited_tws` (Spark 4 transformWithState, RocksDB store
+required) — both call :func:`_bucket_admit`, so admissions are
+bit-identical by construction and pinned by parity tests.
 """
 
 from __future__ import annotations
@@ -67,6 +73,69 @@ OUTPUT_SCHEMA = StructType(
         StructField("tokens_after_milli", LongType()),
     ]
 )
+
+
+def _concat_event_time_order(
+    pdfs: Iterable[pd.DataFrame],
+) -> tuple[np.ndarray, np.ndarray]:
+    """(event_id, ts_us) int64 arrays in event-time order (id
+    tiebreak) from a batch's chunked pandas frames. Columns come out
+    as numpy int64 arrays and the sort is one lexsort — no pandas
+    row iteration anywhere on this path."""
+    parts = [p for p in pdfs if len(p)]
+    if not parts:
+        e = np.empty(0, np.int64)
+        return e, e
+    if len(parts) == 1:
+        eid = parts[0]["event_id"].to_numpy(np.int64)
+        ts = parts[0]["ts_us"].to_numpy(np.int64)
+    else:
+        eid = np.concatenate(
+            [p["event_id"].to_numpy(np.int64) for p in parts])
+        ts = np.concatenate(
+            [p["ts_us"].to_numpy(np.int64) for p in parts])
+    order = np.lexsort((eid, ts))  # event-time order, id tiebreak
+    return eid[order], ts[order]
+
+
+def _bucket_admit(
+    eid: np.ndarray,
+    ts: np.ndarray,
+    tokens_milli: int,
+    last_ts_us: int | None,
+    rate_per_sec: float,
+    burst: int,
+) -> tuple[np.ndarray, np.ndarray, int, int | None]:
+    """The token-bucket recurrence over one key's event-time-ordered
+    batch: (allowed, tokens_after_milli, tokens_milli', last_ts_us').
+
+    Preallocated outputs, primitive-int loop; the arithmetic is the
+    reference recipe expression-for-expression (float refill multiply,
+    floor-div 1000, clamp at burst·1000, admit costs exactly 1000).
+    Both streaming harnesses — applyInPandasWithState's admit_events
+    and the transformWithState TokenBucketProcessor — call THIS
+    function, so their admissions cannot diverge."""
+    n = len(ts)
+    allowed = np.empty(n, np.int64)
+    tokens_after = np.empty(n, np.int64)
+    cap = burst * 1000
+    t = tokens_milli
+    lt = last_ts_us
+    for i in range(n):
+        u = int(ts[i])
+        if lt is None:
+            lt = u
+        elif u > lt:
+            refill = (u - lt) * rate_per_sec
+            t = min(cap, t + int(refill // 1000))
+            lt = u
+        if t >= 1000:
+            t -= 1000
+            allowed[i] = 1
+        else:
+            allowed[i] = 0
+        tokens_after[i] = t
+    return allowed, tokens_after, t, lt
 
 
 def admit_events(
@@ -118,49 +187,16 @@ def admit_events(
     # itertuples + list-append form WAS the measured ~19 s per-batch
     # floor at sf10 (STREAM_FLOOR.json: state-store provider and
     # partition-count swaps moved p50 by <5%; the Python row loop is
-    # where the time lives). Columns come out as numpy int64 arrays,
-    # the sort is one lexsort, outputs are preallocated arrays, and
-    # the recurrence loop runs on primitive ints — the token-bucket
-    # ARITHMETIC is unchanged expression-for-expression (float refill
-    # multiply, floor-div 1000, clamp at burst), so admissions are
-    # bit-identical to the original (pinned by test_streaming's
-    # batch/stream parity and golden-admission tests).
-    parts = [p for p in pdfs if len(p)]
-    if parts:
-        if len(parts) == 1:
-            eid = parts[0]["event_id"].to_numpy(np.int64)
-            ts = parts[0]["ts_us"].to_numpy(np.int64)
-        else:
-            eid = np.concatenate(
-                [p["event_id"].to_numpy(np.int64) for p in parts])
-            ts = np.concatenate(
-                [p["ts_us"].to_numpy(np.int64) for p in parts])
-        order = np.lexsort((eid, ts))  # event-time order, id tiebreak
-        eid, ts = eid[order], ts[order]
-    else:
-        eid = ts = np.empty(0, np.int64)
-
+    # where the time lives). The recurrence lives in _bucket_admit —
+    # shared verbatim with the transformWithState processor below, so
+    # the two operator harnesses admit bit-identically by construction
+    # (pinned by test_streaming's batch/stream parity and
+    # golden-admission tests).
+    eid, ts = _concat_event_time_order(pdfs)
+    allowed, tokens_after, tokens_milli, last_ts_us = _bucket_admit(
+        eid, ts, tokens_milli, last_ts_us, rate_per_sec, burst
+    )
     n = len(ts)
-    allowed = np.empty(n, np.int64)
-    tokens_after = np.empty(n, np.int64)
-    cap = burst * 1000
-    t = tokens_milli
-    lt = last_ts_us
-    for i in range(n):
-        u = int(ts[i])
-        if lt is None:
-            lt = u
-        elif u > lt:
-            refill = (u - lt) * rate_per_sec
-            t = min(cap, t + int(refill // 1000))
-            lt = u
-        if t >= 1000:
-            t -= 1000
-            allowed[i] = 1
-        else:
-            allowed[i] = 0
-        tokens_after[i] = t
-    tokens_milli, last_ts_us = t, lt
 
     state.update((tokens_milli, -1 if last_ts_us is None else last_ts_us))
     # State may only expire once the idle period is long enough that
@@ -183,11 +219,10 @@ def admit_events(
     # recreated full bucket admit a volley a never-expired bucket
     # would still be refilling toward).
     if rate_per_sec > 0 and last_ts_us is not None:
-        idle_ms = max(60_000, math.ceil(1000 * burst / rate_per_sec))
         state.setTimeoutTimestamp(
-            max(
-                -(-(last_ts_us + _WM_OFFSET_US) // 1000) + idle_ms,
-                state.getCurrentWatermarkMs() + 1,
+            _expiry_instant_ms(
+                last_ts_us, rate_per_sec, burst,
+                state.getCurrentWatermarkMs(),
             )
         )
     if n:
@@ -242,5 +277,170 @@ def rate_limited(
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+# --- Spark 4 transformWithState harness -------------------------------
+#
+# STREAM_FLOOR.json pinned the applyInPandasWithState floor at ~3 ms
+# CPU per key per batch in the per-key python-state exchange protocol
+# (our UDF accounts for <1 s of a ~15 s stage), and named Spark 4's
+# transformWithState — a different state protocol (Arrow-batched
+# per-key dispatch + a state-server connection instead of inline
+# per-key state rows) — as a path that could break it. This is that
+# path: the SAME recurrence (_bucket_admit, shared by construction)
+# on the new operator. Requires the RocksDB state store provider
+# (Spark rejects transformWithState on the HDFS-backed provider).
+#
+# State is (tokens_milli, last_ts_us, timer_ms): the first two scalars
+# are the bucket exactly as in _STATE_SCHEMA; timer_ms records the
+# event-time expiry timer this key currently holds, because TWS timers
+# are explicit objects (register/delete) rather than GroupState's
+# single implicit timeout — re-arming requires deleting the previous
+# instant, and the expiry callback must ignore a stale timer that a
+# later batch already superseded.
+
+_TWS_STATE_SCHEMA = StructType(
+    [
+        StructField("tokens_milli", LongType()),
+        StructField("last_ts_us", LongType()),
+        StructField("timer_ms", LongType()),
+    ]
+)
+
+
+def _expiry_instant_ms(
+    last_ts_us: int, rate_per_sec: float, burst: int, watermark_ms: int
+) -> int:
+    """The event-time instant at which an idle bucket may drop: the
+    point where refill law would have returned it to full burst anyway
+    (≥60 s floor), ceil'd so expiry is never EARLIER than the exact
+    refill point, clamped ahead of the current watermark (Spark
+    rejects an already-passed instant; later never changes
+    admissions). Shared by both harnesses."""
+    idle_ms = max(60_000, math.ceil(1000 * burst / rate_per_sec))
+    return max(
+        -(-(last_ts_us + _WM_OFFSET_US) // 1000) + idle_ms,
+        watermark_ms + 1,
+    )
+
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+)
+
+
+class TokenBucketProcessor(StatefulProcessor):
+    """StatefulProcessor flavor of the token bucket (Spark 4
+    transformWithStateInPandas). Admissions are bit-identical to
+    :func:`admit_events` — both call :func:`_bucket_admit` — and the
+    expiry law is the same event-time instant via
+    :func:`_expiry_instant_ms`; only the state/timer plumbing differs
+    (ValueState + explicit timers vs GroupState's implicit timeout).
+    Pinned against the sibling by test_streaming's TWS parity tests.
+    """
+
+    def __init__(
+        self,
+        rate_per_sec: float = DEFAULT_RATE_PER_SEC,
+        burst: int = DEFAULT_BURST,
+    ) -> None:
+        self._rate = rate_per_sec
+        self._burst = burst
+
+    def init(self, handle) -> None:
+        self._handle = handle
+        self._state = handle.getValueState("bucket", _TWS_STATE_SCHEMA)
+
+    def close(self) -> None:
+        pass
+
+    def handleInputRows(self, key, rows, timerValues):
+        user_id = int(key[0])
+        got = self._state.get()
+        if got is None:
+            tokens_milli, last_ts_us, old_timer = self._burst * 1000, None, None
+        else:
+            tokens_milli = int(got[0])
+            last_ts_us = None if got[1] < 0 else int(got[1])
+            old_timer = None if got[2] < 0 else int(got[2])
+
+        eid, ts = _concat_event_time_order(rows)
+        allowed, tokens_after, tokens_milli, last_ts_us = _bucket_admit(
+            eid, ts, tokens_milli, last_ts_us, self._rate, self._burst
+        )
+
+        new_timer = -1
+        if self._rate > 0 and last_ts_us is not None:
+            new_timer = _expiry_instant_ms(
+                last_ts_us, self._rate, self._burst,
+                timerValues.getCurrentWatermarkInMs(),
+            )
+            if old_timer != new_timer:
+                if old_timer is not None:
+                    self._handle.deleteTimer(old_timer)
+                self._handle.registerTimer(new_timer)
+        self._state.update(
+            (tokens_milli,
+             -1 if last_ts_us is None else last_ts_us,
+             new_timer)
+        )
+        n = len(ts)
+        if n:
+            yield pd.DataFrame(
+                {
+                    "user_id": np.full(n, user_id, dtype=np.int64),
+                    "event_id": eid,
+                    "ts_us": ts,
+                    "allowed": allowed,
+                    "tokens_after_milli": tokens_after,
+                }
+            )
+
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        pass
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        # Drop the bucket only if the fired timer is the one this key
+        # currently holds — a batch that ran after registration
+        # re-armed the timer, and acting on the stale instant would
+        # hand the key a fresh burst early. Spark deletes a fired
+        # timer itself; nothing to clean up on the stale path.
+        got = self._state.get()
+        if got is not None and int(got[2]) == int(
+            expiredTimerInfo.getExpiryTimeInMs()
+        ):
+            self._state.clear()
+        return iter(())
+
+
+def rate_limited_tws(
+    events: DataFrame,
+    rate_per_sec: float = DEFAULT_RATE_PER_SEC,
+    burst: int = DEFAULT_BURST,
+    late_tolerance: str = "10 minutes",
+) -> DataFrame:
+    """:func:`rate_limited` on the Spark 4 transformWithState
+    operator — same input contract (user_id, event_id, ts_us), same
+    OUTPUT_SCHEMA, same watermark/late-row contract, bit-identical
+    admissions (shared :func:`_bucket_admit`). The session must run
+    the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass`` →
+    ``RocksDBStateStoreProvider``); Spark rejects transformWithState
+    on the default HDFS-backed provider at query start."""
+    proc = TokenBucketProcessor(rate_per_sec=rate_per_sec, burst=burst)
+
+    return (
+        events.withColumn(
+            "ts_evt", F.timestamp_micros(F.col("ts_us") + _WM_OFFSET_US)
+        )
+        .withWatermark("ts_evt", late_tolerance)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=proc,
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="append",
+            timeMode="eventTime",
         )
     )
