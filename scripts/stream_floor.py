@@ -68,6 +68,12 @@ VARIANTS = {
     # protocol (Arrow-batched dispatch + state-server connection).
     # Same _bucket_admit recurrence (parity pinned in test_streaming);
     # RocksDB provider is REQUIRED by the operator.
+    # Snapshot-state harness: no state store at all — versioned
+    # parquet snapshots + one segmented mapInPandas pass per
+    # partition, the "carry the state yourself" fix the pinned
+    # negative result called for (per-key harness dispatch is the
+    # floor; this harness has none).
+    "snap": {"limiter": "snap"},
     "tws": {
         "limiter": "tws",
         "spark.sql.streaming.stateStore.providerClass":
@@ -124,6 +130,14 @@ def run_variant(sf_dir: str, variant: str, n_files: int,
 
         r = ss.run_live(spark, sf_dir, root, n_files, feed_ms,
                         limiter=rate_limited_tws)
+    elif limiter_kind == "snap":
+        from the_hive_spark.streaming.ratelimit import SnapshotRateLimiter
+
+        r = ss.run_live(
+            spark, sf_dir, root, n_files, feed_ms,
+            limiter=SnapshotRateLimiter(
+                state_root=os.path.join(root, "snap_state")),
+        )
     else:
         r = ss.run_live(spark, sf_dir, root, n_files, feed_ms)
     # durationMs breakdown + state commit times: where the floor lives

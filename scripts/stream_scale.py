@@ -427,7 +427,6 @@ def run_live(spark, sf_dir: str, root: str, n_files: int,
     stream = spark.readStream.schema(
         "user_id long, event_id long, ts_us long"
     ).parquet(watched)
-    verdicts = limiter(stream)
     counts = {"out": 0}
     lock = threading.Lock()
 
@@ -438,11 +437,18 @@ def run_live(spark, sf_dir: str, root: str, n_files: int,
 
     seen: dict = {}
     t0 = time.perf_counter()
-    q = (
-        verdicts.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", os.path.join(root, "live_ckpt"))
-        .start()
-    )
+    if hasattr(limiter, "start_query"):
+        # snapshot-state harness: it owns the foreachBatch body
+        q = limiter.start_query(
+            stream, sink, os.path.join(root, "live_ckpt")
+        )
+    else:
+        q = (
+            limiter(stream)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(root, "live_ckpt"))
+            .start()
+        )
     threading.Thread(target=feeder, daemon=True).start()
     # run until the feed is done AND every event came out the far end
     deadline = time.time() + 3600

@@ -1175,3 +1175,153 @@ def test_incdedup_meter_observes_batch_volume(spark, tmp_path):
     # and the observed total must equal the delivered hit count
     assert total == spark.sql("SELECT COUNT(*) n FROM meter_hits").collect()[0]["n"]
     assert total >= N_BANDS
+
+
+def _snap_run(spark, tmp_path, files, tag, paced, late_tolerance="0 seconds"):
+    """Run the snapshot-state harness over a file backlog and return
+    {event_id: (allowed, tokens_after_milli)}."""
+    import threading
+
+    import pandas as pd
+
+    from the_hive_spark.streaming.ratelimit import SnapshotRateLimiter
+
+    src = tmp_path / f"snap_src_{tag}"
+    src.mkdir()
+    for i, rows in enumerate(files):
+        pd.DataFrame(
+            [{"user_id": u, "event_id": e, "ts_us": t} for u, e, t in rows]
+        ).astype("int64").to_parquet(src / f"f{i}.parquet")
+    reader = spark.readStream.schema("user_id long, event_id long, ts_us long")
+    if paced:
+        reader = reader.option("maxFilesPerTrigger", 1)
+    got: dict = {}
+    lock = threading.Lock()
+
+    def sink(df, batch_id):
+        rows = df.collect()
+        with lock:
+            for r in rows:
+                got[r["event_id"]] = (r["allowed"], r["tokens_after_milli"])
+
+    limiter = SnapshotRateLimiter(
+        state_root=str(tmp_path / f"snap_state_{tag}"),
+        late_tolerance=late_tolerance,
+    )
+    q = limiter.start_query(
+        reader.parquet(str(src)), sink,
+        str(tmp_path / f"snap_ckpt_{tag}"),
+        available_now=True,
+    )
+    q.awaitTermination(180)
+    return got
+
+
+def test_rate_limiter_snapshot_parity_across_expiry(spark, tmp_path):
+    """The snapshot-state harness (versioned parquet state + one
+    segmented mapInPandas pass per partition — no state store) admits
+    bit-identically to the stateful-operator harnesses on the
+    expiry-crossing scenario, both pacings. User 3 exercises the
+    untouched-key passthrough: present in f1, absent while the
+    watermark advances (its snapshot row must ride along unchanged,
+    keeping its ORIGINAL expiry so it can still drop), back in f3."""
+    from the_hive_spark.streaming.ratelimit import (
+        DEFAULT_BURST,
+        DEFAULT_RATE_PER_SEC,
+    )
+
+    sec = 1_000_000  # µs
+    files = [
+        [(1, 0, 0), (1, 1, 100_000), (1, 2, 200_000), (1, 3, 300_000),
+         (2, 100, 0), (3, 200, 30 * sec)],
+        [(2, 101, 60 * sec)],
+        [(2, 102, 120 * sec), (2, 103, 180 * sec),
+         (3, 201, int(120.5 * sec))],
+        [(2, 104, 240 * sec)],
+        [(1, 4, 300 * sec), (1, 5, int(300.1 * sec)),
+         (1, 6, int(300.2 * sec)), (1, 7, int(300.3 * sec)),
+         (2, 105, 300 * sec)],
+    ]
+
+    paced = _snap_run(spark, tmp_path, files, "paced", True)
+    single = _snap_run(spark, tmp_path, files, "single", False)
+
+    def simulate(events):
+        out = {}
+        tokens, last = DEFAULT_BURST * 1000, None
+        for eid, ts in sorted(events, key=lambda t: (t[1], t[0])):
+            if last is not None and ts > last:
+                tokens = min(
+                    DEFAULT_BURST * 1000,
+                    tokens + int((ts - last) * DEFAULT_RATE_PER_SEC // 1000),
+                )
+            last = ts if last is None else max(last, ts)
+            allowed = 1 if tokens >= 1000 else 0
+            if allowed:
+                tokens -= 1000
+            out[eid] = (allowed, tokens)
+        return out
+
+    want = {}
+    flat = [r for rows in files for r in rows]
+    for uid in (1, 2, 3):
+        want.update(simulate([(e, t) for u, e, t in flat if u == uid]))
+    assert paced == want, f"snapshot paced diverged: {paced} != {want}"
+    assert single == want, f"snapshot single diverged: {single} != {want}"
+
+
+def test_rate_limiter_snapshot_late_row_parity(spark, tmp_path):
+    """Late-row semantics pinned to what Spark ACTUALLY does for this
+    operator family: map/flatMapGroupsWithState-style operators pass
+    rows behind the watermark through to the function (the watermark
+    drives only state timeouts) — nothing is dropped, even at a
+    0-second tolerance with a row 50 s late. The snapshot harness
+    must reproduce that: identical verdict sets, including the late
+    row (which contends without refilling) and the at-watermark row.
+    An earlier docstring claimed the window-aggregation drop contract
+    for rate_limited; this test is what falsified it."""
+    import pandas as pd
+
+    from the_hive_spark.streaming.ratelimit import rate_limited
+
+    sec = 1_000_000
+    files = [
+        [(2, 100, 100 * sec)],
+        # e0: 50 s behind the watermark (late), e1: exactly AT the
+        # watermark, e2: 1 ms above it, e3: well ahead
+        [(1, 0, 50 * sec), (1, 1, 100 * sec),
+         (1, 2, 100 * sec + 1000), (1, 3, 200 * sec)],
+    ]
+
+    src = tmp_path / "late_ref"
+    src.mkdir()
+    for i, rows in enumerate(files):
+        pd.DataFrame(
+            [{"user_id": u, "event_id": e, "ts_us": t} for u, e, t in rows]
+        ).astype("int64").to_parquet(src / f"f{i}.parquet")
+    q = (
+        rate_limited(
+            spark.readStream.schema(
+                "user_id long, event_id long, ts_us long"
+            ).option("maxFilesPerTrigger", 1).parquet(str(src)),
+            late_tolerance="0 seconds",
+        )
+        .writeStream.format("memory")
+        .queryName("late_ref")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    ref = {
+        r["event_id"]: (r["allowed"], r["tokens_after_milli"])
+        for r in spark.sql("SELECT * FROM late_ref").collect()
+    }
+
+    snap = _snap_run(spark, tmp_path, files, "late", True)
+    assert snap == ref, f"late-row verdicts diverged: {snap} != {ref}"
+    # every row — including the 50s-late one — was processed by both
+    assert set(ref) == {0, 1, 2, 3, 100}
+    # the late row found a fresh bucket (user 1 unseen before batch 1,
+    # within-batch event-time order puts it first): admitted at 2000
+    assert ref[0] == (1, 2000)
