@@ -1325,3 +1325,53 @@ def test_rate_limiter_snapshot_late_row_parity(spark, tmp_path):
     # the late row found a fresh bucket (user 1 unseen before batch 1,
     # within-batch event-time order puts it first): admitted at 2000
     assert ref[0] == (1, 2000)
+
+
+def test_rate_limiter_snapshot_replay_idempotent(spark, tmp_path):
+    """Crash-replay contract: re-processing a batch_id after its
+    snapshot version was already written must (a) read the newest
+    version OLDER than the replayed id — not its own stale output —
+    and (b) reproduce the identical verdicts and snapshot. Drives
+    _process_batch directly with static frames, the same entry the
+    foreachBatch body uses."""
+    import pandas as pd
+
+    from the_hive_spark.streaming.ratelimit import SnapshotRateLimiter
+
+    sec = 1_000_000
+    b0 = [(1, 0, 0), (1, 1, 100_000), (2, 10, 0)]
+    b1 = [(1, 2, 5 * sec), (2, 11, 6 * sec)]
+
+    def df(rows):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                [{"user_id": u, "event_id": e, "ts_us": t}
+                 for u, e, t in rows]
+            ).astype("int64")
+        )
+
+    lim = SnapshotRateLimiter(state_root=str(tmp_path / "snap"))
+    got: list = []
+
+    def sink(vdf, bid):
+        got.append(
+            sorted(
+                (r["event_id"], r["allowed"], r["tokens_after_milli"])
+                for r in vdf.collect()
+            )
+        )
+
+    lim._process_batch(df(b0), 0, sink)
+    lim._process_batch(df(b1), 1, sink)
+    state_after = sorted(
+        tuple(r) for r in spark.read.parquet(lim._vdir(1)).collect()
+    )
+    first = list(got)
+
+    # replay batch 1 (checkpoint recovery re-runs the last batch)
+    lim._process_batch(df(b1), 1, sink)
+    assert got[-1] == first[1], "replayed batch diverged from original"
+    replay_state = sorted(
+        tuple(r) for r in spark.read.parquet(lim._vdir(1)).collect()
+    )
+    assert replay_state == state_after, "replayed snapshot diverged"
