@@ -1736,7 +1736,15 @@ def q_basket_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     item = li.groupBy("l_partkey").agg(
         F.countDistinct("l_orderkey").cast("bigint").alias("n_i")
     )
-    n_baskets = li.select("l_orderkey").distinct().count()  # scalar job
+    # N as an in-plan broadcast scalar (r11, guide §2.4): the old
+    # driver-side .count() was a separate job scanning + shuffling the
+    # whole fact projection to produce one integer; as a 1-row
+    # aggregate inside the same plan it rides the query (and the
+    # distinct-orderkey exchange is subject to reuse), costing one
+    # BroadcastExchange instead of a full extra pass.
+    nb = li.agg(
+        F.count_distinct("l_orderkey").cast("bigint").alias("n_baskets")
+    )
     ia = item.select(
         F.col("l_partkey").alias("part_a"), F.col("n_i").alias("n_a")
     )
@@ -1746,12 +1754,13 @@ def q_basket_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     lift = (
         1000.0
         * F.col("n_orders")
-        * F.lit(n_baskets)
+        * F.col("n_baskets")
         / (F.col("n_a") * F.col("n_b_item"))
     )
     return (
         pairs.join(ia, "part_a")
         .join(ib, "part_b")
+        .crossJoin(F.broadcast(nb))
         .select(
             "part_a",
             "part_b",

@@ -1053,15 +1053,22 @@ def doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = w.groupBy("term").agg(
         F.countDistinct("doc_id").cast("bigint").alias("df")
     )
-    n_docs = w.select("doc_id").distinct().count()  # single-scalar job
+    # n_docs as an IN-PLAN broadcast scalar, not a driver-side
+    # .count() (r11, guide §2.4): the separate count action could not
+    # reuse the repartition exchange across jobs, so it re-ran the
+    # whole tokenize/explode — one of the two corpus passes was
+    # computing a single integer. Inside one plan all three consumers
+    # (tf, df, n_docs) read the SAME exchange via ReusedExchange: the
+    # corpus is tokenized exactly once.
+    nd = w.agg(F.count_distinct("doc_id").cast("bigint").alias("n_docs"))
     # unhinted: df is vocabulary-sized (grows with the corpus) — the
     # scalable plan is a shuffle join on term; AQE broadcasts at toy sf
-    scored = tf.join(df, "term").select(
+    scored = tf.join(df, "term").crossJoin(F.broadcast(nd)).select(
         "doc_id",
         "term",
         "tf",
         "df",
-        F.floor(1000.0 * F.col("tf") * F.lit(n_docs) / F.col("df") + F.lit(0.5))
+        F.floor(1000.0 * F.col("tf") * F.col("n_docs") / F.col("df") + F.lit(0.5))
         .cast("bigint")
         .alias("tfidf_milli"),
     )
@@ -1211,10 +1218,15 @@ def doc_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.expr(_BIGRAMS)).alias("bigram")
     )
     df = bg.groupBy("bigram").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    n_total = bg.count()  # single-scalar job
-    score = 1000000.0 * F.sum("c") / (F.count(F.lit(1)) * F.lit(n_total))
+    # n_total as an in-plan broadcast scalar (r11, guide §2.4): the
+    # old driver-side bg.count() was a separate action, so it re-ran
+    # the whole tokenize pipeline to produce one integer; in-plan it
+    # shares the doc_id repartition exchange with the other consumers.
+    nt = bg.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    score = 1000000.0 * F.sum("c") / (F.count(F.lit(1)) * F.first("n_total"))
     return (
         bg.join(df, "bigram")
+        .crossJoin(F.broadcast(nt))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),

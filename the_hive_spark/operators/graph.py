@@ -764,32 +764,32 @@ def min_label_propagation(adj: DataFrame, rounds: int) -> DataFrame:
     the shared oracle either.
 
     Each round references the previous round's labels TWICE (the
-    neighbor-join branch and the left-join-back branch), so without a
+    neighbor-join branch and the keep-own-label branch), so without a
     lineage cut the physical plan would evaluate the round-(r-1)
     subtree twice per round — ~2^r evaluations of the base (measured:
     707 s at sf1 for 3 rounds before the fix). ``localCheckpoint``
     after every round (the graph_bfs_3hop frontier idiom) makes each
-    round cost one join + one agg + one join over a MATERIALIZED
-    predecessor — linear in rounds at any scale."""
+    round cost one join + one agg over a MATERIALIZED predecessor —
+    linear in rounds at any scale.
+
+    Round shape (r11, guide §2.4): min(own, min(incoming)) is ONE
+    grouped MIN over the union of the label table with the neighbor-
+    join output — algebraically identical to the older
+    join→agg→left-join-back form (nodes with no incoming labels keep
+    their own row through the union), but one equi-join and one
+    exchange cheaper per round: the left-join-back disappears and the
+    final MIN combines map-side before the node-keyed shuffle."""
     lbl = adj.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )
     for _ in range(rounds):
-        nbr = (
-            adj.join(
-                lbl.withColumnsRenamed({"node": "v", "lbl": "nbr_lbl"}), "v"
-            )
-            .groupBy(F.col("u").alias("node"))
-            .agg(F.min("nbr_lbl").alias("nbr"))
-        )
+        incoming = adj.join(
+            lbl.withColumnsRenamed({"node": "v", "lbl": "nbr_lbl"}), "v"
+        ).select(F.col("u").alias("node"), F.col("nbr_lbl").alias("lbl"))
         lbl = (
-            lbl.join(nbr, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("lbl"), F.coalesce("nbr", F.col("lbl"))
-                ).alias("lbl"),
-            )
+            lbl.unionAll(incoming)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
             .localCheckpoint(eager=False)  # cut lineage: lbl is read
             # twice next round; without this the plan doubles per round
         )

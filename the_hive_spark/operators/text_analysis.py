@@ -705,8 +705,17 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``idf_ppm · 22·T·tf // (10·T·tf + 3·T + 9·dl·N)`` with T = corpus
     token count, dl = doc length. Sums of integers are
     order-independent, so results hash identically on any partitioning.
-    Plan shape: explode → two map-side-combined aggs (tf, dl) → tiny
-    broadcast joins (df, global T/N) → TakeOrdered(k). The per-term
+    Plan shape (r11, guide §2.3/§2.4): the term set is a fixed small
+    constant, so tf per term is a CONDITIONAL aggregate in the same
+    one-pass groupBy that computes dl — before r11 the dl and tf
+    branches each re-ran the full tokenize/explode (the repartition
+    exchange was reused, but everything above it was evaluated once
+    per consumer: the corpus was tokenized twice) and met again in a
+    doc_id join. Now: explode once → ONE map-side-combined per-doc
+    agg (exchange-free on top of the doc_id repartition) → one global
+    agg broadcast back (df per term + T + N in a single row) → per-row
+    integer expressions → TakeOrdered(k). 7 exchanges → 3, one
+    tokenization pass instead of two, no per-term join. The per-term
     products stay < 2⁶³ up to ~10¹² corpus tokens; past that, rescale
     idf_ppm to idf_ppb or precompute dl/avgdl ratios."""
     docs = table(spark, sf_dir, "documents")
@@ -716,31 +725,44 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
         .filter(F.length("token") > 0)
     )
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
-    glob = dl.agg(F.sum("dl").cast("bigint").alias("big_t")).crossJoin(
-        docs.agg(F.count(F.lit(1)).cast("bigint").alias("big_n"))
+    per_doc = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dl"),
+        *[
+            F.sum((F.col("token") == t).cast("bigint"))
+            .cast("bigint")
+            .alias(f"tf_{i}")
+            for i, t in enumerate(BM25_TERMS)
+        ],
     )
-    tf = (
-        tok.filter(F.col("token").isin(*BM25_TERMS))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
-    )
-    dfreq = tf.groupBy("token").agg(
-        F.countDistinct("doc_id").cast("bigint").alias("df")
-    )
-    scored = (
-        tf.join(F.broadcast(dfreq), "token")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(glob))
-        .withColumn(
-            "term_score",
+    glob = per_doc.agg(
+        F.sum("dl").cast("bigint").alias("big_t"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("bigint"))
+            .cast("bigint")
+            .alias(f"df_{i}")
+            for i in range(len(BM25_TERMS))
+        ],
+    ).crossJoin(docs.agg(F.count(F.lit(1)).cast("bigint").alias("big_n")))
+    score = None
+    for i in range(len(BM25_TERMS)):
+        term = F.when(
+            F.col(f"tf_{i}") > 0,
             F.expr(
-                "((big_n * 1000000) div df) * 22 * big_t * tf"
-                " div (10 * big_t * tf + 3 * big_t + 9 * dl * big_n)"
+                f"((big_n * 1000000) div df_{i}) * 22 * big_t * tf_{i}"
+                f" div (10 * big_t * tf_{i} + 3 * big_t + 9 * dl * big_n)"
             ),
+        ).otherwise(F.lit(0).cast("bigint"))
+        score = term if score is None else (score + term)
+    scored = (
+        per_doc.filter(
+            sum(
+                (F.col(f"tf_{i}") > 0).cast("int")
+                for i in range(len(BM25_TERMS))
+            )
+            > 0
         )
-        .groupBy("doc_id")
-        .agg(F.sum("term_score").cast("bigint").alias("score"))
+        .crossJoin(F.broadcast(glob))
+        .select("doc_id", score.cast("bigint").alias("score"))
     )
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(BM25_K)
 
