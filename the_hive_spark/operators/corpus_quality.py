@@ -1527,6 +1527,15 @@ def doc_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitting (rank, left, right, merged, pair_count) — the merge
     table a byte-pair tokenizer IS.
 
+    The learned merge list goes through the materialization store
+    (r11): it is THE tokenizer of a corpus snapshot — a deterministic
+    pure function of (corpus, merge count) that both this query and
+    doc_bpe_encode (the corpus-wide application pass) need, and before
+    the store each of them re-ran the full 5-round train loop. Same
+    contract as bpe_word_freq one line below, extended to the loop's
+    output; the list is BPE_TRAIN_MERGES rows of strings, stored as a
+    plain Python value.
+
     The scale design is the classic one: ONE corpus pass collapses the
     text to the word-frequency table (vocab-sized — thousands of rows
     against terabytes of text), and every merge round then runs
@@ -1538,6 +1547,27 @@ def doc_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     the merge list is pinned against a pure-Python reference in
     tests/test_bpe_train.py.
     """
+    return spark.createDataFrame(
+        _bpe_merges_cached(spark, sf_dir),
+        "rank int, left string, right string, merged string, pair_count bigint",
+    )
+
+
+def _bpe_merges_cached(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[int, str, str, str, int]]:
+    from the_hive_spark.functions.matstore import materialized
+
+    return materialized(
+        spark,
+        ("bpe_merges", sf_dir, BPE_TRAIN_MERGES),
+        lambda: _bpe_train_merges(spark, sf_dir),
+    )
+
+
+def _bpe_train_merges(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[int, str, str, str, int]]:
     import pandas as pd
 
     from the_hive_spark.functions.matstore import materialized
@@ -1605,10 +1635,7 @@ def doc_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             apply_merge, "s array<string>, n bigint"
         ).localCheckpoint(eager=True)
 
-    return spark.createDataFrame(
-        merges,
-        "rank int, left string, right string, merged string, pair_count bigint",
-    )
+    return merges
 
 
 @query("doc_bpe_encode")  # applies the iterative trainer ⇒ rows-only
@@ -1631,11 +1658,14 @@ def doc_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import pandas as pd
 
+    # read the materialized merge list directly (rank order) — no
+    # DataFrame round-trip, and the train loop runs once per corpus
+    # snapshot however many consumers apply it (r11)
     merges = [
-        (r["left"], r["right"])
-        for r in doc_bpe_train(spark, sf_dir)
-        .orderBy("rank")
-        .collect()
+        (left, right)
+        for _rank, left, right, _merged, _cnt in sorted(
+            _bpe_merges_cached(spark, sf_dir)
+        )
     ]
 
     def encode_batches(batches):

@@ -147,13 +147,26 @@ def connected_components(
     The result is identical (min-id labels); ``local_threshold=0``
     forces the distributed path.
     """
+    from pyspark import StorageLevel
+
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        # persist across the threshold decision (r11, guide §5): the
+        # count and the subsequent consumer (driver collect on the
+        # local path, first large-star on the distributed path) would
+        # otherwise each re-run the FULL upstream edge derivation —
+        # for the dedup pipeline that lineage is the verified-pair
+        # join plus the exact-digest self-join, re-evaluated once per
+        # action. The deduplicated edge list itself is small (that is
+        # why the local path exists); its lineage is not.
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     if local_threshold and e.count() <= local_threshold:
-        return _cc_local_unionfind(e)
+        out = _cc_local_unionfind(e)
+        e.unpersist()
+        return out
 
     def _checksum(df: DataFrame) -> tuple:
         row = df.agg(
@@ -200,8 +213,12 @@ def connected_components(
         )
 
     prev = None
+    e0 = e  # the persisted input edge list; release after round 1
     for _ in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        if e0 is not None:
+            e0.unpersist()
+            e0 = None
         cur = _checksum(e)
         if cur == prev:
             break
@@ -601,17 +618,54 @@ def graph_bfs_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     is shuffle-partitioned on the node key, and the visited anti-join
     is the same keyed shuffle — no global state, no driver iteration
     over rows.
+
+    Key representation (r11, guide §2.3 "narrower types"): every hop
+    joins, distincts and anti-joins on the node key, and the string
+    form ('o:12345') exists only for presentation — so the iteration
+    runs on (node_type tinyint, node_key bigint) built straight from
+    the integer fact columns, and the string id is concatenated ONCE,
+    for the output rows only. The cached undirected edge table and
+    every per-hop shuffle carry 2 ints instead of 2 strings (measured:
+    9 -> 18 bytes/key per side), string concat drops from
+    2·|edges|·hops evaluations to |result| evaluations, and the join
+    comparators are integer equality. Same frontier algorithm, same
+    rows out.
     """
     from pyspark import StorageLevel
 
-    edges = derived_edges(spark, sf_dir)
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    # node encoding: 0 = 'c' (customer), 1 = 'o' (order), 2 = 'p' (part)
+    contains = li.select(
+        F.lit(1).cast("tinyint").alias("src_t"),
+        F.col("l_orderkey").cast("bigint").alias("src_k"),
+        F.lit(2).cast("tinyint").alias("dst_t"),
+        F.col("l_partkey").cast("bigint").alias("dst_k"),
+    )
+    placed = orders.select(
+        F.lit(0).cast("tinyint").alias("src_t"),
+        F.col("o_custkey").cast("bigint").alias("src_k"),
+        F.lit(1).cast("tinyint").alias("dst_t"),
+        F.col("o_orderkey").cast("bigint").alias("dst_k"),
+    )
+    edges = contains.unionAll(placed)
     und = (
-        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-        .unionAll(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        edges.select(
+            F.col("src_t").alias("a_t"), F.col("src_k").alias("a_k"),
+            F.col("dst_t").alias("b_t"), F.col("dst_k").alias("b_k"),
+        )
+        .unionAll(
+            edges.select(
+                F.col("dst_t").alias("a_t"), F.col("dst_k").alias("a_k"),
+                F.col("src_t").alias("b_t"), F.col("src_k").alias("b_k"),
+            )
+        )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    prefix, key = BFS_SEED.split(":", 1)
     seed = spark.createDataFrame(
-        [(BFS_SEED, 0)], "node_id string, dist long"
+        [({"c": 0, "o": 1, "p": 2}[prefix], int(key), 0)],
+        "t tinyint, k bigint, dist long",
     )
     # visited = plain union of the per-hop checkpointed frontiers: the
     # pieces are already materialized, so the union needs no second
@@ -623,10 +677,13 @@ def graph_bfs_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     for d in range(1, BFS_MAX_HOPS + 1):
         visited = reduce(lambda a, b: a.unionAll(b), layers)
         nxt = (
-            frontier.join(und, frontier["node_id"] == und["a"])
-            .select(F.col("b").alias("node_id"))
+            frontier.join(
+                und,
+                (frontier["t"] == und["a_t"]) & (frontier["k"] == und["a_k"]),
+            )
+            .select(F.col("b_t").alias("t"), F.col("b_k").alias("k"))
             .distinct()
-            .join(visited.select("node_id"), "node_id", "left_anti")
+            .join(visited.select("t", "k"), ["t", "k"], "left_anti")
             .withColumn("dist", F.lit(d).cast("long"))
             .localCheckpoint(eager=True)  # cut the per-hop lineage
         )
@@ -634,7 +691,14 @@ def graph_bfs_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
         frontier = nxt
     und.unpersist()
     out = reduce(lambda a, b: a.unionAll(b), layers)
-    return out.select("node_id", F.col("dist").cast("bigint"))
+    return out.select(
+        F.concat(
+            F.element_at(F.lit(["c", "o", "p"]), F.col("t") + 1),
+            F.lit(":"),
+            F.col("k").cast("string"),
+        ).alias("node_id"),
+        F.col("dist").cast("bigint"),
+    )
 
 
 JACCARD_TOP_K = 30

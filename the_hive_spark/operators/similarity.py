@@ -1010,6 +1010,29 @@ def emb_semantic_dup_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_books_cached(spark: SparkSession, sf_dir: str, corpus: DataFrame):
+    """PQ codebooks for the corpus snapshot, via the materialization
+    store (r11): pq_train is seed-deterministic in (corpus, m, k,
+    iters, seed) — emb_pq_eval and emb_ivfpq_recall train the SAME
+    books, so the bounded sample collect + local Lloyd runs once per
+    session, like the dedup vocab probe it mirrors."""
+    from the_hive_spark.functions.matstore import materialized
+    from the_hive_spark.functions.pq import (
+        DEFAULT_SEED,
+        PQ_K,
+        PQ_M,
+        PQ_TRAIN_ITERS,
+        pq_train,
+    )
+
+    return materialized(
+        spark,
+        ("pq_books", sf_dir, PQ_M, PQ_K, PQ_TRAIN_ITERS, DEFAULT_SEED),
+        lambda: pq_train(corpus),
+    )
+
+
+
 @query("emb_pq_eval")  # self-evaluation ⇒ no SQL oracle (rows-only
 # check): PQ codebooks are KMeans artifacts — engine-specific like the
 # IVF/LSH index structures, verified by recall + reconstruction floors
@@ -1042,7 +1065,7 @@ def emb_pq_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = [float(x) for x in row["embedding"]]
     corpus = emb.filter(F.col("vec_id") != 0)
 
-    books = pq_train(corpus)
+    books = _pq_books_cached(spark, sf_dir, corpus)
     codes_df = pq_encode(corpus, books).persist()
     exact = set(
         r["vec_id"]
@@ -1198,7 +1221,7 @@ def emb_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
     n_scanned = lists.count()
 
-    books = pq_train(corpus)
+    books = _pq_books_cached(spark, sf_dir, corpus)
     codes = pq_encode(lists, books)
     # 1000·k shortlist: the 1M-vector eval (ANN_SCALE_EVAL.json)
     # measured ADC recall collapsing with shallow shortlists at real

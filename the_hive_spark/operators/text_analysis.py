@@ -1437,24 +1437,36 @@ def doc_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs = nonstop.withColumn(
         "grp", F.col("pos") - F.row_number().over(win)
     )
-    islands = runs.groupBy("doc_id", "grp").agg(
-        F.concat_ws(
-            " ",
+    # ONE phrase table carries the word multiset forward (r11, guide
+    # §2.4): before, `runs` was evaluated three times (the island agg
+    # and two join-backs) — the window subtree re-ran per consumer.
+    # Keeping the sorted word ARRAY on each island row lets word stats
+    # and phrase scoring both derive from an explode of the persisted
+    # phrase table: the gaps-and-islands window runs once, and the
+    # (doc_id, grp) join-backs disappear. Same rows out: every nonstop
+    # word occurrence belongs to exactly one island, so exploding the
+    # island arrays reproduces `runs` word-for-word.
+    from pyspark import StorageLevel
+
+    islands = (
+        runs.groupBy("doc_id", "grp")
+        .agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "word"))),
                 lambda s: s["word"],
-            ),
-        ).alias("phrase"),
-        F.count(F.lit(1)).alias("phrase_len"),
-    )
-    word_stats = (
-        runs.join(islands.select("doc_id", "grp", "phrase_len"),
-                  ["doc_id", "grp"])
-        .groupBy("word")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("freq"),
-            F.sum("phrase_len").cast("bigint").alias("degree"),
+            ).alias("words"),
+            F.count(F.lit(1)).alias("phrase_len"),
         )
+        .withColumn("phrase", F.concat_ws(" ", F.col("words")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    occurrences = islands.select(
+        "doc_id", "grp", "phrase", "phrase_len",
+        F.explode("words").alias("word"),
+    )
+    word_stats = occurrences.groupBy("word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.sum("phrase_len").cast("bigint").alias("degree"),
     )
     word_scores = word_stats.select(
         "word",
@@ -1463,8 +1475,7 @@ def doc_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("score_milli"),
     )
     phrase_scores = (
-        islands.join(runs.select("doc_id", "grp", "word"), ["doc_id", "grp"])
-        .join(word_scores, "word")
+        occurrences.join(word_scores, "word")
         .groupBy("doc_id", "grp", "phrase", "phrase_len")
         .agg(F.sum("score_milli").cast("bigint").alias("score_milli"))
     )
