@@ -34,6 +34,29 @@ _PLAN_CHANGED_R11: list[str] = [
     "dup_modality_agreement",
 ]
 
+# Queries whose plans the r11 OPTIMIZATION pass rewrote (results
+# hash-identical — re-verified against the DuckDB oracles at sf0.01 —
+# but the executed plans are new: matstore-shared ER pair/label
+# indexes, fused min-label rounds, int-keyed BFS, persisted CC edge
+# lists, single-pass BM25/RAKE, in-plan scalar aggregates). Each must
+# hold a gate slot this round per the _PLAN_CHANGED policy.
+_PLAN_CHANGED_R11_OPT: list[str] = [
+    "cust_fuzzy_match_pairs",
+    "cust_linkage_fs_scores",
+    "cust_er_clusters3",
+    "cust_golden_record",
+    "graph_label_propagation3",
+    "graph_bfs_3hop",
+    "doc_dup_clusters",
+    "doc_near_dedup_corpus",
+    "doc_dup_rates_by_source",
+    "doc_bm25_topk",
+    "doc_tfidf_topk",
+    "doc_lm_bigram_score",
+    "doc_rake_keyphrases",
+    "q_basket_affinity_lift",
+]
+
 
 def _driver_checked(
     rounds=("01", "02", "03", "04", "05", "06", "07", "08", "09", "10"),
@@ -98,16 +121,20 @@ def test_gate_r11_slots():
     plan-change re-attests. Slot 7: the phash guard plan-change
     (rows-only by design). Slots 8-50: rows whose latest green driver
     row is round 6 — the oldest oracled evidence in the record, headed
-    by the six rows the r10 widening re-attests displaced."""
+    by the six rows the r10 widening re-attests displaced. The r11
+    OPTIMIZATION pass inserts its own plan-change re-attests at slots
+    8-22 (results hash-identical, plans new), displacing fourteen
+    r6-only rows to the round-12 front."""
     checked = _driver_checked()
     if not checked:
         return  # fresh clone without driver artifacts
     assert registry._GATE_R11[:2] == registry._ADDED_R11
     assert registry._GATE_R11[2:6] == _PLAN_CHANGED_R11
     assert registry._GATE_R11[6] == "media_phash_near_dup"
+    assert registry._GATE_R11[7:21] == _PLAN_CHANGED_R11_OPT
     r6_only = _driver_checked(("01", "02", "03", "04", "05", "06")) - \
         _driver_checked(("07", "08", "09", "10"))
-    for n in registry._GATE_R11[7:]:
+    for n in registry._GATE_R11[21:]:
         assert n in r6_only, f"slot {n} is not an r6-only row"
 
 
@@ -137,7 +164,9 @@ def test_plan_changed_queries_regated():
     """Any round-11 plan edit invalidates old driver rows; each such
     query must hold a gate slot this round (the four embedding-family
     re-attests at slots 3-6, plus the rows-only phash slot 7)."""
-    for n in _PLAN_CHANGED_R11 + ["media_phash_near_dup"]:
+    for n in (
+        _PLAN_CHANGED_R11 + _PLAN_CHANGED_R11_OPT + ["media_phash_near_dup"]
+    ):
         assert n in registry._GATE_R11, n
 
 

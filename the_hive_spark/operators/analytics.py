@@ -2293,18 +2293,14 @@ def q_next_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey", "o_orderkey", "o_orderdate"
     )
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    from pyspark import StorageLevel
-
+    # NOT persisted (r11, measured): Catalyst already shares the fact
+    # join's exchange across the three consumers (ReusedExchange), so
+    # an explicit persist added a materialization without removing a
+    # scan — bench pairs 2.45 s -> 3.1 s in two independent runs.
     op = (
         orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .select("o_custkey", "o_orderkey", "o_orderdate", "l_partkey")
         .distinct()
-        # persisted (r11, guide §5): three consumers (the order
-        # sequence and both sides of the basket expansion) otherwise
-        # re-run the fact join + distinct once each; the distinct
-        # (order, part) projection is the small artifact, its lineage
-        # is the corpus-sized part.
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     ord_ = op.select("o_custkey", "o_orderkey", "o_orderdate").distinct()
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")

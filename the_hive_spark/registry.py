@@ -401,16 +401,40 @@ _GATE_R11 = [
     "dup_modality_agreement",
     # --- slot 7: phash guard plan-change, rows-only by design ---
     "media_phash_near_dup",
-    # --- slots 8-13: the six displaced r6-only rows ---
+    # --- slots 8-22: optimization-round plan-change re-attests (the
+    # r11 OPTIMIZATION pass rewrote these queries' physical plans —
+    # matstore-shared ER pair/label indexes, fused LP rounds, int-keyed
+    # BFS, persisted CC edge lists, single-pass BM25/RAKE, in-plan
+    # scalar aggregates — results identical, plans not; a green row
+    # earned under the old plan doesn't attest the new one) ---
+    "cust_fuzzy_match_pairs",
+    "cust_linkage_fs_scores",
+    "cust_er_clusters3",
+    "cust_golden_record",
+    "graph_label_propagation3",
+    "graph_bfs_3hop",
+    "doc_dup_clusters",
+    "doc_near_dedup_corpus",
+    "doc_dup_rates_by_source",
+    "doc_bm25_topk",
+    "doc_tfidf_topk",
+    "doc_lm_bigram_score",
+    "doc_rake_keyphrases",
+    "q_basket_affinity_lift",
+    # --- slots 22-28: the six displaced r6-only rows + the first of
+    # the rows the optimization re-attests displaced ---
+    "q_mktsegment_yearly",
     "q_nation_yoy_growth",
     "q_order_fulfillment_latency",
     "q_weighted_median_price",
     "graph_clustering_coefficient",
     "events_survival_curve",
     "events_time_weighted_value",
-    # --- slots 14-50: next-oldest r6-only rows, _GATE_R6 order ---
+    # --- slots 29-50: next-oldest r6-only rows, _GATE_R6 order; the
+    # thirteen the optimization re-attests displaced (q_order_
+    # interarrival ... events_funnel) head the round-12 front with the
+    # four r6-only rows the r11 gate already could not fit ---
     "q_equidepth_histogram",
-    "graph_label_propagation3",
     "q_part_substitution_candidates",
     "q2_min_acctbal_supplier",
     "q4_order_priority",
@@ -432,20 +456,6 @@ _GATE_R11 = [
     "q_active_parts_semi",
     "q_brand_volume",
     "q_cube_returnflag_status",
-    "q_mktsegment_yearly",
-    "q_order_interarrival",
-    "q_rollup_revenue",
-    "q_running_monthly_revenue",
-    "q_top_supplier_per_nation",
-    "hive_search_topk",
-    "hive_audit_recent",
-    "hive_events_by_doc",
-    "hive_stats",
-    "events_timeline",
-    "events_sessionization",
-    "events_retention",
-    "events_asof_last_order",
-    "events_funnel",
 ]
 
 # The single _GATE_R11 slot that intentionally carries no oracle:
