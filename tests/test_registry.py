@@ -55,6 +55,7 @@ _PLAN_CHANGED_R11_OPT: list[str] = [
     "doc_lm_bigram_score",
     "doc_rake_keyphrases",
     "q_basket_affinity_lift",
+    "q21_waiting_suppliers",
 ]
 
 
@@ -131,10 +132,10 @@ def test_gate_r11_slots():
     assert registry._GATE_R11[:2] == registry._ADDED_R11
     assert registry._GATE_R11[2:6] == _PLAN_CHANGED_R11
     assert registry._GATE_R11[6] == "media_phash_near_dup"
-    assert registry._GATE_R11[7:21] == _PLAN_CHANGED_R11_OPT
+    assert registry._GATE_R11[7:22] == _PLAN_CHANGED_R11_OPT
     r6_only = _driver_checked(("01", "02", "03", "04", "05", "06")) - \
         _driver_checked(("07", "08", "09", "10"))
-    for n in registry._GATE_R11[21:]:
+    for n in registry._GATE_R11[22:]:
         assert n in r6_only, f"slot {n} is not an r6-only row"
 
 

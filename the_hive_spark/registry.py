@@ -421,9 +421,8 @@ _GATE_R11 = [
     "doc_lm_bigram_score",
     "doc_rake_keyphrases",
     "q_basket_affinity_lift",
-    # --- slots 22-28: the six displaced r6-only rows + the first of
-    # the rows the optimization re-attests displaced ---
-    "q_mktsegment_yearly",
+    "q21_waiting_suppliers",
+    # --- slots 23-28: the six displaced r6-only rows ---
     "q_nation_yoy_growth",
     "q_order_fulfillment_latency",
     "q_weighted_median_price",
