@@ -626,7 +626,7 @@ def graph_bfs_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     the integer fact columns, and the string id is concatenated ONCE,
     for the output rows only. The cached undirected edge table and
     every per-hop shuffle carry 2 ints instead of 2 strings (measured:
-    9 -> 18 bytes/key per side), string concat drops from
+    18 -> 9 bytes/key per side), string concat drops from
     2·|edges|·hops evaluations to |result| evaluations, and the join
     comparators are integer equality. Same frontier algorithm, same
     rows out.
@@ -820,10 +820,11 @@ def lp_round_sql(i: int) -> str:
 def min_label_propagation(adj: DataFrame, rounds: int) -> DataFrame:
     """``rounds`` synchronous min-label rounds over a directed
     adjacency frame (u, v) — returns (node, lbl). The Spark image of
-    :func:`lp_round_sql`: per round one neighbor equi-join + a
-    map-side-combined MIN + a left join back; deterministic (labels
-    are node ids, min is order-free), no driver state beyond the
-    fixed round count. Shared by graph_label_propagation3 and
+    :func:`lp_round_sql`: per round one neighbor equi-join whose
+    output unions with the label table into a single grouped MIN (see
+    "Round shape (r11)" below); deterministic (labels are node ids,
+    min is order-free), no driver state beyond the fixed round count.
+    Shared by graph_label_propagation3 and
     cust_er_clusters3 so the engine-side algebra cannot drift from
     the shared oracle either.
 
@@ -895,11 +896,13 @@ def graph_label_propagation3(spark: SparkSession, sf_dir: str) -> DataFrame:
     DETERMINISTIC (unlike classic random-order label propagation), so
     the result is oracle-checkable.
 
-    Plan: each round is one neighbor equi-join + a map-side-combined
-    min aggregation + a left join back — the same bounded-iteration
-    shape as graph_pagerank3/graph_kcore3 (unrolled, no driver loop
-    state beyond the fixed round count; at larger diameters this
-    becomes the localCheckpoint frontier pattern of graph_bfs_3hop).
+    Plan: each round is one neighbor equi-join fused with the
+    keep-own-label branch into a single union + grouped MIN (the r11
+    round shape, see min_label_propagation) — the same bounded-
+    iteration shape as graph_pagerank3/graph_kcore3 (unrolled, no
+    driver loop state beyond the fixed round count; at larger
+    diameters this becomes the localCheckpoint frontier pattern of
+    graph_bfs_3hop).
     Labels are node ids, so no label table is materialized anywhere.
     """
     from the_hive_spark.operators.analytics import copurchase_edges_min2

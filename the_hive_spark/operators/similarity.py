@@ -1010,12 +1010,17 @@ def emb_semantic_dup_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_books_cached(spark: SparkSession, sf_dir: str, corpus: DataFrame):
+def _pq_books_cached(spark: SparkSession, sf_dir: str):
     """PQ codebooks for the corpus snapshot, via the materialization
     store (r11): pq_train is seed-deterministic in (corpus, m, k,
     iters, seed) — emb_pq_eval and emb_ivfpq_recall train the SAME
     books, so the bounded sample collect + local Lloyd runs once per
-    session, like the dedup vocab probe it mirrors."""
+    session, like the dedup vocab probe it mirrors. The training
+    corpus is derived HERE (vec_id ≠ 0, i.e. everything but the query
+    row) rather than taken as a parameter, so the materialization key
+    fully determines the value (r11 ADVICE: a caller passing a
+    different frame for the same sf_dir would otherwise silently read
+    codebooks trained on other data)."""
     from the_hive_spark.functions.matstore import materialized
     from the_hive_spark.functions.pq import (
         DEFAULT_SEED,
@@ -1025,6 +1030,7 @@ def _pq_books_cached(spark: SparkSession, sf_dir: str, corpus: DataFrame):
         pq_train,
     )
 
+    corpus = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
     return materialized(
         spark,
         ("pq_books", sf_dir, PQ_M, PQ_K, PQ_TRAIN_ITERS, DEFAULT_SEED),
@@ -1065,7 +1071,7 @@ def emb_pq_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = [float(x) for x in row["embedding"]]
     corpus = emb.filter(F.col("vec_id") != 0)
 
-    books = _pq_books_cached(spark, sf_dir, corpus)
+    books = _pq_books_cached(spark, sf_dir)
     codes_df = pq_encode(corpus, books).persist()
     exact = set(
         r["vec_id"]
@@ -1221,7 +1227,7 @@ def emb_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
     n_scanned = lists.count()
 
-    books = _pq_books_cached(spark, sf_dir, corpus)
+    books = _pq_books_cached(spark, sf_dir)
     codes = pq_encode(lists, books)
     # 1000·k shortlist: the 1M-vector eval (ANN_SCALE_EVAL.json)
     # measured ADC recall collapsing with shallow shortlists at real

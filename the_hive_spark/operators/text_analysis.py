@@ -1445,20 +1445,27 @@ def doc_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     # phrase table: the gaps-and-islands window runs once, and the
     # (doc_id, grp) join-backs disappear. Same rows out: every nonstop
     # word occurrence belongs to exactly one island, so exploding the
-    # island arrays reproduces `runs` word-for-word.
-    from pyspark import StorageLevel
+    # island arrays reproduces `runs` word-for-word. Persisted through
+    # the matstore (r12, r11 ADVICE): a bare .persist() here leaked one
+    # cache entry per invocation for the session lifetime; the store
+    # dedupes repeat builds per snapshot and unpersists on eviction.
+    from the_hive_spark.functions.matstore import materialized
 
-    islands = (
-        runs.groupBy("doc_id", "grp")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "word"))),
-                lambda s: s["word"],
-            ).alias("words"),
-            F.count(F.lit(1)).alias("phrase_len"),
+    def _build_islands() -> DataFrame:
+        return (
+            runs.groupBy("doc_id", "grp")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda s: s["word"],
+                ).alias("words"),
+                F.count(F.lit(1)).alias("phrase_len"),
+            )
+            .withColumn("phrase", F.concat_ws(" ", F.col("words")))
         )
-        .withColumn("phrase", F.concat_ws(" ", F.col("words")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+
+    islands = materialized(
+        spark, ("rake_islands", sf_dir), _build_islands
     )
     occurrences = islands.select(
         "doc_id", "grp", "phrase", "phrase_len",
