@@ -3026,6 +3026,59 @@ def q_part_substitution_candidates(spark: SparkSession, sf_dir: str) -> DataFram
         .cast("bigint")
         .alias("cents"),
     )
+    # Top-k pushdown (r12, guide §1.2 "the distributed algorithm"):
+    # the query returns only the 50 smallest rel_diff_ppm pairs, and
+    # rel_diff_ppm = 0 exactly for pairs with IDENTICAL (brand, cents)
+    # — pairs the banded join enumerates along with every other
+    # qualifying pair (measured 36.5 M qualifying pairs at 2M parts,
+    # 27 s, PART_SUBST_SCALE.json, of which 9.5 M are zero-tier). One
+    # cheap map-side-combinable aggregate counts the zero-ppm pairs
+    # z = Σ C(group,2); when z ≥ 50 the whole answer lives in the
+    # zero tier and the banded join never runs. Exactness of the
+    # restriction to the 64 smallest partkeys per (brand, cents)
+    # group: the tie order is (ppm, part_a, part_b) and within one
+    # group the j-th-smallest member's pairs are preceded by the
+    # C(j−1, 2) pairs among smaller members, so a top-50 pair has
+    # part_a among the group's 11 smallest and part_b at most 50
+    # positions later — 61 ≤ 64 members cover every winner (pinned
+    # against the banded path in tests/test_round12_opt.py). z < 50
+    # (the natural small-SF regime — sf0.01 has z < 1 in expectation)
+    # falls through to the banded plan unchanged, so the adaptive
+    # probe is the same measure-then-choose contract as the dedup
+    # family's dense-vocab probe.
+    zero_pairs = (
+        p.groupBy("p_brand", "cents")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.expr("c * (c - 1) div 2")).alias("z"))
+        .collect()[0]["z"]
+        or 0
+    )
+    if zero_pairs >= 50:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("p_brand", "cents").orderBy("p_partkey")
+        m = p.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 64)
+        a = m.select(
+            "p_brand", "cents",
+            F.col("p_partkey").alias("part_a"), F.col("rn").alias("rn_a"),
+        )
+        b = m.select(
+            "p_brand", "cents",
+            F.col("p_partkey").alias("part_b"), F.col("rn").alias("rn_b"),
+        )
+        return (
+            a.join(b, ["p_brand", "cents"])
+            .filter(F.col("rn_a") < F.col("rn_b"))
+            .select(
+                "part_a",
+                "part_b",
+                "p_brand",
+                F.lit(0).cast("bigint").alias("price_diff_cents"),
+                F.lit(0).cast("bigint").alias("rel_diff_ppm"),
+            )
+            .orderBy(F.asc("rel_diff_ppm"), F.asc("part_a"), F.asc("part_b"))
+            .limit(50)
+        )
     return (
         banded_substitution_pairs(p)
         .orderBy(F.asc("rel_diff_ppm"), F.asc("part_a"), F.asc("part_b"))
