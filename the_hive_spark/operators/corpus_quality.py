@@ -1668,13 +1668,25 @@ def doc_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ]
 
+    # Per-batch work is vectorized through pandas C paths (r12, guide
+    # §4.2): lower/split/explode/map/groupby-sum replace the former
+    # per-document Python loop, so interpreted Python runs only once
+    # per DISTINCT word (Zipf: ~type/token ratio of the corpus). The
+    # merge REPLAY inside encode_word is byte-identical to Sennrich's
+    # rank-order application (pinned in tests/test_bpe_train.py); the
+    # `left+right not in w` prefilter only skips passes that cannot
+    # match — the symbol list always concatenates back to w, so an
+    # adjacent (left, right) implies the substring.
+    import numpy as np
+
     def encode_batches(batches):
-        def encode_word(w: str, cache: dict) -> int:
-            got = cache.get(w)
-            if got is not None:
-                return got
+        cache: dict = {}
+
+        def encode_word(w: str) -> int:
             syms = list(w)
             for left, right in merges:
+                if left + right not in w:
+                    continue
                 i, res = 0, []
                 while i < len(syms):
                     if (
@@ -1691,18 +1703,26 @@ def doc_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             cache[w] = len(syms)
             return len(syms)
 
-        cache: dict = {}
         for pdf in batches:
-            n_words, n_tokens = [], []
-            for text in pdf["text"]:
-                words = [w for w in text.lower().split() if w]
-                n_words.append(len(words))
-                n_tokens.append(sum(encode_word(w, cache) for w in words))
+            words = pdf["text"].str.lower().str.split()
+            n_words = words.str.len().fillna(0).astype("int64")
+            ex = words.explode()
+            wvals = ex[ex.notna()]
+            for w in pd.unique(wvals.to_numpy()):
+                if w not in cache:
+                    encode_word(w)
+            n_tokens = (
+                wvals.map(cache)
+                .groupby(level=0)
+                .sum()
+                .reindex(pdf.index, fill_value=0)
+                .astype("int64")
+            )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_words": pd.Series(n_words, dtype="int64"),
-                    "n_tokens": pd.Series(n_tokens, dtype="int64"),
+                    "n_words": n_words,
+                    "n_tokens": n_tokens,
                 }
             )
 
