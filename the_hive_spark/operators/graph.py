@@ -134,10 +134,19 @@ def connected_components(
     from node — deterministic regardless of partitioning. Isolated
     nodes don't appear (callers coalesce to self).
 
-    Each round is groupBy(u) → min over neighborhood → re-emit edges;
-    both stars key the shuffle on the same column so AQE reuses the
-    partitioning. Convergence is checked with an order-insensitive
-    checksum (count + sum of a per-edge hash), one tiny agg per round.
+    Each round is groupBy(u) → min over neighborhood → re-emit edges.
+    Per-star ``distinct`` dropped (r12, guide §2.4): ``collect_set``
+    already dedupes every neighborhood, each star's OUTPUT is bounded
+    by |E| rows with or without it (one emit per oriented edge), and
+    at the star fixpoint the output is duplicate-free — so a round is
+    2 exchanges (the two groupBys, which key differently by
+    construction) instead of 4. Mid-iteration duplicate rows only ride
+    into the next ``collect_set``, which is set-semantics anyway.
+    Convergence is checked with an order-insensitive checksum (count +
+    sum of a per-edge hash), one tiny agg per round; the checksum
+    still stabilizes because the star operators depend only on the SET
+    of input edges, and the fixpoint image is exact depth-1 stars with
+    multiplicity one.
 
     Hybrid short-circuit: when the deduplicated edge list is at most
     ``local_threshold`` rows it is union-found on the driver instead —
@@ -188,7 +197,6 @@ def connected_components(
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
 
     def _small_star(df: DataFrame) -> DataFrame:
@@ -209,7 +217,6 @@ def connected_components(
             )
             .filter(F.col("node") != F.col("mn"))
             .select(F.col("node").alias("u"), F.col("mn").alias("v"))
-            .distinct()
         )
 
     prev = None
