@@ -103,6 +103,52 @@ def test_band_pair_candidates_equal_filtered_band_pairs(spark, sf_smoke):
     assert new_s1 == new_s2 == old_s == {(1, 2), (1, 4), (2, 4)}
 
 
+def test_jaccard_on_pairs_join_matches_python_sets(spark):
+    """r12 pin for the sparse-regime verifier rewrite (array_intersect
+    instead of the exploded shingle self-join): exact ppm against a
+    pure-Python set computation, including pairs at/below threshold,
+    disjoint pairs, and identical docs. The small-SF oracles all take
+    the dense bitset path, so this code path needs its own pin."""
+    from the_hive_spark.operators.dedup import (
+        JACCARD_THRESHOLD_PPM,
+        _jaccard_on_pairs_join,
+        _py_shingle_set,
+        _shingles_of,
+    )
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "the quick brown fox jumps over the lazy cat",  # near-dup of 1
+        3: "completely different words entirely here now",
+        4: "the quick brown fox jumps over the lazy dog",  # exact dup of 1
+        5: "zzzzz yyyyy xxxxx wwwww vvvvv uuuuu tttttt",   # disjoint
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    sh = _shingles_of(spark, docs)
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (1, 5), (2, 4), (3, 5)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_ppm"]
+        for r in _jaccard_on_pairs_join(cand, sh).collect()
+    }
+
+    import math
+
+    want = {}
+    for a, b in [(1, 2), (1, 3), (1, 4), (1, 5), (2, 4), (3, 5)]:
+        sa, sb = _py_shingle_set(texts[a]), _py_shingle_set(texts[b])
+        ppm = math.floor(
+            1000000.0 * len(sa & sb) / len(sa | sb) + 0.5
+        )
+        if ppm >= JACCARD_THRESHOLD_PPM:
+            want[(a, b)] = ppm
+    assert got == want and (1, 4) in want and (1, 5) not in want
+
+
 def test_bitset_matrix_byte_bound():
     """r12 driver-discipline pin: the dense-bitset regime is gated on
     the packed matrix being broadcast-sized. The (vocab ≤ 64 Ki,

@@ -580,26 +580,47 @@ def _verify_pairs_with_matrix(
 
 
 def _jaccard_on_pairs_join(cand: DataFrame, sh: DataFrame) -> DataFrame:
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    shared = (
-        cand.join(sh.alias("a"), F.col("a.doc_id") == F.col("doc_a"))
-        .join(
-            sh.alias("b"),
-            (F.col("b.doc_id") == F.col("doc_b"))
-            & (F.col("b.shingle") == F.col("a.shingle")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+    """Exact Jaccard for candidate pairs, sparse regime — intersection
+    counted IN-ROW over each doc's distinct-shingle array (r12, guide
+    §3.3 "explode before a join multiplies the shuffle"): the per-doc
+    array attaches to the pair once per side (two doc-keyed equi-joins
+    carrying a bounded ~|shingles(doc)| array), and
+    ``size(array_intersect(...))`` replaces the old explode form —
+    cand ⋈ shingles ⋈ shingles + per-pair re-aggregation — whose
+    intermediate was Σ_cand |shingles(doc_a)| rows (measured 3.1e9
+    rows for sf10r's 10.5 M candidates; doc_dup_clusters end-to-end
+    921 → see DEDUP_SCALE_100X.json). Arrays hold DISTINCT shingles
+    (shingles_expr wraps array_distinct; the exploded sh table is one
+    row per distinct (doc, shingle)), so the count is the exact set
+    intersection; element order is irrelevant to array_intersect.
+    The two size columns ride the same join — no separate sizes
+    joins."""
+    sets = sh.groupBy("doc_id").agg(
+        F.collect_list("shingle").alias("ss"),
+        F.count(F.lit(1)).alias("n_sh"),
+    )
+    a = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("ss").alias("ss_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    b = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("ss").alias("ss_b"),
+        F.col("n_sh").alias("n_b"),
     )
     jac = F.floor(
         1000000.0
         * F.col("n_shared")
-        / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_shared"))
+        / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
         + F.lit(0.5)
     )
     return (
-        shared.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn(
+            "n_shared", F.size(F.array_intersect("ss_a", "ss_b")).cast("long")
+        )
         .select("doc_a", "doc_b", jac.cast("bigint").alias("jaccard_ppm"))
         .filter(F.col("jaccard_ppm") >= JACCARD_THRESHOLD_PPM)
     )
@@ -1080,28 +1101,38 @@ def _lsh_band_pair_candidates_ge2(
             .select("doc_a", "doc_b")
         )
 
-    bands.unpersist()
-    band_keys = F.array(
-        *[
-            F.concat(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))
-            for b in range(N_BANDS)
-        ]
+    # Composite rows are (doc_id, bp int, val bigint): a band key is
+    # two 4-hex-char chunks = exactly 32 bits, so the band-PAIR key
+    # packs LOSSLESSLY into one 64-bit integer (high band's 32 bits ‖
+    # low band's 32 bits) — same equality relation as the string
+    # concat, a fixed-width 20-byte row instead of a 16-char string
+    # (the first sf10r family run OOMed 32 concurrent tasks building
+    # string-keyed cache batches on top of the exploded-shingle
+    # cache). Derived from the ALREADY-CACHED single-band table — one
+    # narrow 16-rows/doc shuffle — rather than from `sig`, whose
+    # lineage at scale is the full 150 M-row shingle aggregation and
+    # would re-run once more for the composite materialization.
+    perdoc = bands.groupBy("doc_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(band, band_key))),"
+            " s -> cast(conv(s.band_key, 16, 10) AS bigint))"
+        ).alias("_bk")
     )
     comp = F.flatten(
         F.expr(
             f"transform(sequence(0, {N_BANDS - 2}), i ->"
             f" transform(sequence(i + 1, {N_BANDS - 1}), j ->"
             f" struct(i * {N_BANDS} + j AS bp,"
-            " concat(_bk[i], _bk[j]) AS val)))"
+            " shiftleft(_bk[i], 32) | _bk[j] AS val)))"
         )
     )
     banded = (
-        sig.withColumn("_bk", band_keys)
-        .select("doc_id", F.explode(comp).alias("c"))
+        perdoc.select("doc_id", F.explode(comp).alias("c"))
         .select("doc_id", F.col("c.bp").alias("bp"), F.col("c.val").alias("val"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     _guard_band_buckets(banded, ["bp", "val"], "MinHash-LSH band-pair")
+    bands.unpersist()
     a = banded.alias("a")
     b = banded.alias("b")
     return (
